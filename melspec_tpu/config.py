@@ -1,0 +1,172 @@
+"""Configuration value objects.
+
+Plain frozen dataclasses with defaults + validation, mirroring the reference's
+config surface (``src/config.rs:2-34``, ``src/mel.rs:172-208`` + validation at
+``src/mel.rs:656-683``, ``src/fbank.rs:24-82``, ``src/vad.rs:5-22``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class MelConfig:
+    """Whisper-style streaming mel config (reference ``src/config.rs:2-34``)."""
+
+    fft_size: int = 400
+    hop_size: int = 160
+    n_mels: int = 80
+    sampling_rate: float = 16000.0
+
+    def __post_init__(self) -> None:
+        if self.fft_size <= 0:
+            raise ValueError("fft_size must be > 0")
+        if self.hop_size <= 0:
+            raise ValueError("hop_size must be > 0")
+        if self.hop_size > self.fft_size:
+            raise ValueError("hop_size must be <= fft_size")
+        if self.n_mels <= 0:
+            raise ValueError("n_mels must be > 0")
+        if self.sampling_rate <= 0:
+            raise ValueError("sampling_rate must be > 0")
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchLogMelConfig:
+    """NeMo/Parakeet-style batch log-mel frontend config.
+
+    Defaults and validation mirror the reference
+    (``src/mel.rs:189-208``, ``src/mel.rs:656-683``): 16 kHz, n_fft=512,
+    win_length=400, hop=160, 80 mels, Slaney norm, center zero-padding,
+    natural log with ``float32 epsilon`` guard.
+    """
+
+    sample_rate: int = 16000
+    n_fft: int = 512
+    win_length: int = 400
+    hop_length: int = 160
+    n_mels: int = 80
+    f_min: float = 0.0
+    f_max: Optional[float] = None
+    htk: bool = False
+    norm: bool = True
+    preemphasis: float = 0.0
+    center: bool = True
+    log_zero_guard: float = 1.1920929e-07  # f32 machine epsilon
+    pad_to: int = 0
+    normalize_per_feature: bool = False
+
+    def __post_init__(self) -> None:
+        if self.sample_rate <= 0:
+            raise ValueError("sample_rate must be > 0")
+        if self.n_fft <= 0:
+            raise ValueError("n_fft must be > 0")
+        if self.win_length <= 0:
+            raise ValueError("win_length must be > 0")
+        if self.win_length > self.n_fft:
+            raise ValueError("win_length must be <= n_fft")
+        if self.hop_length <= 0:
+            raise ValueError("hop_length must be > 0")
+        if self.n_mels <= 0:
+            raise ValueError("n_mels must be > 0")
+        import math
+
+        if not math.isfinite(self.log_zero_guard) or self.log_zero_guard <= 0:
+            raise ValueError("log_zero_guard must be finite and > 0")
+
+    @property
+    def fft_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def effective_f_max(self) -> float:
+        return self.f_max if self.f_max is not None else self.sample_rate / 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class FbankConfig:
+    """Kaldi-compatible fbank config (reference ``src/fbank.rs:24-82``)."""
+
+    sample_rate: float = 16000.0
+    num_mel_bins: int = 80
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    dither: float = 0.0
+    energy_floor: float = 0.0  # 0 -> f32 epsilon internally, like kaldi
+    use_energy: bool = False
+    use_log_fbank: bool = True
+    use_power: bool = True
+    preemphasis: float = 0.97
+    apply_cmn: bool = True
+    low_freq: float = 20.0
+    high_freq: float = 0.0  # 0 means Nyquist
+
+    @property
+    def frame_length_samples(self) -> int:
+        return int(round((self.frame_length_ms / 1000.0) * self.sample_rate))
+
+    @property
+    def frame_shift_samples(self) -> int:
+        return int(round((self.frame_shift_ms / 1000.0) * self.sample_rate))
+
+    @property
+    def fft_size(self) -> int:
+        n = self.frame_length_samples
+        size = 1
+        while size < n:
+            size <<= 1
+        return size
+
+    @property
+    def effective_high_freq(self) -> float:
+        return self.sample_rate / 2.0 if self.high_freq == 0.0 else self.high_freq
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionSettings:
+    """Sobel-edge VAD settings (reference ``src/vad.rs:5-81``).
+
+    - ``min_energy``: squared-gradient threshold base; gradients with squared
+      magnitude >= min_energy**2 count as edges.
+    - ``min_y``: minimum number of mel rows a column's gradients must cross.
+    - ``min_x``: sliding window width in frames for streaming decisions.
+    - ``min_mel``: ignore mel rows below this index (low-frequency noise).
+    """
+
+    min_energy: float = 0.98
+    min_y: int = 11
+    min_x: int = 5
+    min_mel: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class VadFrameTiming:
+    """Maps STFT frame indices to start/center/end milliseconds
+    (reference ``src/vad.rs:90-117``)."""
+
+    fft_size: int
+    hop_size: int
+    sampling_rate: float
+
+    def timestamps_for_frame(self, frame_index: int) -> "VoiceActivityTimestamps":
+        start_sample = frame_index * self.hop_size
+        center_sample = start_sample + self.fft_size // 2
+        end_sample = start_sample + self.fft_size
+
+        def to_ms(sample: int) -> int:
+            return int(round((sample / self.sampling_rate) * 1000.0))
+
+        return VoiceActivityTimestamps(
+            start_ms=to_ms(start_sample),
+            center_ms=to_ms(center_sample),
+            end_ms=to_ms(end_sample),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class VoiceActivityTimestamps:
+    start_ms: int
+    center_ms: int
+    end_ms: int

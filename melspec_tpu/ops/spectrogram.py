@@ -1,0 +1,199 @@
+"""Whisper-compatible batched log-mel spectrogram.
+
+This module replaces three reference backends at once — the per-frame CPU
+loop (``src/stft.rs:89-138`` + ``src/mel.rs:13-32``), the cuFFT/CUDA kernel
+path (``src/cuda.rs``, ``src/cuda_kernels.cu``) and the wgpu/WGSL path
+(``src/wgpu.rs``, ``src/wgpu.wgsl``) — with one jitted, fused XLA program:
+
+    frame-gather -> window mult -> real-DFT matmul (MXU) -> power
+    -> dense filterbank matmul (MXU) -> log10 -> whisper norm
+
+Exact semantics preserved:
+- periodic Hann window (``src/stft.rs:29-31``);
+- mel projection zeroes FFT bins >= fft_size/2 — i.e. the Nyquist column of
+  the [n_mels, fft/2+1] filterbank never contributes
+  (``src/mel.rs:148-168``);
+- ``log10(max(energy, 1e-10))`` floor;
+- whisper norm ``(max(x, max-8)+4)/4`` with the max taken per frame in the
+  streaming path (``src/mel.rs:26-31,645-654``) — the JFK golden was
+  produced that way (SURVEY.md hard part (a)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.ops import dft, framing
+from melspec_tpu.ops.filterbank import mel_filterbank
+from melspec_tpu.ops.windows import hann_periodic
+
+LOG10_FLOOR = 1e-10
+
+
+def whisper_norm(log_mel: jnp.ndarray, axis=None) -> jnp.ndarray:
+    """Whisper dynamic-range normalization ``(max(x, max-8)+4)/4``.
+
+    ``axis=None`` normalizes over the whole array (reference ``norm_mel``,
+    ``src/mel.rs:449-455``); pass an axis for per-frame normalization
+    (reference ``norm_mel_slice_f64``, ``src/mel.rs:645-654``).
+    """
+    mmax = jnp.max(log_mel, axis=axis, keepdims=axis is not None) - 8.0
+    return (jnp.maximum(log_mel, mmax) + 4.0) / 4.0
+
+
+def log_mel_from_power(
+    power: jnp.ndarray, filters_t: jnp.ndarray, dtype=jnp.float32
+) -> jnp.ndarray:
+    """``log10(max(power @ filters_t, 1e-10))``.
+
+    ``power`` is ``[..., n_used_bins]``, ``filters_t`` is
+    ``[n_used_bins, n_mels]`` (already truncated to the bins that the
+    reference's projection does not zero).
+    """
+    energy = jnp.matmul(power, filters_t, preferred_element_type=dtype)
+    return jnp.log10(jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, dtype=dtype)))
+
+
+class WhisperMelPipeline:
+    """Precompiled whisper log-mel frontend for one (fft, hop, n_mels, sr) config.
+
+    Public entry points:
+    - ``mel_batch(samples)``: batch framing (frame k starts at ``k*hop``) —
+      the analogue of ``Spectrogram::compute_mel_spectrogram_cpu``
+      (``src/stft.rs:119-138``) and of both GPU backends. Returns
+      ``[..., n_frames, n_mels]``.
+    - ``mel_streaming_equivalent(samples)``: bit-compatible with the
+      reference's streaming RingBuffer path (``src/rb.rs:86-121``): frames
+      offset by ``ceil(fft/hop)*hop - fft`` samples, per-frame whisper norm.
+      Returns ``[..., n_mels, n_frames]`` (feature-major like the golden).
+    """
+
+    def __init__(
+        self,
+        fft_size: int = 400,
+        hop_size: int = 160,
+        n_mels: int = 80,
+        sampling_rate: float = 16000.0,
+        dtype=jnp.float32,
+        fft_impl: str = "rdft",
+    ):
+        if fft_impl not in ("rdft", "fft"):
+            raise ValueError("fft_impl must be 'rdft' or 'fft'")
+        self.fft_size = fft_size
+        self.hop_size = hop_size
+        self.n_mels = n_mels
+        self.sampling_rate = sampling_rate
+        self.dtype = dtype
+        self.fft_impl = fft_impl
+
+        self.half = fft_size // 2  # bins >= half are zeroed by the projection
+        filters = mel_filterbank(sampling_rate, fft_size, n_mels)  # [n_mels, half+1]
+        self._filters_np = filters
+        self.filters_t = jnp.asarray(filters[:, : self.half].T, dtype=dtype)
+        self.window = jnp.asarray(hann_periodic(fft_size), dtype=dtype)
+
+    @property
+    def filters(self) -> np.ndarray:
+        """Dense float64 filterbank ``[n_mels, fft//2+1]`` (source of truth)."""
+        return self._filters_np
+
+    def _power(self, frames: jnp.ndarray) -> jnp.ndarray:
+        xw = frames.astype(self.dtype) * self.window
+        if self.fft_impl == "rdft":
+            return dft.rdft_power(xw, self.fft_size, self.half, dtype=self.dtype)
+        spec = jnp.fft.rfft(xw, axis=-1)[..., : self.half]
+        return (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(self.dtype)
+
+    def _log_mel_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
+        return log_mel_from_power(self._power(frames), self.filters_t, self.dtype)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _mel_batch_jit(self, samples: jnp.ndarray) -> jnp.ndarray:
+        n = samples.shape[-1]
+        nf = framing.num_frames_batch(n, self.fft_size, self.hop_size)
+        frames = framing.frame_signal(samples, self.fft_size, self.hop_size, nf)
+        log_mel = self._log_mel_frames(frames)
+        return whisper_norm(log_mel, axis=-1)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _mel_streaming_jit(self, samples: jnp.ndarray) -> jnp.ndarray:
+        n = samples.shape[-1]
+        nf = framing.num_frames_streaming(n, self.fft_size, self.hop_size)
+        offset = framing.streaming_frame_offset(self.fft_size, self.hop_size)
+        usable = (n // self.hop_size) * self.hop_size
+        frames = framing.frame_signal(
+            samples[..., :usable], self.fft_size, self.hop_size, nf, offset=offset
+        )
+        log_mel = self._log_mel_frames(frames)
+        normed = whisper_norm(log_mel, axis=-1)
+        return jnp.swapaxes(normed, -1, -2)  # [..., n_mels, n_frames]
+
+    def mel_batch(self, samples) -> jnp.ndarray:
+        """Whisper log-mel, batch framing. ``samples`` ``[T]`` or ``[B, T]`` ->
+        ``[n_frames, n_mels]`` / ``[B, n_frames, n_mels]``."""
+        samples = jnp.asarray(samples)
+        if framing.num_frames_batch(samples.shape[-1], self.fft_size, self.hop_size) == 0:
+            return jnp.zeros(samples.shape[:-1] + (0, self.n_mels), dtype=self.dtype)
+        return self._mel_batch_jit(samples)
+
+    def mel_streaming_equivalent(self, samples) -> jnp.ndarray:
+        """Whisper log-mel matching the streaming RingBuffer path exactly;
+        feature-major ``[..., n_mels, n_frames]``."""
+        samples = jnp.asarray(samples)
+        if framing.num_frames_streaming(samples.shape[-1], self.fft_size, self.hop_size) == 0:
+            return jnp.zeros(samples.shape[:-1] + (self.n_mels, 0), dtype=self.dtype)
+        return self._mel_streaming_jit(samples)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_pipeline(
+    fft_size: int, hop_size: int, n_mels: int, sampling_rate: float, dtype_name: str,
+    fft_impl: str,
+) -> WhisperMelPipeline:
+    return WhisperMelPipeline(
+        fft_size, hop_size, n_mels, sampling_rate,
+        dtype=jnp.dtype(dtype_name), fft_impl=fft_impl,
+    )
+
+
+def compute_mel_spectrogram(
+    samples,
+    fft_size: int,
+    hop_size: int,
+    n_mels: int,
+    sampling_rate: float,
+    dtype=jnp.float32,
+    fft_impl: str = "rdft",
+) -> np.ndarray:
+    """Drop-in analogue of ``Spectrogram::compute_mel_spectrogram_cpu``
+    (reference ``src/stft.rs:119-138``): returns ``[n_frames, n_mels]``
+    float32 numpy, one whisper-normalized row per frame."""
+    pipe = _cached_pipeline(
+        fft_size, hop_size, n_mels, float(sampling_rate),
+        jnp.dtype(dtype).name, fft_impl,
+    )
+    return np.asarray(pipe.mel_batch(samples), dtype=np.float32)
+
+
+def compute_streaming_mel(
+    samples,
+    fft_size: int,
+    hop_size: int,
+    n_mels: int,
+    sampling_rate: float,
+    dtype=jnp.float32,
+    fft_impl: str = "rdft",
+) -> np.ndarray:
+    """Batched computation reproducing the reference's streaming
+    RingBuffer -> Spectrogram -> MelSpectrogram pipeline output
+    (``src/rb.rs:86-121``) exactly: ``[n_mels, n_frames]`` float32."""
+    pipe = _cached_pipeline(
+        fft_size, hop_size, n_mels, float(sampling_rate),
+        jnp.dtype(dtype).name, fft_impl,
+    )
+    return np.asarray(pipe.mel_streaming_equivalent(samples), dtype=np.float32)
