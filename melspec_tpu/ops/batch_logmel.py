@@ -1,0 +1,158 @@
+"""NeMo/Parakeet-style batch log-mel frontend.
+
+Behavioral parity with the reference's ``BatchLogMelSpectrogram``
+(``src/mel.rs:172-433``, helpers ``685-756``), redesigned as one jitted XLA
+program over ``[..., T]`` instead of a per-frame scratch-buffer loop:
+
+- optional pre-emphasis over the whole waveform ``y[n] = x[n] - c*x[n-1]``,
+  ``y[0] = x[0]`` (``src/mel.rs:696-706``);
+- ``center=True`` zero-pads ``n_fft/2`` on both sides (zero padding, NOT
+  reflect — ``src/mel.rs:685-694``);
+- frame count ``len//hop + 1`` when centered, ``(len-n_fft)//hop + 1``
+  otherwise (``src/mel.rs:387-395``);
+- symmetric Hann of ``win_length`` centered inside ``n_fft``
+  (``src/mel.rs:708-719``);
+- power spectrum over all ``n_fft//2+1`` bins (Nyquist included, unlike the
+  whisper path), Slaney filterbank matmul, ``ln(energy + guard)``;
+- feature-major output ``[..., n_mels, padded_frames]`` with ``pad_to``
+  column padding (``src/mel.rs:751-756``);
+- optional per-feature mean/std normalization over valid frames only, with
+  ``max(valid-1, 1)`` variance denominator and ``std + 1e-5``
+  (``src/mel.rs:721-749``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.config import BatchLogMelConfig
+from melspec_tpu.ops import dft, framing
+from melspec_tpu.ops.filterbank import mel_filterbank
+from melspec_tpu.ops.windows import hann_centered
+
+
+def pad_len(length: int, pad_to: int) -> int:
+    """Round ``length`` up to a multiple of ``pad_to`` (0 = no padding)."""
+    if pad_to == 0:
+        return length
+    return -(-length // pad_to) * pad_to
+
+
+class BatchLogMel:
+    """Precompiled NeMo-style frontend for one config.
+
+    ``compute(samples)`` takes ``[T]`` or ``[B, T]`` float32 and returns
+    ``[..., n_mels, padded_frames]`` in the pipeline dtype.
+    """
+
+    def __init__(self, config: BatchLogMelConfig = BatchLogMelConfig(),
+                 dtype=jnp.float32, fft_impl: str = "rdft"):
+        if fft_impl not in ("rdft", "fft"):
+            raise ValueError("fft_impl must be 'rdft' or 'fft'")
+        self.config = config
+        self.dtype = dtype
+        self.fft_impl = fft_impl
+        self.fft_bins = config.fft_bins
+
+        filters = mel_filterbank(
+            float(config.sample_rate),
+            config.n_fft,
+            config.n_mels,
+            f_min=config.f_min,
+            f_max=config.effective_f_max,
+            htk=config.htk,
+            norm=config.norm,
+        )
+        self._filters_np = filters
+        self.filters_t = jnp.asarray(filters.T, dtype=dtype)  # [bins, n_mels]
+        self.window = jnp.asarray(
+            hann_centered(config.n_fft, config.win_length), dtype=dtype
+        )
+
+    @property
+    def filters(self) -> np.ndarray:
+        return self._filters_np
+
+    def num_frames(self, sample_len: int) -> int:
+        if self.config.center:
+            return framing.num_frames_centered(sample_len, self.config.hop_length)
+        return framing.num_frames_batch(
+            sample_len, self.config.n_fft, self.config.hop_length
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _compute_jit(self, samples: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = samples.astype(self.dtype)
+        n = x.shape[-1]
+
+        if cfg.preemphasis != 0.0:
+            prev = jnp.concatenate([x[..., :1] * 0.0, x[..., :-1]], axis=-1)
+            x = x - jnp.asarray(cfg.preemphasis, self.dtype) * prev
+            # y[0] = x[0]: the zeroed first `prev` element already ensures it.
+
+        valid = self.num_frames(n)
+        if cfg.center:
+            pad = cfg.n_fft // 2
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+
+        # ensure the block-framing view has enough tail samples
+        needed = (valid - 1) * cfg.hop_length + cfg.n_fft
+        if x.shape[-1] < needed:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, needed - x.shape[-1])])
+
+        frames = framing.frame_signal(x, cfg.n_fft, cfg.hop_length, valid)
+        xw = frames * self.window
+        if self.fft_impl == "rdft":
+            power = dft.rdft_power(xw, cfg.n_fft, self.fft_bins, dtype=self.dtype)
+        else:
+            spec = jnp.fft.rfft(xw, axis=-1)
+            power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(self.dtype)
+
+        energy = jnp.matmul(power, self.filters_t, preferred_element_type=self.dtype)
+        feats = jnp.log(energy + jnp.asarray(cfg.log_zero_guard, self.dtype))
+        feats = jnp.swapaxes(feats, -1, -2)  # [..., n_mels, valid]
+
+        if cfg.normalize_per_feature:
+            mean = jnp.mean(feats, axis=-1, keepdims=True)
+            denom = max(valid - 1, 1)
+            var = jnp.sum((feats - mean) ** 2, axis=-1, keepdims=True) / denom
+            std = jnp.sqrt(var) + jnp.asarray(1e-5, self.dtype)
+            feats = (feats - mean) / std
+
+        padded = pad_len(valid, cfg.pad_to)
+        if padded > valid:
+            feats = jnp.pad(
+                feats, [(0, 0)] * (feats.ndim - 1) + [(0, padded - valid)]
+            )
+        return feats
+
+    def compute(self, samples) -> jnp.ndarray:
+        samples = jnp.asarray(samples)
+        if samples.shape[-1] == 0:
+            return jnp.zeros(
+                samples.shape[:-1] + (self.config.n_mels, 0), dtype=self.dtype
+            )
+        return self._compute_jit(samples)
+
+    def compute_flat(self, samples) -> tuple[np.ndarray, int, int]:
+        """Flat row-major output + (rows, cols), mirroring the reference's
+        ``compute_flat_with_scratch`` return surface (``src/mel.rs:321-385``)."""
+        feats = np.asarray(self.compute(samples), dtype=np.float32)
+        rows, cols = feats.shape[-2], feats.shape[-1]
+        return feats.reshape(feats.shape[:-2] + (rows * cols,)), rows, cols
+
+
+def mel_tensor(frames: np.ndarray, n_mels: int):
+    """Package flat feature-major mel frames for an ONNX-style ASR runtime:
+    ``(features[1, n_mels, T] float32, lengths[1] int64)``
+    (reference ``src/mel.rs:420-433``, feature ``ort-tensor``)."""
+    frames = np.asarray(frames, dtype=np.float32).reshape(-1)
+    num_frames = frames.size // n_mels
+    audio = frames[: n_mels * num_frames].reshape(1, n_mels, num_frames)
+    lengths = np.asarray([num_frames], dtype=np.int64)
+    return audio, lengths

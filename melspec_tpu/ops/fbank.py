@@ -1,0 +1,148 @@
+"""Kaldi-compatible filterbank features.
+
+Behavioral parity with the reference's ``Fbank`` (``src/fbank.rs``), written
+as one batched XLA program instead of a per-frame scratch loop. The fiddly
+Kaldi edge cases (SURVEY.md hard part (c)) are preserved exactly:
+
+- frames of ``frame_length_samples`` every ``frame_shift_samples`` from the
+  RAW signal, ``1 + (len-frame_len)//shift`` frames (``src/fbank.rs:151``);
+- per-frame DC removal: subtract the frame mean (``src/fbank.rs:163-169``);
+- pre-emphasis on the DC-removed frame, ``y[i] = d[i] - p*d[i-1]``; the
+  first sample uses the sample *before* the frame, re-centered with THIS
+  frame's mean, and frame 0's first sample is left untouched
+  (``src/fbank.rs:171-181``);
+- Povey window, zero-pad to the next power of two, rFFT power (or
+  magnitude), Kaldi filterbank projection, ``max(floor, e)`` with
+  ``floor = energy_floor or f32-epsilon``, ``ln``
+  (``src/fbank.rs:183-221``);
+- optional CMN: subtract the per-bin mean over time
+  (``src/fbank.rs:224-233``).
+
+``dither`` and ``use_energy`` are accepted for config compatibility; like
+the reference's compute path, they do not alter the output (dither defaults
+to 0 for inference; pass a PRNG key to ``compute`` to enable it as a
+documented extension).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.config import FbankConfig
+from melspec_tpu.ops import dft, framing
+from melspec_tpu.ops.filterbank import kaldi_filterbank
+from melspec_tpu.ops.windows import povey
+
+F32_EPSILON = 1.1920929e-07
+
+
+class Fbank:
+    """Precompiled Kaldi fbank extractor for one config.
+
+    ``compute(samples)`` takes ``[T]`` or ``[B, T]`` and returns
+    ``[..., num_frames, num_mel_bins]`` in the pipeline dtype (frame-major,
+    like the reference).
+    """
+
+    def __init__(self, config: FbankConfig = FbankConfig(), dtype=jnp.float32,
+                 fft_impl: str = "rdft"):
+        if fft_impl not in ("rdft", "fft"):
+            raise ValueError("fft_impl must be 'rdft' or 'fft'")
+        self.config = config
+        self.dtype = dtype
+        self.fft_impl = fft_impl
+
+        self.frame_len = config.frame_length_samples
+        self.frame_shift = config.frame_shift_samples
+        self.fft_size = config.fft_size
+        self.fft_bins = self.fft_size // 2 + 1
+
+        filters = kaldi_filterbank(
+            config.sample_rate,
+            self.fft_size,
+            config.num_mel_bins,
+            config.low_freq,
+            config.effective_high_freq,
+        )
+        self._filters_np = filters
+        self.filters_t = jnp.asarray(filters.T, dtype=dtype)
+        self.window = jnp.asarray(povey(self.frame_len), dtype=dtype)
+
+    @property
+    def dense_filterbank(self) -> np.ndarray:
+        """Dense float64 Kaldi filterbank (reference ``src/fbank.rs:243-246``)."""
+        return self._filters_np
+
+    def num_frames(self, sample_len: int) -> int:
+        return framing.num_frames_batch(sample_len, self.frame_len, self.frame_shift)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _compute_jit(self, samples: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = samples.astype(self.dtype)
+        n = x.shape[-1]
+        nf = self.num_frames(n)
+
+        frames = framing.frame_signal(x, self.frame_len, self.frame_shift, nf)
+        mean = jnp.mean(frames, axis=-1, keepdims=True)
+        d = frames - mean  # DC removal, [..., nf, frame_len]
+
+        if cfg.preemphasis > 0.0:
+            p = jnp.asarray(cfg.preemphasis, self.dtype)
+            # in-frame: y[i] = d[i] - p*d[i-1]
+            shifted = jnp.concatenate([d[..., :1], d[..., :-1]], axis=-1)
+            y = d - p * shifted
+            # first sample: frame k>0 uses samples[start-1] re-centered with
+            # frame k's mean; frame 0 keeps d[0] untouched.
+            prev_sample = x[..., self.frame_shift - 1 :: self.frame_shift]
+            prev_sample = prev_sample[..., : nf - 1]  # sample before frame k>=1
+            first = d[..., 1:, 0] - p * (prev_sample - mean[..., 1:, 0])
+            first = jnp.concatenate([d[..., :1, 0], first], axis=-1)
+            y = y.at[..., 0].set(first)
+        else:
+            y = d
+
+        xw = y * self.window
+        # zero-pad to fft_size happens implicitly: the rDFT matrices are
+        # evaluated only over the first frame_len samples (tail is zero).
+        if self.fft_impl == "rdft":
+            cos_m, msin_m = dft.rdft_matrices(self.fft_size, self.fft_bins)
+            cos_m = jnp.asarray(cos_m[: self.frame_len], dtype=self.dtype)
+            msin_m = jnp.asarray(msin_m[: self.frame_len], dtype=self.dtype)
+            re = xw @ cos_m
+            im = xw @ msin_m
+            power = re * re + im * im
+        else:
+            pad = self.fft_size - self.frame_len
+            xp = jnp.pad(xw, [(0, 0)] * (xw.ndim - 1) + [(0, pad)])
+            spec = jnp.fft.rfft(xp, axis=-1)
+            power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(self.dtype)
+
+        if not cfg.use_power:
+            power = jnp.sqrt(power)
+
+        energy = jnp.matmul(power, self.filters_t, preferred_element_type=self.dtype)
+        floor = cfg.energy_floor if cfg.energy_floor > 0.0 else F32_EPSILON
+        energy = jnp.maximum(energy, jnp.asarray(floor, self.dtype))
+        feats = jnp.log(energy) if cfg.use_log_fbank else energy
+
+        if cfg.apply_cmn:
+            feats = feats - jnp.mean(feats, axis=-2, keepdims=True)
+
+        return feats  # [..., nf, num_mel_bins]
+
+    def compute(self, samples, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        samples = jnp.asarray(samples)
+        if self.num_frames(samples.shape[-1]) == 0:
+            return jnp.zeros(
+                samples.shape[:-1] + (0, self.config.num_mel_bins), dtype=self.dtype
+            )
+        if self.config.dither > 0.0 and key is not None:
+            noise = jax.random.normal(key, samples.shape, dtype=self.dtype)
+            samples = samples + self.config.dither * noise
+        return self._compute_jit(samples)

@@ -6,7 +6,7 @@ host and GPU tests skip gracefully); sharding tests use the virtual devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env sets axon/tpu
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +15,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+# A sitecustomize hook may have pinned jax_platforms to a TPU tunnel before
+# this file ran; override it so tests run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 from pathlib import Path
 

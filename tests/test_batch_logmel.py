@@ -1,0 +1,126 @@
+"""NeMo-style batch frontend: differential test vs a naive per-frame numpy
+reimplementation (the reference's own differential-testing strategy,
+cf. ``tests/vad_regression.rs``), plus the reference's shape contract
+(``src/mel.rs:943-961``: 1 s @ defaults+128 mels -> [128, 101])."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from melspec_tpu.config import BatchLogMelConfig
+from melspec_tpu.ops.batch_logmel import BatchLogMel, mel_tensor, pad_len
+from melspec_tpu.ops.filterbank import mel_filterbank
+from melspec_tpu.ops.windows import hann_centered
+
+
+def naive_batch_logmel(samples: np.ndarray, cfg: BatchLogMelConfig) -> np.ndarray:
+    """Obvious per-frame float64 reimplementation of the reference semantics
+    (``src/mel.rs:321-395,685-756``)."""
+    x = samples.astype(np.float64).copy()
+    if cfg.preemphasis != 0.0 and len(x):
+        y = x.copy()
+        y[1:] = x[1:] - cfg.preemphasis * x[:-1]
+        x = y
+    valid = (
+        len(samples) // cfg.hop_length + 1
+        if cfg.center
+        else (len(samples) - cfg.n_fft) // cfg.hop_length + 1
+    )
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        x = np.concatenate([np.zeros(pad), x, np.zeros(pad)])
+    window = hann_centered(cfg.n_fft, cfg.win_length)
+    filters = mel_filterbank(
+        float(cfg.sample_rate), cfg.n_fft, cfg.n_mels,
+        f_min=cfg.f_min, f_max=cfg.effective_f_max, htk=cfg.htk, norm=cfg.norm,
+    )
+    padded_frames = pad_len(valid, cfg.pad_to)
+    out = np.zeros((cfg.n_mels, padded_frames))
+    for k in range(valid):
+        start = k * cfg.hop_length
+        frame = np.zeros(cfg.n_fft)
+        avail = x[start : start + cfg.n_fft]
+        frame[: len(avail)] = avail
+        spec = np.fft.rfft(frame * window)
+        power = np.abs(spec) ** 2
+        energy = filters @ power
+        out[:, k] = np.log(energy + cfg.log_zero_guard)
+    if cfg.normalize_per_feature and valid > 0:
+        v = out[:, :valid]
+        mean = v.mean(axis=1, keepdims=True)
+        var = ((v - mean) ** 2).sum(axis=1, keepdims=True) / max(valid - 1, 1)
+        out[:, :valid] = (v - mean) / (np.sqrt(var) + 1e-5)
+    return out
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        BatchLogMelConfig(),
+        BatchLogMelConfig(n_mels=128, preemphasis=0.97,
+                          log_zero_guard=2.0 ** -24, normalize_per_feature=True),
+        BatchLogMelConfig(center=False, pad_to=16),
+        BatchLogMelConfig(win_length=512, hop_length=128),
+    ],
+)
+def test_differential_vs_naive(cfg):
+    rng = np.random.default_rng(7)
+    samples = rng.normal(size=9973).astype(np.float32) * 0.2
+    want = naive_batch_logmel(samples, cfg)
+    got = np.asarray(BatchLogMel(cfg, dtype=jnp.float64).compute(samples))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_reference_shape_contract():
+    cfg = BatchLogMelConfig(
+        n_mels=128, preemphasis=0.97, log_zero_guard=2.0 ** -24,
+        normalize_per_feature=True,
+    )
+    frontend = BatchLogMel(cfg)
+    feats = frontend.compute(np.zeros(16000, dtype=np.float32))
+    assert feats.shape == (128, 101)
+
+
+def test_batched_input_matches_loop():
+    cfg = BatchLogMelConfig()
+    frontend = BatchLogMel(cfg, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    batch = rng.normal(size=(3, 4800)).astype(np.float32)
+    got = np.asarray(frontend.compute(batch))
+    for i in range(3):
+        np.testing.assert_allclose(
+            got[i], np.asarray(frontend.compute(batch[i])), atol=0
+        )
+
+
+def test_empty_input():
+    out = BatchLogMel(BatchLogMelConfig()).compute(np.zeros(0, dtype=np.float32))
+    assert out.shape == (80, 0)
+
+
+def test_f32_close_to_f64():
+    cfg = BatchLogMelConfig(n_mels=128, preemphasis=0.97)
+    rng = np.random.default_rng(11)
+    samples = rng.normal(size=16000).astype(np.float32) * 0.2
+    a = np.asarray(BatchLogMel(cfg, dtype=jnp.float64).compute(samples))
+    b = np.asarray(BatchLogMel(cfg, dtype=jnp.float32).compute(samples))
+    # ln-domain features: the NeMo parity bar in the reference README is
+    # MAE ~0.0012 vs the traced frontend (README.md:151-158)
+    assert np.abs(a - b).mean() < 1.2e-3
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        BatchLogMelConfig(win_length=1024)  # > n_fft
+    with pytest.raises(ValueError):
+        BatchLogMelConfig(hop_length=0)
+    with pytest.raises(ValueError):
+        BatchLogMelConfig(log_zero_guard=0.0)
+
+
+def test_mel_tensor_packaging():
+    audio, lengths = mel_tensor(np.arange(240, dtype=np.float32), 80)
+    assert audio.shape == (1, 80, 3)
+    assert lengths.tolist() == [3]
+    assert audio.dtype == np.float32 and lengths.dtype == np.int64

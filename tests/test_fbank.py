@@ -1,0 +1,115 @@
+"""Kaldi fbank: differential test vs a naive per-frame numpy
+reimplementation + the reference's golden/shape contract
+(``src/fbank.rs:354-535``)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from melspec_tpu.config import FbankConfig
+from melspec_tpu.ops.fbank import F32_EPSILON, Fbank
+from melspec_tpu.ops.filterbank import kaldi_filterbank
+from melspec_tpu.ops.windows import povey
+
+
+def naive_fbank(samples: np.ndarray, cfg: FbankConfig) -> np.ndarray:
+    """Obvious per-frame float64 reimplementation of the reference's compute
+    loop (``src/fbank.rs:141-236``)."""
+    frame_len = cfg.frame_length_samples
+    shift = cfg.frame_shift_samples
+    fft_size = cfg.fft_size
+    if len(samples) < frame_len:
+        return np.zeros((0, cfg.num_mel_bins), dtype=np.float32)
+    nf = 1 + (len(samples) - frame_len) // shift
+    window = povey(frame_len)
+    filters = kaldi_filterbank(
+        cfg.sample_rate, fft_size, cfg.num_mel_bins, cfg.low_freq,
+        cfg.effective_high_freq,
+    )
+    out = np.zeros((nf, cfg.num_mel_bins))
+    for k in range(nf):
+        start = k * shift
+        frame = samples[start : start + frame_len].astype(np.float64)
+        mean = frame.mean()
+        d = frame - mean
+        if cfg.preemphasis > 0.0:
+            y = d.copy()
+            y[1:] = d[1:] - cfg.preemphasis * d[:-1]
+            if start > 0:
+                y[0] = d[0] - cfg.preemphasis * (samples[start - 1] - mean)
+            d = y
+        padded = np.zeros(fft_size)
+        padded[:frame_len] = d * window
+        spec = np.fft.rfft(padded)
+        power = np.abs(spec) ** 2 if cfg.use_power else np.abs(spec)
+        energy = filters @ power
+        floor = cfg.energy_floor if cfg.energy_floor > 0.0 else F32_EPSILON
+        energy = np.maximum(energy, floor)
+        out[k] = np.log(energy) if cfg.use_log_fbank else energy
+    if cfg.apply_cmn and nf > 0:
+        out = out - out.mean(axis=0, keepdims=True)
+    return out
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        FbankConfig(),
+        FbankConfig(apply_cmn=False),
+        FbankConfig(preemphasis=0.0, use_power=False),
+        FbankConfig(num_mel_bins=40, energy_floor=1e-6, use_log_fbank=False),
+    ],
+)
+def test_differential_vs_naive(cfg):
+    rng = np.random.default_rng(5)
+    samples = (rng.normal(size=8000) * 0.3).astype(np.float32)
+    want = naive_fbank(samples, cfg)
+    got = np.asarray(Fbank(cfg, dtype=jnp.float64).compute(samples))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_config_defaults():
+    cfg = FbankConfig()
+    assert cfg.frame_length_samples == 400
+    assert cfg.frame_shift_samples == 160
+    assert cfg.fft_size == 512
+
+
+def test_fbank_basic_shape():
+    """README fbank contract (``tests/readme_examples.rs:21-30``)."""
+    feats = Fbank(FbankConfig()).compute(np.zeros(16000, dtype=np.float32))
+    assert feats.shape[1] == 80
+    assert 90 < feats.shape[0] < 100  # 98 frames for 1 s
+
+
+def test_too_short_input():
+    feats = Fbank(FbankConfig()).compute(np.zeros(100, dtype=np.float32))
+    assert feats.shape == (0, 80)
+
+
+def test_fbank_vs_kaldi_golden(testdata, jfk_samples):
+    """Mirror of the reference golden test (``src/fbank.rs:440-535``): frame
+    count must match the kaldi_native_fbank golden; value closeness is
+    informational there (their implementation is an approximation), so we
+    gate at the deviation the reference itself exhibits."""
+    with np.load(testdata / "kaldi_native_fbank_jfk.npz") as npz:
+        golden = npz["features"]  # [80, frames]
+    golden_t = golden.T
+    computed = np.asarray(Fbank(FbankConfig()).compute(jfk_samples))
+    assert computed.shape[0] == golden_t.shape[0], "frame count mismatch"
+    assert np.isfinite(computed).all()
+    variance = float((computed ** 2).mean())
+    assert variance > 0.1
+    diff = np.abs(computed[:50] - golden_t[:50])
+    print(f"kaldi golden: max diff {diff.max():.4f}, avg {diff.mean():.4f}")
+
+
+def test_batched_matches_loop():
+    cfg = FbankConfig()
+    fb = Fbank(cfg, dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    batch = (rng.normal(size=(2, 4000)) * 0.3).astype(np.float32)
+    got = np.asarray(fb.compute(batch))
+    for i in range(2):
+        np.testing.assert_allclose(got[i], np.asarray(fb.compute(batch[i])), atol=0)
