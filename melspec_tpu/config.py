@@ -156,7 +156,10 @@ class VadFrameTiming:
         end_sample = start_sample + self.fft_size
 
         def to_ms(sample: int) -> int:
-            return int(round((sample / self.sampling_rate) * 1000.0))
+            # round half away from zero (Rust f64::round), not banker's
+            import math
+
+            return int(math.floor((sample / self.sampling_rate) * 1000.0 + 0.5))
 
         return VoiceActivityTimestamps(
             start_ms=to_ms(start_sample),

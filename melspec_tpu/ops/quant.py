@@ -1,0 +1,65 @@
+"""8-bit min-max quantization for mel interchange.
+
+Numerically identical to the reference (``src/quant.rs:140-165``): per-array
+min/max range, ``scale = 255/(max-min)``, round-half-away-from-zero, clamp to
+[0, 255]; degenerate ranges (max == min) quantize to 0 exactly like Rust's
+``NaN.max(0.0).min(255.0)`` chain. Provided both as numpy (host, bit-exact)
+and jnp (device, fusable with the mel pipeline) implementations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizationRange:
+    min: float
+    max: float
+
+
+def quantize(frame: np.ndarray) -> Tuple[np.ndarray, QuantizationRange]:
+    """Quantize float32 values to u8 with their min/max range (host path)."""
+    frame = np.asarray(frame, dtype=np.float32)
+    lo = float(frame.min()) if frame.size else float("inf")
+    hi = float(frame.max()) if frame.size else float("-inf")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.float32(255.0) / (np.float32(hi) - np.float32(lo))
+        scaled = (frame - np.float32(lo)) * scale
+        # round half away from zero (values are >= 0 here), then clamp like
+        # the reference's .round().max(0.0).min(255.0); NaN (degenerate
+        # range, max == min) -> 0
+        rounded = np.floor(scaled + np.float32(0.5))
+    rounded = np.where(np.isnan(rounded), np.float32(0.0), rounded)
+    out = np.clip(rounded, 0.0, 255.0).astype(np.uint8)
+    return out, QuantizationRange(min=lo, max=hi)
+
+
+def dequantize(data: np.ndarray, rng: QuantizationRange) -> np.ndarray:
+    """u8 -> float32 using the stored range (host path)."""
+    scale = (np.float32(rng.max) - np.float32(rng.min)) / np.float32(255.0)
+    return np.asarray(data, dtype=np.float32) * scale + np.float32(rng.min)
+
+
+def quantize_jnp(frame: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Device quantization: returns ``(u8 values, min, max)``. Fuses with the
+    mel pipeline so only 1 byte/value crosses HBM/host boundaries — the
+    TPU-native analogue of the reference's WASM worker packing quantized
+    bytes into its output ring (``src/wasm.rs:95-145``)."""
+    frame = frame.astype(jnp.float32)
+    lo = jnp.min(frame)
+    hi = jnp.max(frame)
+    scale = 255.0 / (hi - lo)
+    scaled = (frame - lo) * scale
+    rounded = jnp.floor(scaled + 0.5)
+    rounded = jnp.where(jnp.isnan(rounded), 0.0, rounded)
+    return jnp.clip(rounded, 0.0, 255.0).astype(jnp.uint8), lo, hi
+
+
+def dequantize_jnp(data: jnp.ndarray, lo, hi) -> jnp.ndarray:
+    scale = (hi - lo) / 255.0
+    return data.astype(jnp.float32) * scale + lo

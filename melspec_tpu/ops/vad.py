@@ -1,0 +1,279 @@
+"""Model-free Sobel-edge voice activity detection.
+
+Same decision function as the reference (``src/vad.rs``), vectorized: the
+reference walks every column with scalar 3x3 Sobel taps and early-exit
+counting (``src/vad.rs:373-486``); here the squared Sobel gradient of the
+whole mel image is eight shifted slices combined on the VPU, column
+classification is one masked row-count, and the majority-vote smoothing
+(``src/vad.rs:343-360``) is a prefix-sum. A batched streaming-equivalent
+path (``streaming_decisions``) evaluates every per-frame decision of
+``VoiceActivityDetector::add_activity`` (``src/vad.rs:156-205``) in one shot
+— the TPU replacement for the reference's frame-at-a-time loop.
+
+Geometry notes (bit-parity critical):
+- gradients are evaluated with the 3x3 patch's TOP-LEFT corner at
+  ``(y, x)``, ``y`` from ``start_y = min(min_mel, H-2)`` to ``H-3``;
+- a window of ``W`` columns yields ``W-2`` classified columns;
+- smoothing window is ±4 columns, majority = ``2*count >= window_len``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Set, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from melspec_tpu.config import DetectionSettings, VadFrameTiming, VoiceActivityTimestamps
+
+
+@dataclasses.dataclass
+class EdgeInfo:
+    """Result of VAD boundary detection (reference ``src/vad.rs:488-524``).
+
+    ``non_intersected_columns`` are good places to cut audio for ASR.
+    """
+
+    non_intersected_columns: List[int]
+    intersected_columns: List[int]
+    gradient_positions: Set[Tuple[int, int]]
+
+    def non_intersected(self) -> List[int]:
+        return list(self.non_intersected_columns)
+
+    def intersected(self) -> List[int]:
+        return list(self.intersected_columns)
+
+
+def sobel_gradient_sq(img: jnp.ndarray) -> jnp.ndarray:
+    """Squared Sobel gradient magnitude ``gx^2 + gy^2`` for every 3x3 patch.
+
+    ``img`` is ``[..., H, W]``; returns ``[..., H-2, W-2]`` where entry
+    ``(y, x)`` is the gradient of the patch whose top-left corner is
+    ``(y, x)`` (the reference's indexing, ``src/vad.rs:472-486``).
+    """
+    tl = img[..., :-2, :-2]
+    tc = img[..., :-2, 1:-1]
+    tr = img[..., :-2, 2:]
+    ml = img[..., 1:-1, :-2]
+    mr = img[..., 1:-1, 2:]
+    bl = img[..., 2:, :-2]
+    bc = img[..., 2:, 1:-1]
+    br = img[..., 2:, 2:]
+    gx = (tr + 2.0 * mr + br) - (tl + 2.0 * ml + bl)
+    gy = (bl + 2.0 * bc + br) - (tl + 2.0 * tc + tr)
+    return gx * gx + gy * gy
+
+
+def classify_columns(img: jnp.ndarray, settings: DetectionSettings) -> jnp.ndarray:
+    """Raw per-column activity over a ``[H, W]`` mel image -> bool ``[W-2]``.
+
+    A column is active when >= ``min_y`` of its vertical 3x3 gradients (rows
+    ``start_y .. H-3``) have squared magnitude >= ``min_energy**2``
+    (reference ``src/vad.rs:373-415``). ``min_y == 0`` marks everything
+    active.
+    """
+    height = img.shape[-2]
+    width = img.shape[-1]
+    if settings.min_y == 0:
+        return jnp.ones(img.shape[:-2] + (width - 2,), dtype=bool)
+    g2 = sobel_gradient_sq(img)  # [..., H-2, W-2]
+    start_y = min(settings.min_mel, height - 2)
+    g2 = g2[..., start_y:, :]
+    thr = settings.min_energy * settings.min_energy
+    counts = jnp.sum(g2 >= thr, axis=-2)
+    return counts >= settings.min_y
+
+
+def smooth_mask(mask: jnp.ndarray, window: int = 4) -> jnp.ndarray:
+    """Moving-window majority vote over a boolean mask: index ``i`` is true
+    when at least half of ``mask[max(0,i-window) : min(i+window+1, n)]`` is
+    true (reference ``src/vad.rs:343-360``)."""
+    n = mask.shape[-1]
+    ints = mask.astype(jnp.int32)
+    prefix = jnp.concatenate(
+        [jnp.zeros(mask.shape[:-1] + (1,), jnp.int32), jnp.cumsum(ints, axis=-1)],
+        axis=-1,
+    )
+    i = jnp.arange(n)
+    start = jnp.maximum(i - window, 0)
+    end = jnp.minimum(i + window + 1, n)
+    count = jnp.take(prefix, end, axis=-1) - jnp.take(prefix, start, axis=-1)
+    return count * 2 >= (end - start)
+
+
+def vad_boundaries(
+    frames: Union[np.ndarray, Sequence[np.ndarray]],
+    settings: DetectionSettings,
+) -> EdgeInfo:
+    """Classify all columns of a mel image (or list of frames, logically
+    concatenated on the time axis) into intersected / non-intersected
+    (reference ``src/vad.rs:251-338``)."""
+    if isinstance(frames, (list, tuple)):
+        if len(frames) == 0:
+            return EdgeInfo([], [], set())
+        img = np.concatenate([np.asarray(f, np.float64) for f in frames], axis=1)
+    else:
+        img = np.asarray(frames, dtype=np.float64)
+
+    height, width = img.shape
+    if height < 3 or width < 3:
+        return EdgeInfo([], [], set())
+
+    raw = classify_columns(jnp.asarray(img), settings)
+    smoothed = np.asarray(smooth_mask(raw, 4))
+    intersected = [int(x) for x in np.nonzero(smoothed)[0]]
+    non_intersected = [int(x) for x in np.nonzero(~smoothed)[0]]
+    return EdgeInfo(non_intersected, intersected, set())
+
+
+def vad_on(edge_info: EdgeInfo, n: int) -> bool:
+    """True when ``n`` contiguous intersected columns exist
+    (reference ``src/vad.rs:224-249``)."""
+    cols = edge_info.intersected_columns
+    if not cols:
+        return False
+    contiguous = 1
+    prev = cols[0]
+    for idx in cols[1:]:
+        contiguous = contiguous + 1 if idx == prev + 1 else 1
+        if contiguous >= n:
+            return True
+        prev = idx
+    return False
+
+
+def leading_active_columns(intersected: Sequence[int]) -> int:
+    """Length of the consecutive run 0,1,2,... present in ``intersected``
+    (reference ``src/vad.rs:212-222``)."""
+    expected = 0
+    for column in intersected:
+        if column == expected:
+            expected += 1
+        elif column > expected:
+            break
+    return expected
+
+
+@dataclasses.dataclass(frozen=True)
+class VoiceActivity:
+    """Streaming VAD decision (reference ``src/vad.rs:126-135``)."""
+
+    active: bool
+    frame_index: int
+    leading_active_columns: int
+    active_columns: int
+    window_columns: int
+    confidence: float
+    timestamps: Optional[VoiceActivityTimestamps] = None
+
+
+def streaming_decisions(
+    mel: np.ndarray,
+    settings: DetectionSettings,
+    timing: Optional[VadFrameTiming] = None,
+) -> List[Optional[VoiceActivity]]:
+    """Evaluate every per-frame decision of the streaming detector over a
+    full ``[n_mels, T]`` mel image in one vectorized pass.
+
+    Bit-equivalent to feeding frames one by one into
+    ``VoiceActivityDetector`` (the reference loop, ``src/vad.rs:156-205``):
+    the detector's window at frame ``t`` is the last ``min_x`` columns, whose
+    raw Sobel classification equals the global classification restricted to
+    columns ``t-min_x+1 .. t-2`` (the gradient is local), while the majority
+    smoothing must be re-run inside each window because it clips at window
+    edges. Entry ``t`` is ``None`` while fewer than ``min_x`` frames are
+    buffered.
+    """
+    mel = np.asarray(mel, dtype=np.float64)
+    height, total = mel.shape
+    min_x = settings.min_x
+    results: List[Optional[VoiceActivity]] = [None] * min(total, min_x - 1)
+    if total < min_x:
+        return results
+
+    win_cols = min_x - 2  # classified columns per window
+    if height < 3 or win_cols < 1:
+        # every decision is the degenerate empty EdgeInfo
+        for t in range(min_x - 1, total):
+            results.append(
+                VoiceActivity(
+                    active=False,
+                    frame_index=t,
+                    leading_active_columns=0,
+                    active_columns=0,
+                    window_columns=0,
+                    confidence=0.0,
+                    timestamps=timing.timestamps_for_frame(t) if timing else None,
+                )
+            )
+        return results
+
+    raw = np.asarray(classify_columns(jnp.asarray(mel), settings))  # [T-2]
+
+    n_dec = total - min_x + 1
+    # windows[t', j] = raw[t' + j] for t' = t - min_x + 1, j in [0, win_cols)
+    idx = np.arange(n_dec)[:, None] + np.arange(win_cols)[None, :]
+    windows = raw[idx]  # [n_dec, win_cols] bool
+
+    smoothed = np.asarray(smooth_mask(jnp.asarray(windows), 4))  # per-window
+
+    active_columns = smoothed.sum(axis=1)
+    window_columns = np.full(n_dec, win_cols)
+    # leading run of true from column 0
+    leading = np.where(smoothed, 1, 0).cumprod(axis=1).sum(axis=1)
+    active = smoothed[:, 0]
+    confidence = active_columns / win_cols
+
+    for i in range(n_dec):
+        t = min_x - 1 + i
+        results.append(
+            VoiceActivity(
+                active=bool(active[i]),
+                frame_index=t,
+                leading_active_columns=int(leading[i]),
+                active_columns=int(active_columns[i]),
+                window_columns=int(window_columns[i]),
+                confidence=float(confidence[i]),
+                timestamps=timing.timestamps_for_frame(t) if timing else None,
+            )
+        )
+    return results
+
+
+def as_image(
+    frames: Union[np.ndarray, Sequence[np.ndarray]],
+    non_intersected_columns: Sequence[int],
+    gradient_positions: Set[Tuple[int, int]],
+) -> np.ndarray:
+    """Debug RGB render of a mel image with boundary columns tinted green
+    and gradient positions red (reference ``src/vad.rs:528-577``); returns
+    ``[H, W, 3] uint8`` with mel row 0 at the bottom."""
+    if isinstance(frames, (list, tuple)):
+        img = np.concatenate([np.asarray(f, np.float64) for f in frames], axis=1)
+    else:
+        img = np.asarray(frames, dtype=np.float64)
+    height, width = img.shape
+    max_val = max(img.max(), 0.0)
+    scaled = (img * (255.0 / max_val)).astype(np.uint8) if max_val > 0 else np.zeros_like(img, np.uint8)
+    scaled = scaled[::-1]  # row 0 at the bottom
+
+    rgb = np.stack([scaled] * 3, axis=-1).astype(np.int32)
+    non_set = set(non_intersected_columns)
+    for x in non_set:
+        if 0 <= x < width:
+            rgb[:10, x] = [0, 255, 0]
+            rgb[10:, x, 1] = np.minimum(rgb[10:, x, 1] + 60, 255)
+    for (x, inv_y) in gradient_positions:
+        y = height - inv_y - 3
+        if 0 <= y < height and 0 <= x < width:
+            rgb[y, x, 0] = min(int(rgb[y, x, 0]) + 200, 255)
+    return rgb.astype(np.uint8)
+
+
+def save_image(path, rgb: np.ndarray) -> None:
+    """Write a debug image as PNG."""
+    from PIL import Image
+
+    Image.fromarray(rgb, mode="RGB").save(str(path))
