@@ -1,0 +1,161 @@
+// Lock-free single-producer/single-consumer sample ring buffer.
+//
+// Host-side feeder for the streaming mel pipeline: the audio thread pushes
+// PCM while the compute thread drains hop-sized chunks for the device. This
+// is the native runtime counterpart of the reference's two rings — the
+// lock-free SPSC queue its RingBuffer uses under the `rtrb` feature
+// (src/rb.rs:4-7) and the SharedArrayBuffer/Atomics ring of its browser
+// pipeline (examples/browser/ringbuffer.js:5-67) — rebuilt in C++ with
+// acquire/release atomics instead of JS Atomics.
+//
+// Semantics:
+//  - push(): drop-newest when full (returns how many were accepted);
+//  - push_overwrite(): overwrite-oldest, returning the dropped count (the
+//    browser ring's behavior, with its `dropped` accounting);
+//  - pop(): consumer side, returns how many samples were read.
+//
+// Capacity is rounded up to a power of two so index masking is branch-free.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <new>
+
+namespace {
+
+struct Ring {
+    float* data;
+    uint64_t mask;          // capacity - 1 (capacity is a power of two)
+    uint64_t capacity;
+    std::atomic<uint64_t> head;     // total samples written
+    std::atomic<uint64_t> tail;     // total samples read
+    std::atomic<uint64_t> dropped;  // samples lost to overwrite/drop
+};
+
+uint64_t next_pow2(uint64_t v) {
+    if (v < 2) return 2;
+    v--;
+    v |= v >> 1; v |= v >> 2; v |= v >> 4;
+    v |= v >> 8; v |= v >> 16; v |= v >> 32;
+    return v + 1;
+}
+
+void copy_in(Ring* r, uint64_t pos, const float* src, uint64_t n) {
+    uint64_t start = pos & r->mask;
+    uint64_t first = n < (r->capacity - start) ? n : (r->capacity - start);
+    std::memcpy(r->data + start, src, first * sizeof(float));
+    if (n > first) std::memcpy(r->data, src + first, (n - first) * sizeof(float));
+}
+
+void copy_out(Ring* r, uint64_t pos, float* dst, uint64_t n) {
+    uint64_t start = pos & r->mask;
+    uint64_t first = n < (r->capacity - start) ? n : (r->capacity - start);
+    std::memcpy(dst, r->data + start, first * sizeof(float));
+    if (n > first) std::memcpy(dst + first, r->data, (n - first) * sizeof(float));
+}
+
+}  // namespace
+
+extern "C" {
+
+Ring* msrb_create(uint64_t capacity) {
+    uint64_t cap = next_pow2(capacity);
+    Ring* r = new (std::nothrow) Ring();
+    if (!r) return nullptr;
+    r->data = new (std::nothrow) float[cap];
+    if (!r->data) { delete r; return nullptr; }
+    r->mask = cap - 1;
+    r->capacity = cap;
+    r->head.store(0, std::memory_order_relaxed);
+    r->tail.store(0, std::memory_order_relaxed);
+    r->dropped.store(0, std::memory_order_relaxed);
+    return r;
+}
+
+void msrb_destroy(Ring* r) {
+    if (!r) return;
+    delete[] r->data;
+    delete r;
+}
+
+uint64_t msrb_capacity(Ring* r) { return r->capacity; }
+
+uint64_t msrb_len(Ring* r) {
+    return r->head.load(std::memory_order_acquire) -
+           r->tail.load(std::memory_order_acquire);
+}
+
+uint64_t msrb_dropped(Ring* r) {
+    return r->dropped.load(std::memory_order_relaxed);
+}
+
+// Producer: append up to n samples, dropping the excess (rtrb-style
+// push-fails-when-full). Returns the number accepted.
+uint64_t msrb_push(Ring* r, const float* src, uint64_t n) {
+    uint64_t head = r->head.load(std::memory_order_relaxed);
+    uint64_t tail = r->tail.load(std::memory_order_acquire);
+    uint64_t free_slots = r->capacity - (head - tail);
+    uint64_t take = n < free_slots ? n : free_slots;
+    if (take) {
+        copy_in(r, head, src, take);
+        r->head.store(head + take, std::memory_order_release);
+    }
+    if (n > take) r->dropped.fetch_add(n - take, std::memory_order_relaxed);
+    return take;
+}
+
+// Producer: append n samples, advancing the read cursor over the oldest
+// data when full (browser-ring overwrite semantics). Returns samples
+// dropped. Safe with one concurrent consumer via CAS on tail.
+uint64_t msrb_push_overwrite(Ring* r, const float* src, uint64_t n) {
+    uint64_t dropped_now = 0;
+    if (n >= r->capacity) {
+        // Only the final window can survive.
+        dropped_now += n - r->capacity;
+        src += n - r->capacity;
+        n = r->capacity;
+    }
+    uint64_t head = r->head.load(std::memory_order_relaxed);
+    for (;;) {
+        uint64_t tail = r->tail.load(std::memory_order_acquire);
+        uint64_t free_slots = r->capacity - (head - tail);
+        if (n <= free_slots) break;
+        uint64_t need = n - free_slots;
+        if (r->tail.compare_exchange_weak(tail, tail + need,
+                                          std::memory_order_acq_rel)) {
+            dropped_now += need;
+            break;
+        }
+    }
+    copy_in(r, head, src, n);
+    r->head.store(head + n, std::memory_order_release);
+    if (dropped_now) r->dropped.fetch_add(dropped_now, std::memory_order_relaxed);
+    return dropped_now;
+}
+
+// Consumer: read up to n samples. Returns the number read.
+uint64_t msrb_pop(Ring* r, float* dst, uint64_t n) {
+    uint64_t tail = r->tail.load(std::memory_order_relaxed);
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    uint64_t avail = head - tail;
+    uint64_t take = n < avail ? n : avail;
+    if (take) {
+        copy_out(r, tail, dst, take);
+        uint64_t expected = tail;
+        // CAS: push_overwrite may advance tail concurrently.
+        while (!r->tail.compare_exchange_weak(expected, expected + take,
+                                              std::memory_order_acq_rel)) {
+            if (expected >= tail + take) return 0;  // fully overwritten
+            // partial overwrite: re-read from the new tail
+            tail = expected;
+            head = r->head.load(std::memory_order_acquire);
+            avail = head - tail;
+            take = n < avail ? n : avail;
+            if (!take) return 0;
+            copy_out(r, tail, dst, take);
+        }
+    }
+    return take;
+}
+
+}  // extern "C"

@@ -1,0 +1,162 @@
+"""ctypes binding for the native SPSC sample ring, with a pure-Python
+fallback when no C++ toolchain is available.
+
+The native library is compiled on first use (``make`` in
+``runtime/native/``) and cached next to the source. API mirrors the
+capacity-bounded queue the reference's streaming layer sits on
+(``src/rb.rs:12-84``): push (drop-newest), push_overwrite (overwrite-oldest
+with dropped accounting, like the browser SAB ring), pop.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libmelspec_rb.so"
+_lib_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if not _LIB_PATH.exists():
+                subprocess.run(
+                    ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                    capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except (OSError, subprocess.SubprocessError):
+            _lib_failed = True
+            return None
+
+        lib.msrb_create.restype = ctypes.c_void_p
+        lib.msrb_create.argtypes = [ctypes.c_uint64]
+        lib.msrb_destroy.argtypes = [ctypes.c_void_p]
+        for name in ("msrb_capacity", "msrb_len", "msrb_dropped"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_uint64
+            fn.argtypes = [ctypes.c_void_p]
+        for name in ("msrb_push", "msrb_push_overwrite", "msrb_pop"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_uint64
+            fn.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_uint64,
+            ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+class SampleRing:
+    """Bounded f32 sample queue. Thread-safe for one producer + one
+    consumer when backed by the native library."""
+
+    def __init__(self, capacity: int, force_python: bool = False):
+        self._lib = None if force_python else _load_library()
+        if self._lib is not None:
+            self._handle = self._lib.msrb_create(capacity)
+            if not self._handle:
+                raise MemoryError("failed to allocate native ring")
+            self._capacity = int(self._lib.msrb_capacity(self._handle))
+        else:
+            from collections import deque
+
+            self._capacity = max(2, 1 << (capacity - 1).bit_length())
+            self._deque: "deque[float]" = deque()
+            self._py_lock = threading.Lock()
+            self._py_dropped = 0
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    def __len__(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.msrb_len(self._handle))
+        with self._py_lock:
+            return len(self._deque)
+
+    @property
+    def dropped(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.msrb_dropped(self._handle))
+        with self._py_lock:
+            return self._py_dropped
+
+    # -- producer -----------------------------------------------------------
+
+    def push(self, samples: np.ndarray) -> int:
+        """Append samples, dropping the excess when full; returns accepted."""
+        samples = np.ascontiguousarray(samples, dtype=np.float32)
+        if self._lib is not None:
+            ptr = samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            return int(self._lib.msrb_push(self._handle, ptr, samples.size))
+        with self._py_lock:
+            free = self._capacity - len(self._deque)
+            take = min(free, samples.size)
+            self._deque.extend(samples[:take].tolist())
+            self._py_dropped += samples.size - take
+            return take
+
+    def push_overwrite(self, samples: np.ndarray) -> int:
+        """Append samples, overwriting the oldest when full; returns the
+        number of samples dropped."""
+        samples = np.ascontiguousarray(samples, dtype=np.float32)
+        if self._lib is not None:
+            ptr = samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            return int(
+                self._lib.msrb_push_overwrite(self._handle, ptr, samples.size)
+            )
+        with self._py_lock:
+            dropped = 0
+            overflow = len(self._deque) + samples.size - self._capacity
+            if overflow > 0:
+                for _ in range(min(overflow, len(self._deque))):
+                    self._deque.popleft()
+                    dropped += 1
+            if samples.size > self._capacity:
+                dropped += samples.size - self._capacity
+                samples = samples[-self._capacity :]
+            self._deque.extend(samples.tolist())
+            self._py_dropped += dropped
+            return dropped
+
+    # -- consumer -----------------------------------------------------------
+
+    def pop(self, n: int) -> np.ndarray:
+        """Read up to ``n`` samples; returns what was available."""
+        if self._lib is not None:
+            out = np.empty(n, dtype=np.float32)
+            ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            got = int(self._lib.msrb_pop(self._handle, ptr, n))
+            return out[:got]
+        with self._py_lock:
+            take = min(n, len(self._deque))
+            return np.asarray(
+                [self._deque.popleft() for _ in range(take)], dtype=np.float32
+            )
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        handle = getattr(self, "_handle", None)
+        if lib is not None and handle:
+            lib.msrb_destroy(handle)

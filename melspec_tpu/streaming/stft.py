@@ -1,0 +1,133 @@
+"""Streaming overlap-and-save STFT as pure carried state.
+
+The reference's streaming pipeline is three mutable buffers inside a struct
+(``src/stft.rs:7-86``: ``hop_buf`` + sample counter, emitting one FFT frame
+per hop once the first window fills). TPU-first, that state is an explicit
+pytree ``(hop_buf, idx)`` threaded through pure functions, so the same
+update runs eagerly per hop (live audio), under ``jax.lax.scan`` over many
+hops (bulk catch-up, one device dispatch), or inside ``shard_map`` (many
+independent streams per chip, batch axis sharded over the mesh).
+
+Emission semantics preserved exactly (``src/stft.rs:48-86``):
+- each pushed chunk must be <= hop_size and is zero-padded up to it;
+- the hop buffer shifts left by hop and the chunk lands at the end;
+- a frame is emitted once ``idx >= fft_size`` — so the first emitted frame
+  covers samples ``[ceil(fft/hop)*hop - fft, ceil(fft/hop)*hop)`` with the
+  front zero-filled, which is what the JFK golden encodes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.config import MelConfig
+from melspec_tpu.ops import dft
+from melspec_tpu.ops.filterbank import mel_filterbank
+from melspec_tpu.ops.spectrogram import LOG10_FLOOR
+from melspec_tpu.ops.windows import hann_periodic
+
+
+class StftState(NamedTuple):
+    """Carried streaming state — trivially serializable (the checkpoint/
+    resume analogue in SURVEY.md §5: persist this plus the feature stream)."""
+
+    hop_buf: jnp.ndarray  # [fft_size] samples, newest at the end
+    idx: jnp.ndarray      # scalar int32/int64 — total samples pushed
+
+
+class StreamingMel:
+    """Whisper streaming mel with explicit state.
+
+    - ``init()`` -> fresh state
+    - ``push(state, chunk)`` -> ``(state, mel[n_mels] | None)`` — one hop
+    - ``push_many(state, chunks[n, hop])`` -> ``(state, mel[n, n_mels],
+      valid[n])`` — scan over hops in one device dispatch
+    """
+
+    def __init__(self, config: MelConfig = MelConfig(), dtype=jnp.float32):
+        self.config = config
+        self.dtype = dtype
+        fft, n_mels = config.fft_size, config.n_mels
+        half = fft // 2
+        filters = mel_filterbank(config.sampling_rate, fft, n_mels)
+        self.filters_t = jnp.asarray(filters[:, :half].T, dtype=dtype)
+        self.window = jnp.asarray(hann_periodic(fft), dtype=dtype)
+        cos_m, msin_m = dft.rdft_matrices(fft, half)
+        self.cos_m = jnp.asarray(cos_m, dtype=dtype)
+        self.msin_m = jnp.asarray(msin_m, dtype=dtype)
+
+    def init(self) -> StftState:
+        return StftState(
+            hop_buf=jnp.zeros(self.config.fft_size, dtype=self.dtype),
+            idx=jnp.zeros((), dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+        )
+
+    def _mel_of_buf(self, buf: jnp.ndarray) -> jnp.ndarray:
+        xw = buf * self.window
+        re = xw @ self.cos_m
+        im = xw @ self.msin_m
+        power = re * re + im * im
+        energy = power @ self.filters_t
+        log_mel = jnp.log10(jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)))
+        mmax = jnp.max(log_mel) - 8.0
+        return (jnp.maximum(log_mel, mmax) + 4.0) / 4.0
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _step(self, state: StftState, chunk: jnp.ndarray, true_len: jnp.ndarray):
+        hop = self.config.hop_size
+        fft = self.config.fft_size
+        buf = jnp.concatenate([state.hop_buf[hop:], chunk.astype(self.dtype)])
+        idx = state.idx + true_len  # the reference counts pre-padding samples
+        valid = idx >= fft
+        mel = self._mel_of_buf(buf)
+        return StftState(buf, idx), mel, valid
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _steps(self, state: StftState, chunks: jnp.ndarray):
+        def body(carry, chunk):
+            carry, mel, valid = self._step_inner(carry, chunk)
+            return carry, (mel, valid)
+
+        state, (mels, valids) = jax.lax.scan(body, state, chunks)
+        return state, mels, valids
+
+    def _step_inner(self, state: StftState, chunk: jnp.ndarray):
+        hop = self.config.hop_size
+        fft = self.config.fft_size
+        buf = jnp.concatenate([state.hop_buf[hop:], chunk.astype(self.dtype)])
+        idx = state.idx + hop
+        return StftState(buf, idx), self._mel_of_buf(buf), idx >= fft
+
+    def push(
+        self, state: StftState, chunk: np.ndarray
+    ) -> Tuple[StftState, Optional[np.ndarray]]:
+        """Push <= hop_size samples (zero-padded to a full hop, like the
+        reference's ``Spectrogram::add``); returns the new state and a mel
+        column once the first window has filled."""
+        hop = self.config.hop_size
+        chunk = np.asarray(chunk, dtype=np.float32)
+        if chunk.size > hop:
+            raise ValueError("chunk must be <= hop_size")
+        true_len = chunk.size
+        if chunk.size < hop:
+            chunk = np.pad(chunk, (0, hop - chunk.size))
+        state2, mel, valid = self._step(
+            state, jnp.asarray(chunk), jnp.asarray(true_len, state.idx.dtype)
+        )
+        return state2, (np.asarray(mel) if bool(valid) else None)
+
+    def push_many(
+        self, state: StftState, chunks: np.ndarray
+    ) -> Tuple[StftState, np.ndarray, np.ndarray]:
+        """Push ``[n, hop_size]`` chunks in one scan dispatch; returns
+        ``(state, mels [n, n_mels], valid [n])``."""
+        chunks = jnp.asarray(chunks, dtype=self.dtype)
+        if chunks.ndim != 2 or chunks.shape[1] != self.config.hop_size:
+            raise ValueError("chunks must be [n, hop_size]")
+        state, mels, valids = self._steps(state, chunks)
+        return state, np.asarray(mels), np.asarray(valids)
