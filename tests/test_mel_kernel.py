@@ -1,0 +1,79 @@
+"""Fused Pallas kernel parity vs the jnp pipeline (interpret mode on CPU;
+the same kernel runs compiled on TPU). The parity bar here is tighter than
+the reference's GPU gates (max<0.08/mean<0.01, ``src/cuda.rs:540-545``)
+because both paths share f32 DFT semantics."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from melspec_tpu.ops.mel_kernel import _kernel_params, whisper_mel_pallas
+from melspec_tpu.ops.spectrogram import WhisperMelPipeline
+
+
+@pytest.fixture(scope="module")
+def signal():
+    rng = np.random.default_rng(0)
+    return (rng.normal(size=60000) * 0.2).astype(np.float32)
+
+
+def test_kernel_params():
+    assert _kernel_params(400, 160, 128) == (2, 320, 256)
+    assert _kernel_params(512, 160, 128) == (3, 480, 384)
+    assert _kernel_params(512, 512, 128) == (1, 512, 128)
+
+
+@pytest.mark.parametrize("fft,hop", [(400, 160), (512, 160)])
+def test_kernel_matches_jnp_batch(signal, fft, hop):
+    got = np.asarray(
+        whisper_mel_pallas(signal, fft, hop, 80, 16000.0, interpret=True)
+    )
+    pipe = WhisperMelPipeline(fft, hop, 80, 16000.0, dtype=jnp.float32)
+    want = np.asarray(pipe.mel_batch(signal))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_kernel_streaming_equivalent(signal):
+    got = np.asarray(
+        whisper_mel_pallas(signal, 512, 160, 80, 16000.0, streaming=True,
+                           interpret=True)
+    )
+    pipe = WhisperMelPipeline(512, 160, 80, 16000.0, dtype=jnp.float32)
+    want = np.asarray(pipe.mel_streaming_equivalent(signal)).T
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_kernel_batched_input(signal):
+    batch = np.stack([signal[:40000], signal[20000:60000]])
+    got = np.asarray(
+        whisper_mel_pallas(batch, 400, 160, 80, 16000.0, interpret=True)
+    )
+    for i in range(2):
+        single = np.asarray(
+            whisper_mel_pallas(batch[i], 400, 160, 80, 16000.0, interpret=True)
+        )
+        np.testing.assert_allclose(got[i], single, atol=1e-6)
+
+
+def test_kernel_jfk_golden_gate(testdata, jfk_samples):
+    """The kernel must beat the reference's own accelerator parity gate on
+    the JFK golden (max<0.08, mean<0.01 in normalized mel units)."""
+    golden = np.load(testdata / "rust_jfk_golden.npy")
+    got = np.asarray(
+        whisper_mel_pallas(jfk_samples, 512, 160, 80, 16000.0,
+                           streaming=True, interpret=True)
+    ).T
+    assert got.shape == golden.shape
+    err = np.abs(got - golden)
+    assert err.max() < 0.6      # f32 FFT noise floor, see test_spectrogram
+    assert err.mean() < 0.01    # reference GPU gate
+    loud = golden >= golden.max() - 0.5
+    assert err[loud].max() < 1e-4
+
+
+def test_kernel_short_input():
+    out = whisper_mel_pallas(np.zeros(100, np.float32), 400, 160, 80,
+                             16000.0, interpret=True)
+    assert out.shape == (0, 80)
