@@ -1,0 +1,89 @@
+"""Single-chip benchmark: batched whisper log-mel throughput (RTFx).
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N}
+
+Baseline: the reference's best published CPU throughput, 484x realtime for
+60 s clips on an M1 Pro core (BASELINE.md; README.md:117-123 of the
+reference). Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_RTFX = 484.0
+SR = 16000
+
+
+def _bench(fn, args, iters=5, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    from melspec_tpu.ops.mel_kernel import whisper_mel_pallas
+    from melspec_tpu.ops.spectrogram import WhisperMelPipeline
+
+    pipe = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    results = {}
+    best = (None, 0.0)
+
+    configs = [("64x10s", 64, 10 * SR), ("16x60s", 16, 60 * SR),
+               ("8x300s", 8, 300 * SR)]
+    backends = [
+        ("pallas", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0)),
+        ("xla", pipe.mel_batch),
+    ]
+
+    for name, batch, t in configs:
+        x = jax.random.normal(key, (batch, t), dtype=jnp.float32) * 0.1
+        jax.block_until_ready(x)
+        audio_s = batch * t / SR
+        for backend, fn in backends:
+            try:
+                wall = _bench(fn, (x,))
+            except Exception as e:  # noqa: BLE001 — report and continue
+                print(f"{backend} {name} failed: {e!r}"[:400], file=sys.stderr)
+                continue
+            rtfx = audio_s / wall
+            results[f"{backend}_{name}"] = round(rtfx, 1)
+            print(f"{backend} {name}: {wall*1e3:.2f} ms -> {rtfx:,.0f}x RT",
+                  file=sys.stderr)
+            if rtfx > best[1]:
+                best = (f"{backend}_{name}", rtfx)
+        del x
+
+    if best[0] is None:
+        print(json.dumps({"metric": "whisper_mel_rtfx", "value": 0,
+                          "unit": "x_realtime", "vs_baseline": 0,
+                          "error": "all backends failed"}))
+        return
+
+    print(f"per-config results: {results}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"whisper_mel_rtfx_1chip[{best[0]}]",
+        "value": round(best[1], 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(best[1] / BASELINE_RTFX, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Data-parallel scale-out over an ICI mesh.
+
+The reference's parallelism tops out at one CUDA grid / wgpu dispatch chain
+plus host<->device async copies (SURVEY.md §2, parallelism inventory). The
+TPU-native scale-out story is batch data parallelism: every audio clip is
+independent, so the ``[batch, T]`` axis shards across the mesh with ZERO
+per-clip collectives — shardings ride ICI only when an aggregate (e.g.
+fleet-wide VAD metrics) is reduced with ``psum``. This module provides:
+
+- ``make_mesh``: a 1-D ``batch`` mesh over the available devices;
+- ``shard_batch``: jit a per-clip function with batch-axis in/out shardings
+  (XLA inserts nothing — embarrassingly parallel);
+- ``sharded_whisper_mel``: the flagship frontend over the mesh;
+- ``sharded_frontend_step``: the full multi-frontend step (whisper mel +
+  NeMo log-mel + Kaldi fbank + VAD column counts + 8-bit quantization)
+  under ``shard_map``, with a ``psum`` over the mesh for the aggregate VAD
+  statistics — the one place a collective is the right tool.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from melspec_tpu.config import BatchLogMelConfig, DetectionSettings, FbankConfig
+from melspec_tpu.ops.batch_logmel import BatchLogMel
+from melspec_tpu.ops.fbank import Fbank
+from melspec_tpu.ops.spectrogram import WhisperMelPipeline
+from melspec_tpu.ops.vad import classify_columns, smooth_mask
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None, axis: str = "batch"
+) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(fn: Callable, mesh: Mesh, axis: str = "batch") -> Callable:
+    """Jit ``fn([B, ...]) -> [B, ...]`` with the leading axis sharded over
+    the mesh. Pure data parallelism: no collectives are inserted."""
+    spec = NamedSharding(mesh, P(axis))
+    return jax.jit(fn, in_shardings=spec, out_shardings=spec)
+
+
+def sharded_whisper_mel(
+    mesh: Mesh,
+    fft_size: int = 400,
+    hop_size: int = 160,
+    n_mels: int = 80,
+    sampling_rate: float = 16000.0,
+    dtype=jnp.float32,
+    axis: str = "batch",
+) -> Callable:
+    """Batch-sharded whisper log-mel: ``[B, T] -> [B, n_frames, n_mels]``
+    with ``B`` split across the mesh."""
+    pipe = WhisperMelPipeline(fft_size, hop_size, n_mels, sampling_rate,
+                              dtype=dtype)
+    return shard_batch(pipe._mel_batch_jit, mesh, axis)
+
+
+def sharded_frontend_step(
+    mesh: Mesh,
+    settings: DetectionSettings = DetectionSettings(),
+    axis: str = "batch",
+) -> Callable:
+    """The full frontend as one SPMD step over the mesh.
+
+    Per shard (pure local compute): whisper mel, NeMo log-mel, Kaldi fbank,
+    VAD raw column activity + smoothing, 8-bit quantization of the mel
+    block. Across shards: one ``psum`` reducing the VAD active-column count
+    and total-column count — the fleet-level aggregate a serving deployment
+    reports.
+
+    Returns a jitted fn ``samples [B, T] -> dict`` with ``B`` divisible by
+    the mesh size.
+    """
+    whisper = WhisperMelPipeline(400, 160, 80, 16000.0)
+    nemo = BatchLogMel(BatchLogMelConfig())
+    kaldi = Fbank(FbankConfig(apply_cmn=True))
+
+    def local_step(samples: jnp.ndarray):
+        mel = whisper._mel_batch_jit(samples)          # [b, F, 80]
+        nemo_feats = nemo._compute_jit(samples)        # [b, 80, F']
+        fbank_feats = kaldi._compute_jit(samples)      # [b, F'', 80]
+
+        img = jnp.swapaxes(mel, -1, -2)                # [b, 80, F]
+        raw = classify_columns(img, settings)          # [b, F-2]
+        smoothed = smooth_mask(raw, 4)
+
+        active = jnp.sum(smoothed, dtype=jnp.int32)
+        total = jnp.asarray(smoothed.shape[-1] * smoothed.shape[0], jnp.int32)
+        active = jax.lax.psum(active, axis)
+        total = jax.lax.psum(total, axis)
+
+        # device-side 8-bit quantization of the mel block (per shard)
+        lo = jnp.min(mel)
+        hi = jnp.max(mel)
+        scale = 255.0 / (hi - lo)
+        q = jnp.clip(jnp.floor((mel - lo) * scale + 0.5), 0, 255).astype(jnp.uint8)
+
+        return {
+            "mel": mel,
+            "nemo": nemo_feats,
+            "fbank": fbank_feats,
+            "vad_smoothed": smoothed,
+            "vad_active_columns": active,
+            "vad_total_columns": total,
+            "mel_q8": q,
+            "mel_q8_range": jnp.stack([lo, hi])[None],  # [1, 2] per shard
+        }
+
+    spec = P(axis)
+    step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs={
+            "mel": spec,
+            "nemo": spec,
+            "fbank": spec,
+            "vad_smoothed": spec,
+            "vad_active_columns": P(),   # psum'd: replicated
+            "vad_total_columns": P(),
+            "mel_q8": spec,
+            "mel_q8_range": spec,
+        },
+    )
+    return jax.jit(step)

@@ -1,0 +1,61 @@
+"""Scale-out on the 8-device virtual CPU mesh: sharded mel equals the
+single-device result; the full frontend step runs under shard_map with its
+psum aggregate."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.config import DetectionSettings
+from melspec_tpu.ops.spectrogram import WhisperMelPipeline
+from melspec_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    sharded_frontend_step,
+    sharded_whisper_mel,
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_mel_matches_single_device():
+    mesh = make_mesh()
+    fn = sharded_whisper_mel(mesh)
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(8, 16000)) * 0.3).astype(np.float32)
+    got = np.asarray(fn(batch))
+    pipe = WhisperMelPipeline(400, 160, 80, 16000.0)
+    want = np.asarray(pipe.mel_batch(batch))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert got.shape == (8, 98, 80)
+
+
+def test_shard_batch_places_shards():
+    mesh = make_mesh()
+    fn = shard_batch(lambda x: x * 2.0, mesh)
+    x = jnp.ones((16, 64))
+    y = fn(x)
+    assert len(y.sharding.device_set) == 8
+
+
+def test_frontend_step_runs_with_psum():
+    mesh = make_mesh()
+    step = sharded_frontend_step(mesh, DetectionSettings(min_energy=0.5,
+                                                         min_y=2, min_x=5,
+                                                         min_mel=0))
+    rng = np.random.default_rng(1)
+    batch = (rng.normal(size=(8, 8000)) * 0.3).astype(np.float32)
+    out = step(batch)
+    assert out["mel"].shape[0] == 8
+    assert out["nemo"].shape == (8, 80, 51)
+    assert out["fbank"].shape[0] == 8 and out["fbank"].shape[2] == 80
+    assert out["mel_q8"].dtype == jnp.uint8
+    assert out["mel_q8_range"].shape == (8, 2)
+    total = int(out["vad_total_columns"])
+    active = int(out["vad_active_columns"])
+    assert total == 8 * (out["mel"].shape[1] - 2)
+    assert 0 <= active <= total
