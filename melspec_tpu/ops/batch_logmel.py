@@ -113,7 +113,8 @@ class BatchLogMel:
             spec = jnp.fft.rfft(xw, axis=-1)
             power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(self.dtype)
 
-        energy = jnp.matmul(power, self.filters_t, preferred_element_type=self.dtype)
+        energy = jnp.matmul(power, self.filters_t, preferred_element_type=self.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
         feats = jnp.log(energy + jnp.asarray(cfg.log_zero_guard, self.dtype))
         feats = jnp.swapaxes(feats, -1, -2)  # [..., n_mels, valid]
 

@@ -17,6 +17,7 @@ import functools
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -38,26 +39,43 @@ def rdft_matrices(fft_size: int, n_bins: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def rdft_power(
-    frames: jnp.ndarray, fft_size: int, n_bins: int, dtype=jnp.float32
+    frames: jnp.ndarray,
+    fft_size: int,
+    n_bins: int,
+    dtype=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Power spectrum ``|rfft(frames)|**2`` over the first ``n_bins`` bins via
     two MXU matmuls. ``frames`` is ``[..., fft_size]``; returns
-    ``[..., n_bins]``."""
+    ``[..., n_bins]``.
+
+    ``precision`` defaults to HIGHEST: on TPU the default matmul precision
+    is bf16 passes, which would silently break the f32 accuracy claims of
+    every parity gate. Callers chasing throughput over parity can pass
+    ``jax.lax.Precision.DEFAULT`` explicitly.
+    """
     cos_m, msin_m = rdft_matrices(fft_size, n_bins)
     cos_m = jnp.asarray(cos_m, dtype=dtype)
     msin_m = jnp.asarray(msin_m, dtype=dtype)
     frames = frames.astype(dtype)
-    re = frames @ cos_m
-    im = frames @ msin_m
+    re = jnp.matmul(frames, cos_m, precision=precision)
+    im = jnp.matmul(frames, msin_m, precision=precision)
     return re * re + im * im
 
 
 def rfft_via_matmul(
-    frames: jnp.ndarray, fft_size: int, n_bins: int, dtype=jnp.float32
+    frames: jnp.ndarray,
+    fft_size: int,
+    n_bins: int,
+    dtype=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(re, im) of the rFFT over the first ``n_bins`` bins via matmuls."""
     cos_m, msin_m = rdft_matrices(fft_size, n_bins)
     cos_m = jnp.asarray(cos_m, dtype=dtype)
     msin_m = jnp.asarray(msin_m, dtype=dtype)
     frames = frames.astype(dtype)
-    return frames @ cos_m, frames @ msin_m
+    return (
+        jnp.matmul(frames, cos_m, precision=precision),
+        jnp.matmul(frames, msin_m, precision=precision),
+    )

@@ -114,8 +114,8 @@ class Fbank:
             cos_m, msin_m = dft.rdft_matrices(self.fft_size, self.fft_bins)
             cos_m = jnp.asarray(cos_m[: self.frame_len], dtype=self.dtype)
             msin_m = jnp.asarray(msin_m[: self.frame_len], dtype=self.dtype)
-            re = xw @ cos_m
-            im = xw @ msin_m
+            re = jnp.matmul(xw, cos_m, precision=jax.lax.Precision.HIGHEST)
+            im = jnp.matmul(xw, msin_m, precision=jax.lax.Precision.HIGHEST)
             power = re * re + im * im
         else:
             pad = self.fft_size - self.frame_len
@@ -126,7 +126,8 @@ class Fbank:
         if not cfg.use_power:
             power = jnp.sqrt(power)
 
-        energy = jnp.matmul(power, self.filters_t, preferred_element_type=self.dtype)
+        energy = jnp.matmul(power, self.filters_t, preferred_element_type=self.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
         floor = cfg.energy_floor if cfg.energy_floor > 0.0 else F32_EPSILON
         energy = jnp.maximum(energy, jnp.asarray(floor, self.dtype))
         feats = jnp.log(energy) if cfg.use_log_fbank else energy

@@ -55,7 +55,8 @@ def log_mel_from_power(
     ``[n_used_bins, n_mels]`` (already truncated to the bins that the
     reference's projection does not zero).
     """
-    energy = jnp.matmul(power, filters_t, preferred_element_type=dtype)
+    energy = jnp.matmul(power, filters_t, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
     return jnp.log10(jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, dtype=dtype)))
 
 

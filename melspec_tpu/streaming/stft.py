@@ -69,10 +69,11 @@ class StreamingMel:
 
     def _mel_of_buf(self, buf: jnp.ndarray) -> jnp.ndarray:
         xw = buf * self.window
-        re = xw @ self.cos_m
-        im = xw @ self.msin_m
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.matmul(xw, self.cos_m, precision=hp)
+        im = jnp.matmul(xw, self.msin_m, precision=hp)
         power = re * re + im * im
-        energy = power @ self.filters_t
+        energy = jnp.matmul(power, self.filters_t, precision=hp)
         log_mel = jnp.log10(jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)))
         mmax = jnp.max(log_mel) - 8.0
         return (jnp.maximum(log_mel, mmax) + 4.0) / 4.0

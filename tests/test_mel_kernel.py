@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from melspec_tpu.ops.mel_kernel import _kernel_params, whisper_mel_pallas
+from melspec_tpu.ops.mel_kernel import TILE_FRAMES, _build_matrices, whisper_mel_pallas
 from melspec_tpu.ops.spectrogram import WhisperMelPipeline
 
 
@@ -17,10 +17,12 @@ def signal():
     return (rng.normal(size=60000) * 0.2).astype(np.float32)
 
 
-def test_kernel_params():
-    assert _kernel_params(400, 160, 128) == (2, 320, 256)
-    assert _kernel_params(512, 160, 128) == (3, 480, 384)
-    assert _kernel_params(512, 512, 128) == (1, 512, 128)
+def test_matrix_padding():
+    cw, sw, mt, n_bins_pad, n_mels_pad = _build_matrices(400, 80, 16000.0)
+    assert cw.shape == (400, 256) and mt.shape == (256, 128)
+    assert (cw[:, 200:] == 0).all() and (mt[200:] == 0).all()
+    assert (mt[:, 80:] == 0).all()
+    assert TILE_FRAMES % 8 == 0
 
 
 @pytest.mark.parametrize("fft,hop", [(400, 160), (512, 160)])
