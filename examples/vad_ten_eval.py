@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""TEN-VAD evaluation CLI — the analogue of the reference's
+``examples/vad_ten_eval`` binary: macro/micro P/R/F1/FPR/FNR + RTFx over a
+labeled testset.
+
+    python examples/vad_ten_eval.py --testset /root/reference/testdata/ten-vad
+    python examples/vad_ten_eval.py --min-energy 0.98 --min-y 11 --min-x 5 \
+        --min-mel 2 --min-speech-ms 150 --merge-gap-ms 150
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+if "--platform" in sys.argv:
+    import jax
+
+    jax.config.update(
+        "jax_platforms", sys.argv[sys.argv.index("--platform") + 1]
+    )
+
+from melspec_tpu.config import DetectionSettings
+from melspec_tpu.utils.vad_eval import (
+    EvalOptions,
+    decisions_to_segments,
+    evaluate_testset,
+    macro_metrics,
+    speed_metrics,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--testset", type=Path,
+                    default=Path("/root/reference/testdata/ten-vad"))
+    ap.add_argument("--fft-size", type=int, default=400)
+    ap.add_argument("--hop-size", type=int, default=160)
+    ap.add_argument("--n-mels", type=int, default=80)
+    ap.add_argument("--min-energy", type=float, default=0.98)
+    ap.add_argument("--min-y", type=int, default=11)
+    ap.add_argument("--min-x", type=int, default=5)
+    ap.add_argument("--min-mel", type=int, default=2)
+    ap.add_argument("--time-mode", choices=["start", "center", "end"],
+                    default="center")
+    ap.add_argument("--min-leading-active-columns", type=int, default=1)
+    ap.add_argument("--min-active-columns", type=int, default=1)
+    ap.add_argument("--min-confidence", type=float, default=0.0)
+    ap.add_argument("--min-speech-ms", type=int, default=150)
+    ap.add_argument("--merge-gap-ms", type=int, default=150)
+    ap.add_argument("--max-files", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu, tpu)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run the testset once first so jit compilation is "
+                         "excluded from the reported RTFx (steady-state)")
+    args = ap.parse_args()
+
+    settings = DetectionSettings(
+        min_energy=args.min_energy, min_y=args.min_y,
+        min_x=args.min_x, min_mel=args.min_mel,
+    )
+    opts = EvalOptions(
+        fft_size=args.fft_size, hop_size=args.hop_size, n_mels=args.n_mels,
+        time_mode=args.time_mode,
+        min_leading_active_columns=args.min_leading_active_columns,
+        min_active_columns=args.min_active_columns,
+        min_confidence=args.min_confidence,
+        min_speech_ms=args.min_speech_ms, merge_gap_ms=args.merge_gap_ms,
+    )
+
+    print(f"testset={args.testset}")
+    print(
+        f"settings fft_size={args.fft_size} hop_size={args.hop_size} "
+        f"n_mels={args.n_mels} min_energy={args.min_energy} "
+        f"min_y={args.min_y} min_x={args.min_x} min_mel={args.min_mel} "
+        f"time_mode={args.time_mode}"
+    )
+    print(
+        f"postprocess min_speech_ms={args.min_speech_ms} "
+        f"merge_gap_ms={args.merge_gap_ms}"
+    )
+    print()
+
+    if args.warmup:
+        evaluate_testset(args.testset, opts, settings,
+                         max_files=args.max_files)
+    total, rows = evaluate_testset(args.testset, opts, settings,
+                                   max_files=args.max_files)
+
+    print("=== Aggregate ===")
+    print(
+        f"all: frames={total.total} precision={total.precision:.4f} "
+        f"recall={total.recall:.4f} f1={total.f1:.4f} "
+        f"accuracy={total.accuracy:.4f} fpr={total.fpr:.4f} "
+        f"fnr={total.fnr:.4f} tp={total.tp} fp={total.fp} tn={total.tn} "
+        f"fn={total.fn}"
+    )
+    mm = macro_metrics(rows)
+    print(
+        f"macro: files={len(rows)} precision={mm['precision']:.4f} "
+        f"recall={mm['recall']:.4f} f1={mm['f1']:.4f} "
+        f"accuracy={mm['accuracy']:.4f} fpr={mm['fpr']:.4f} "
+        f"fnr={mm['fnr']:.4f}"
+    )
+    sp = speed_metrics(rows)
+    print(
+        f"speed: audio_s={sp['audio_s']:.3f} wall_s={sp['wall_s']:.3f} "
+        f"rtf={sp['rtf']:.6f} rtfx={sp['rtfx']:.2f}"
+    )
+
+    print()
+    print("=== Per File ===")
+    print("file,duration_s,wall_ms,rtf,rtfx,frames,precision,recall,f1,"
+          "accuracy,fpr,fnr,tp,fp,tn,fn")
+    for row in rows:
+        m = row.metrics
+        rtf = row.wall_s / row.duration_s if row.duration_s else 0.0
+        rtfx = row.duration_s / row.wall_s if row.wall_s else 0.0
+        print(
+            f"{row.path.name},{row.duration_s:.3f},{row.wall_s*1000:.3f},"
+            f"{rtf:.6f},{rtfx:.2f},{m.total},{m.precision:.4f},"
+            f"{m.recall:.4f},{m.f1:.4f},{m.accuracy:.4f},{m.fpr:.4f},"
+            f"{m.fnr:.4f},{m.tp},{m.fp},{m.tn},{m.fn}"
+        )
+
+
+if __name__ == "__main__":
+    main()

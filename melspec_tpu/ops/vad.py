@@ -169,6 +169,59 @@ class VoiceActivity:
     timestamps: Optional[VoiceActivityTimestamps] = None
 
 
+def streaming_decision_fields(
+    mel: np.ndarray, settings: DetectionSettings
+) -> Optional[dict]:
+    """Vectorized core of ``streaming_decisions``: all per-frame decision
+    fields as numpy arrays (decision ``i`` is for frame ``min_x - 1 + i``).
+    Returns None when the clip never reaches ``min_x`` frames."""
+    mel = np.asarray(mel, dtype=np.float64)
+    height, total = mel.shape
+    min_x = settings.min_x
+    if total < min_x:
+        return None
+    win_cols = min_x - 2
+    if height < 3 or win_cols < 1:
+        n_dec = total - min_x + 1
+        zeros = np.zeros(n_dec)
+        return {
+            "active": zeros.astype(bool),
+            "leading": zeros.astype(int),
+            "active_columns": zeros.astype(int),
+            "window_columns": zeros.astype(int),
+            "confidence": zeros,
+        }
+
+    # pad the time axis to a power of two so jit caches hit across ragged
+    # clip lengths (zero columns only influence raw entries >= total-2,
+    # which are sliced away)
+    t_pad = 1
+    while t_pad < total:
+        t_pad <<= 1
+    mel_p = np.pad(mel, ((0, 0), (0, t_pad - total)))
+    raw = np.asarray(classify_columns(jnp.asarray(mel_p), settings))[: total - 2]
+
+    n_dec = total - min_x + 1
+    idx = np.arange(n_dec)[:, None] + np.arange(win_cols)[None, :]
+    windows = raw[idx]  # [n_dec, win_cols] bool
+
+    d_pad = 1
+    while d_pad < n_dec:
+        d_pad <<= 1
+    windows_p = np.pad(windows, ((0, d_pad - n_dec), (0, 0)))
+    smoothed = np.asarray(smooth_mask(jnp.asarray(windows_p), 4))[:n_dec]
+
+    active_columns = smoothed.sum(axis=1)
+    leading = np.where(smoothed, 1, 0).cumprod(axis=1).sum(axis=1)
+    return {
+        "active": smoothed[:, 0].copy(),
+        "leading": leading,
+        "active_columns": active_columns,
+        "window_columns": np.full(n_dec, win_cols),
+        "confidence": active_columns / win_cols,
+    }
+
+
 def streaming_decisions(
     mel: np.ndarray,
     settings: DetectionSettings,
@@ -187,55 +240,24 @@ def streaming_decisions(
     buffered.
     """
     mel = np.asarray(mel, dtype=np.float64)
-    height, total = mel.shape
+    total = mel.shape[1]
     min_x = settings.min_x
     results: List[Optional[VoiceActivity]] = [None] * min(total, min_x - 1)
-    if total < min_x:
+    fields = streaming_decision_fields(mel, settings)
+    if fields is None:
         return results
 
-    win_cols = min_x - 2  # classified columns per window
-    if height < 3 or win_cols < 1:
-        # every decision is the degenerate empty EdgeInfo
-        for t in range(min_x - 1, total):
-            results.append(
-                VoiceActivity(
-                    active=False,
-                    frame_index=t,
-                    leading_active_columns=0,
-                    active_columns=0,
-                    window_columns=0,
-                    confidence=0.0,
-                    timestamps=timing.timestamps_for_frame(t) if timing else None,
-                )
-            )
-        return results
-
-    raw = np.asarray(classify_columns(jnp.asarray(mel), settings))  # [T-2]
-
-    n_dec = total - min_x + 1
-    # windows[t', j] = raw[t' + j] for t' = t - min_x + 1, j in [0, win_cols)
-    idx = np.arange(n_dec)[:, None] + np.arange(win_cols)[None, :]
-    windows = raw[idx]  # [n_dec, win_cols] bool
-
-    smoothed = np.asarray(smooth_mask(jnp.asarray(windows), 4))  # per-window
-
-    active_columns = smoothed.sum(axis=1)
-    window_columns = np.full(n_dec, win_cols)
-    # leading run of true from column 0
-    leading = np.where(smoothed, 1, 0).cumprod(axis=1).sum(axis=1)
-    active = smoothed[:, 0]
-    confidence = active_columns / win_cols
-
+    n_dec = len(fields["active"])
     for i in range(n_dec):
         t = min_x - 1 + i
         results.append(
             VoiceActivity(
-                active=bool(active[i]),
+                active=bool(fields["active"][i]),
                 frame_index=t,
-                leading_active_columns=int(leading[i]),
-                active_columns=int(active_columns[i]),
-                window_columns=int(window_columns[i]),
-                confidence=float(confidence[i]),
+                leading_active_columns=int(fields["leading"][i]),
+                active_columns=int(fields["active_columns"][i]),
+                window_columns=int(fields["window_columns"][i]),
+                confidence=float(fields["confidence"][i]),
                 timestamps=timing.timestamps_for_frame(t) if timing else None,
             )
         )

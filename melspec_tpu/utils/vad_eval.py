@@ -1,0 +1,318 @@
+"""TEN-VAD evaluation harness.
+
+Library core of the reference's ``vad_ten_eval`` example
+(``examples/vad_ten_eval/src/main.rs``): per-file STFT -> whisper mel ->
+VAD decisions with timestamps, decision thresholds, segment post-processing
+(merge gaps, drop short segments), frame-level metrics against ``.scv``
+labels, micro + macro aggregation, and RTF/RTFx accounting.
+
+TPU-first difference: the reference feeds the detector one frame at a time
+(``main.rs:253-274``); here the whole clip's mel image and every windowed
+decision are computed in two vectorized passes
+(``ops.spectrogram`` + ``ops.vad.streaming_decisions``) with identical
+results.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from melspec_tpu.config import DetectionSettings, VadFrameTiming
+from melspec_tpu.io.wav import read_wav_mono
+from melspec_tpu.ops.spectrogram import compute_mel_spectrogram
+from melspec_tpu.ops.vad import streaming_decisions
+
+
+@dataclasses.dataclass
+class EvalOptions:
+    fft_size: int = 400
+    hop_size: int = 160
+    n_mels: int = 80
+    time_mode: str = "center"  # start | center | end
+    min_leading_active_columns: int = 1
+    min_active_columns: int = 1
+    min_confidence: float = 0.0
+    min_speech_ms: int = 150
+    merge_gap_ms: int = 150
+
+
+@dataclasses.dataclass
+class LabelSegment:
+    start: float
+    end: float
+    speech: bool
+
+
+@dataclasses.dataclass
+class TimedDecision:
+    time_s: float
+    speech: bool
+
+
+@dataclasses.dataclass
+class Metrics:
+    tp: int = 0
+    fp: int = 0
+    tn: int = 0
+    fn: int = 0
+
+    def add(self, predicted: bool, expected: bool) -> None:
+        if predicted and expected:
+            self.tp += 1
+        elif predicted and not expected:
+            self.fp += 1
+        elif not predicted and not expected:
+            self.tn += 1
+        else:
+            self.fn += 1
+
+    def merge(self, other: "Metrics") -> None:
+        self.tp += other.tp
+        self.fp += other.fp
+        self.tn += other.tn
+        self.fn += other.fn
+
+    @property
+    def total(self) -> int:
+        return self.tp + self.fp + self.tn + self.fn
+
+    @staticmethod
+    def _ratio(num: int, den: int) -> float:
+        return num / den if den else 0.0
+
+    @property
+    def precision(self) -> float:
+        return self._ratio(self.tp, self.tp + self.fp)
+
+    @property
+    def recall(self) -> float:
+        return self._ratio(self.tp, self.tp + self.fn)
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if p + r else 0.0
+
+    @property
+    def accuracy(self) -> float:
+        return self._ratio(self.tp + self.tn, self.total)
+
+    @property
+    def fpr(self) -> float:
+        return self._ratio(self.fp, self.fp + self.tn)
+
+    @property
+    def fnr(self) -> float:
+        return self._ratio(self.fn, self.fn + self.tp)
+
+
+def read_labels(path: Path) -> List[LabelSegment]:
+    """Parse a TEN-VAD ``.scv`` label file: ``name,start,end,flag,...``
+    triplets (reference ``main.rs:305-322``)."""
+    fields = path.read_text().strip().split(",")
+    if len(fields) < 4 or (len(fields) - 1) % 3 != 0:
+        raise ValueError(f"bad label file format: {path}")
+    out = []
+    rest = fields[1:]
+    for i in range(0, len(rest), 3):
+        out.append(
+            LabelSegment(
+                start=float(rest[i]),
+                end=float(rest[i + 1]),
+                speech=int(rest[i + 2]) == 1,
+            )
+        )
+    return out
+
+
+def label_at(labels: Sequence[LabelSegment], time_s: float) -> bool:
+    for seg in labels:
+        if seg.start <= time_s < seg.end:
+            return seg.speech
+    return False
+
+
+def decisions_to_segments(
+    decisions: Sequence[TimedDecision], half_width_s: float
+) -> List[LabelSegment]:
+    out: List[LabelSegment] = []
+    open_start: Optional[float] = None
+    for d in decisions:
+        if d.speech and open_start is None:
+            open_start = max(d.time_s - half_width_s / 2.0, 0.0)
+        elif not d.speech and open_start is not None:
+            out.append(LabelSegment(open_start,
+                                    max(d.time_s - half_width_s / 2.0, open_start),
+                                    True))
+            open_start = None
+    if open_start is not None and decisions:
+        out.append(LabelSegment(open_start,
+                                decisions[-1].time_s + half_width_s / 2.0, True))
+    return out
+
+
+def merge_close_segments(
+    segments: Sequence[LabelSegment], merge_gap_s: float
+) -> List[LabelSegment]:
+    merged: List[LabelSegment] = []
+    for seg in segments:
+        if merged and seg.start - merged[-1].end <= merge_gap_s:
+            merged[-1].end = max(merged[-1].end, seg.end)
+        else:
+            merged.append(LabelSegment(seg.start, seg.end, True))
+    return merged
+
+
+def postprocess_decisions(
+    decisions: List[TimedDecision], frame_period_s: float, opts: EvalOptions
+) -> List[TimedDecision]:
+    if not decisions or (opts.min_speech_ms == 0 and opts.merge_gap_ms == 0):
+        return decisions
+    segments = decisions_to_segments(decisions, frame_period_s)
+    if opts.merge_gap_ms > 0:
+        segments = merge_close_segments(segments, opts.merge_gap_ms / 1000.0)
+    if opts.min_speech_ms > 0:
+        min_s = opts.min_speech_ms / 1000.0
+        segments = [s for s in segments if s.end - s.start >= min_s]
+    return [
+        TimedDecision(
+            d.time_s,
+            any(s.start <= d.time_s < s.end for s in segments),
+        )
+        for d in decisions
+    ]
+
+
+def _bucket_pad(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Zero-pad to the next power-of-two second count so jit caches hit
+    across a testset of ragged clip lengths. Exact: padding only adds
+    frames beyond the kept ``num_frames(len)`` — every kept frame reads
+    original samples only."""
+    n = len(samples)
+    bucket = sample_rate
+    while bucket < n:
+        bucket <<= 1
+    return np.pad(samples, (0, bucket - n))
+
+
+def evaluate_file(
+    samples: np.ndarray,
+    sample_rate: int,
+    labels: Sequence[LabelSegment],
+    opts: EvalOptions,
+    settings: DetectionSettings,
+) -> Tuple[Metrics, List[TimedDecision]]:
+    """Frame decisions + metrics for one clip (reference ``main.rs:232-285``)."""
+    from melspec_tpu.ops.framing import num_frames_batch
+
+    n_frames = num_frames_batch(len(samples), opts.fft_size, opts.hop_size)
+    padded = _bucket_pad(np.asarray(samples, np.float32), sample_rate)
+    mel = compute_mel_spectrogram(
+        padded, opts.fft_size, opts.hop_size, opts.n_mels, float(sample_rate)
+    ).T[:, :n_frames]  # [n_mels, frames], per-frame whisper norm
+
+    from melspec_tpu.ops.vad import streaming_decision_fields
+
+    fields = streaming_decision_fields(mel.astype(np.float64), settings)
+    if fields is None:
+        return Metrics(), []
+
+    min_x = settings.min_x
+    n_dec = len(fields["active"])
+    frame_idx = np.arange(min_x - 1, min_x - 1 + n_dec)
+    sample_off = {"start": 0, "center": opts.fft_size // 2,
+                  "end": opts.fft_size}[opts.time_mode]
+    # reference timestamp rounding: half away from zero to ms
+    time_ms = np.floor(
+        (frame_idx * opts.hop_size + sample_off) / sample_rate * 1000.0 + 0.5
+    )
+    times_s = time_ms / 1000.0
+    speech = (
+        fields["active"]
+        & (fields["leading"] >= opts.min_leading_active_columns)
+        & (fields["active_columns"] >= opts.min_active_columns)
+        & (fields["confidence"] >= opts.min_confidence)
+    )
+    decisions = [
+        TimedDecision(float(t), bool(s)) for t, s in zip(times_s, speech)
+    ]
+
+    frame_period_s = opts.hop_size / sample_rate
+    decisions = postprocess_decisions(decisions, frame_period_s, opts)
+
+    # vectorized label lookup: expected[i] = label_at(labels, time[i])
+    times = np.asarray([d.time_s for d in decisions])
+    predicted = np.asarray([d.speech for d in decisions])
+    expected = np.zeros(len(times), dtype=bool)
+    for seg in labels:
+        # first matching segment wins, like the reference's .find(): claimed
+        # times are NaN'd so later segments can't re-label them
+        mask = (times >= seg.start) & (times < seg.end)
+        if seg.speech:
+            expected |= mask
+        times = np.where(mask, np.nan, times)
+    metrics = Metrics()
+    metrics.tp = int(np.sum(predicted & expected))
+    metrics.fp = int(np.sum(predicted & ~expected))
+    metrics.tn = int(np.sum(~predicted & ~expected))
+    metrics.fn = int(np.sum(~predicted & expected))
+    return metrics, decisions
+
+
+@dataclasses.dataclass
+class FileResult:
+    path: Path
+    duration_s: float
+    wall_s: float
+    metrics: Metrics
+
+
+def evaluate_testset(
+    testset: Path,
+    opts: EvalOptions,
+    settings: DetectionSettings,
+    max_files: Optional[int] = None,
+) -> Tuple[Metrics, List[FileResult]]:
+    wavs = sorted(testset.glob("*.wav"))
+    if max_files is not None:
+        wavs = wavs[:max_files]
+    if not wavs:
+        raise FileNotFoundError(f"no .wav files found in {testset}")
+
+    total = Metrics()
+    rows: List[FileResult] = []
+    for wav in wavs:
+        labels = read_labels(wav.with_suffix(".scv"))
+        samples, rate = read_wav_mono(wav)
+        started = time.perf_counter()
+        metrics, _ = evaluate_file(samples, rate, labels, opts, settings)
+        wall = time.perf_counter() - started
+        total.merge(metrics)
+        rows.append(FileResult(wav, len(samples) / rate, wall, metrics))
+    return total, rows
+
+
+def macro_metrics(rows: Sequence[FileResult]) -> dict:
+    n = len(rows)
+    agg = {"precision": 0.0, "recall": 0.0, "f1": 0.0, "accuracy": 0.0,
+           "fpr": 0.0, "fnr": 0.0}
+    for row in rows:
+        for key in agg:
+            agg[key] += getattr(row.metrics, key)
+    return {k: v / n for k, v in agg.items()}
+
+
+def speed_metrics(rows: Sequence[FileResult]) -> dict:
+    audio = sum(r.duration_s for r in rows)
+    wall = sum(r.wall_s for r in rows)
+    return {
+        "audio_s": audio,
+        "wall_s": wall,
+        "rtf": wall / audio if audio else 0.0,
+        "rtfx": audio / wall if wall else 0.0,
+    }

@@ -1,0 +1,66 @@
+"""TEN-VAD harness: exact reproduction of the reference's published macro
+metrics on the vendored 30-file testset (BASELINE.md: balanced default ->
+macro P 0.8751 / R 0.8785 / F1 0.8566 / FPR 0.3946; reference
+``doc/vad/README.md:73-75``)."""
+
+import numpy as np
+import pytest
+
+from melspec_tpu.config import DetectionSettings
+from melspec_tpu.utils.vad_eval import (
+    EvalOptions,
+    LabelSegment,
+    TimedDecision,
+    decisions_to_segments,
+    evaluate_testset,
+    label_at,
+    macro_metrics,
+    merge_close_segments,
+    postprocess_decisions,
+    read_labels,
+)
+
+
+def test_balanced_default_matches_published_metrics(testdata):
+    testset = testdata / "ten-vad"
+    if not testset.is_dir():
+        pytest.skip("ten-vad testset not available")
+    total, rows = evaluate_testset(testset, EvalOptions(), DetectionSettings())
+    assert len(rows) == 30
+    mm = macro_metrics(rows)
+    assert round(mm["precision"], 4) == 0.8751
+    assert round(mm["recall"], 4) == 0.8785
+    assert round(mm["f1"], 4) == 0.8566
+    assert round(mm["fpr"], 4) == 0.3946
+
+
+def test_label_parsing(testdata):
+    labels = read_labels(testdata / "ten-vad" / "testset-audio-01.scv")
+    assert len(labels) > 0
+    assert all(seg.end > seg.start for seg in labels)
+    assert label_at(labels, labels[0].start) == labels[0].speech
+
+
+def test_decisions_to_segments():
+    period = 0.01
+    decisions = [TimedDecision(i * period, 3 <= i <= 6) for i in range(10)]
+    segs = decisions_to_segments(decisions, period)
+    assert len(segs) == 1
+    assert segs[0].start == pytest.approx(0.03 - period / 2)
+    assert segs[0].end == pytest.approx(0.07 - period / 2)
+
+
+def test_merge_close_segments():
+    segs = [LabelSegment(0.0, 1.0, True), LabelSegment(1.05, 2.0, True),
+            LabelSegment(3.0, 4.0, True)]
+    merged = merge_close_segments(segs, 0.1)
+    assert len(merged) == 2
+    assert merged[0].end == 2.0
+
+
+def test_postprocess_drops_short_segments():
+    period = 0.01
+    decisions = [TimedDecision(i * period, i == 5) for i in range(20)]
+    out = postprocess_decisions(decisions, period,
+                                EvalOptions(min_speech_ms=100, merge_gap_ms=0))
+    assert not any(d.speech for d in out)
