@@ -1,0 +1,121 @@
+"""Curated public API surface (the reference's ``src/prelude.rs:1-23``).
+
+Import everything a typical user needs::
+
+    from melspec_tpu.prelude import *
+"""
+
+from melspec_tpu.config import (
+    BatchLogMelConfig,
+    DetectionSettings,
+    FbankConfig,
+    MelConfig,
+    VadFrameTiming,
+    VoiceActivityTimestamps,
+)
+from melspec_tpu.io.tga import (
+    chunk_frames_into_strides,
+    interleave_frames,
+    load_tga_8bit,
+    parse_tga_8bit,
+    save_tga_8bit,
+    tga_8bit,
+    tga_8bit_data,
+    to_array2,
+)
+from melspec_tpu.io.wav import read_wav_f32le, read_wav_mono
+from melspec_tpu.ops.batch_logmel import BatchLogMel, mel_tensor
+from melspec_tpu.ops.fbank import Fbank
+from melspec_tpu.ops.filterbank import (
+    SparseFilterbankView,
+    fft_frequencies,
+    hz_to_mel,
+    kaldi_filterbank,
+    mel,
+    mel_filterbank,
+    mel_frequencies,
+    mel_to_hz,
+    mels_to_hz,
+)
+from melspec_tpu.ops.mel_kernel import whisper_mel_pallas
+from melspec_tpu.ops.quant import (
+    QuantizationRange,
+    dequantize,
+    quantize,
+)
+from melspec_tpu.ops.spectrogram import (
+    WhisperMelPipeline,
+    compute_mel_spectrogram,
+    compute_streaming_mel,
+    whisper_norm,
+)
+from melspec_tpu.ops.vad import (
+    EdgeInfo,
+    VoiceActivity,
+    as_image,
+    streaming_decisions,
+    vad_boundaries,
+    vad_on,
+)
+from melspec_tpu.runtime import SampleRing
+from melspec_tpu.streaming.pipeline import RingBuffer
+from melspec_tpu.streaming.stft import StftState, StreamingMel
+from melspec_tpu.streaming.vad import VoiceActivityDetector
+from melspec_tpu.utils.timing import (
+    duration_ms_for_n_frames,
+    format_milliseconds,
+    n_frames_for_duration,
+)
+
+__all__ = [
+    "BatchLogMel",
+    "BatchLogMelConfig",
+    "DetectionSettings",
+    "EdgeInfo",
+    "Fbank",
+    "FbankConfig",
+    "MelConfig",
+    "QuantizationRange",
+    "RingBuffer",
+    "SampleRing",
+    "SparseFilterbankView",
+    "StftState",
+    "StreamingMel",
+    "VadFrameTiming",
+    "VoiceActivity",
+    "VoiceActivityDetector",
+    "VoiceActivityTimestamps",
+    "WhisperMelPipeline",
+    "as_image",
+    "chunk_frames_into_strides",
+    "compute_mel_spectrogram",
+    "compute_streaming_mel",
+    "dequantize",
+    "duration_ms_for_n_frames",
+    "fft_frequencies",
+    "format_milliseconds",
+    "hz_to_mel",
+    "interleave_frames",
+    "kaldi_filterbank",
+    "load_tga_8bit",
+    "mel",
+    "mel_filterbank",
+    "mel_frequencies",
+    "mel_tensor",
+    "mel_to_hz",
+    "mels_to_hz",
+    "n_frames_for_duration",
+    "parse_tga_8bit",
+    "quantize",
+    "read_wav_f32le",
+    "read_wav_mono",
+    "save_tga_8bit",
+    "streaming_decisions",
+    "tga_8bit",
+    "tga_8bit_data",
+    "to_array2",
+    "vad_boundaries",
+    "vad_on",
+    "whisper_mel_pallas",
+    "whisper_norm",
+]
