@@ -40,6 +40,8 @@ def main() -> None:
     from melspec_tpu.ops.spectrogram import WhisperMelPipeline
 
     pipe = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32)
+    pipe_hp = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
+                                 fft_impl="hp")
 
     key = jax.random.PRNGKey(0)
     results = {}
@@ -49,7 +51,8 @@ def main() -> None:
                ("8x300s", 8, 300 * SR)]
     backends = [
         ("pallas", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0)),
-        ("xla", pipe.mel_batch),
+        ("xla_f32", pipe.mel_batch),
+        ("xla_hp", pipe_hp.mel_batch),  # <=1e-6 golden parity, bf16 MXU
     ]
 
     for name, batch, t in configs:

@@ -40,6 +40,10 @@ def _read_fmt(wav_bytes: bytes) -> Tuple[int, int, int]:
         (chunk_size,) = struct.unpack_from("<I", wav_bytes, pos + 4)
         if chunk_id in (b"fmt ", b"fmt\x00"):
             tag, channels, rate = struct.unpack_from("<HHI", wav_bytes, pos + 8)
+            if tag == 0xFFFE and chunk_size >= 40:
+                # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first
+                # two bytes of the SubFormat GUID
+                (tag,) = struct.unpack_from("<H", wav_bytes, pos + 8 + 24)
             return tag, channels, rate
         pos += 8 + chunk_size
         if chunk_size % 2:

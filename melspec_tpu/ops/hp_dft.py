@@ -1,0 +1,155 @@
+"""High-precision real-DFT on the MXU: exact split-matmul (Ozaki scheme).
+
+Problem: a plain f32 DFT leaves quiet spectral bins at the f32 roundoff
+floor (~1e-7 of the frame amplitude => ~1e-14 of peak power), and the
+whisper norm's 8-decade window exposes that floor (see
+``tests/test_spectrogram.py``). Computing in f64 on TPU is emulated and
+slow.
+
+Solution: split the (row-normalized) signal and the DFT matrices into
+7-bit integer slices. Every slice value is an integer <= 2^7, exactly
+representable in bfloat16, and a K<=512 dot of slice products (<= 2^14
+each) stays below 2^23 — so a bf16 x bf16 -> f32 MXU matmul computes each
+slice-pair product EXACTLY, at full systolic-array speed. Recombining the
+slice pairs (scaled by powers of 2^-7) in float64 recovers the DFT to
+~2^-30 relative to the frame amplitude — deeper than f32 itself — while
+every FLOP ran at bf16 rate. This is how the framework meets the
+"<= 1e-5 vs f64 goldens at >= 50k x realtime" bar that neither plain f32
+(too noisy) nor emulated f64 (too slow) can.
+
+Reference context: the crate this replaces runs its GPU path in f64 cuFFT
+(``src/cuda.rs:38-82``) and still gates parity at max<0.08; this path is
+both faster per FLOP and tighter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.ops import dft
+
+SLICE_BITS = 7
+SLICE_SCALE = float(1 << SLICE_BITS)  # 128.0
+
+
+def matrix_slices(mat: np.ndarray, n_slices: int) -> Tuple[np.ndarray, ...]:
+    """Slice a float64 matrix with ``|mat| <= 1`` into integer-valued
+    matrices: ``mat ~= sum_j M_j * 128^-(j+1)`` with ``|M_j| <= 128``."""
+    out = []
+    residual = np.asarray(mat, np.float64).copy()
+    for _ in range(n_slices):
+        scaled = residual * SLICE_SCALE
+        t = np.trunc(scaled)
+        residual = scaled - t
+        out.append(t.astype(np.float32))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrix_slices(
+    fft_size: int, n_bins: int, n_slices: int, windowed: bool
+) -> Tuple[Tuple[np.ndarray, ...], Tuple[np.ndarray, ...]]:
+    """7-bit slices of the (optionally Hann-window-folded) DFT matrices.
+    Folding the window in keeps the signal path exact: the f32 product
+    ``frames * window`` would inject 2^-24-relative element noise, which a
+    512-point dot amplifies to ~2^-21 of the frame amplitude — right at the
+    1e-5 parity bar this path exists to beat."""
+    cos_m, msin_m = dft.rdft_matrices(fft_size, n_bins)
+    if windowed:
+        from melspec_tpu.ops.windows import hann_periodic
+
+        w = hann_periodic(fft_size)[:, None]
+        cos_m = w * cos_m
+        msin_m = w * msin_m
+    return matrix_slices(cos_m, n_slices), matrix_slices(msin_m, n_slices)
+
+
+def _signal_slices(xn: jnp.ndarray, n_slices: int):
+    """Exact 7-bit slicing of row-normalized values ``|xn| <= 1``: every
+    op below is exact in f32 (power-of-two multiplies; trunc; Sterbenz
+    subtraction of the integer part)."""
+    out = []
+    residual = xn
+    for _ in range(n_slices):
+        scaled = residual * SLICE_SCALE
+        t = jnp.trunc(scaled)
+        residual = scaled - t
+        out.append(t)
+    return out
+
+
+def hp_rdft_power(
+    frames: jnp.ndarray,
+    fft_size: int,
+    n_bins: int,
+    n_slices: int = 5,
+    max_pair_sum: int = 5,
+    hann_windowed: bool = False,
+) -> jnp.ndarray:
+    """``|rfft(frames)|^2`` over the first ``n_bins`` bins to ~2^-30 of the
+    frame amplitude, using only bf16 MXU matmuls. ``frames`` ``[..., fft]``
+    float32; returns float32 power ``[..., n_bins]``.
+
+    ``n_slices`` x-slices and matrix slices; slice pairs with
+    ``i + j > max_pair_sum`` are dropped (their exact contribution is below
+    ``K * 2^(-7*(max_pair_sum+2)+14)``). With ``hann_windowed=True`` the
+    periodic Hann window is folded into the matrices in float64 and
+    ``frames`` must be the RAW (unwindowed) samples.
+    """
+    cos_slices, msin_slices = _dft_matrix_slices(
+        fft_size, n_bins, n_slices, hann_windowed
+    )
+
+    x = frames.astype(jnp.float32)
+    # per-row power-of-two scale so xn in [-1, 1] (exact division)
+    row_max = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(row_max, 1e-38))))
+    xn = x / sigma
+    x_slices = _signal_slices(xn, n_slices)
+
+    def two_sum(a, b):
+        s = a + b
+        bb = s - a
+        err = (a - (s - bb)) + (b - bb)
+        return s, err
+
+    def component(mat_slices):
+        """Compensated (hi, lo) float32 accumulation of slice-pair matmuls,
+        largest scale first — keeps ~2^-45 of the running sum without any
+        float64 (works with jax_enable_x64 off)."""
+        terms = []
+        for i, xs in enumerate(x_slices):
+            xs_b = xs.astype(jnp.bfloat16)
+            for j, cs in enumerate(mat_slices):
+                if i + j > max_pair_sum:
+                    continue
+                y = jnp.matmul(
+                    xs_b,
+                    jnp.asarray(cs, jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                # 2^-7(i+j+2) is a power of two: the scale multiply is exact
+                terms.append((i + j, y * (SLICE_SCALE ** (-(i + j + 2)))))
+        terms.sort(key=lambda t: t[0])
+        hi = terms[0][1]
+        lo = jnp.zeros_like(hi)
+        for _, t in terms[1:]:
+            hi, err = two_sum(hi, t)
+            lo = lo + err
+        return two_sum(hi, lo)  # renormalize
+
+    re_hi, re_lo = component(cos_slices)
+    im_hi, im_lo = component(msin_slices)
+    # |v|^2 with the two-float cross term; powers are nonnegative so the
+    # sum does not cancel. sigma^2 is a power of two (exact rescale).
+    power = (
+        re_hi * re_hi
+        + im_hi * im_hi
+        + 2.0 * (re_hi * re_lo + im_hi * im_lo)
+    )
+    return power * (sigma * sigma)

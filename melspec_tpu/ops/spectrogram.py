@@ -83,8 +83,8 @@ class WhisperMelPipeline:
         dtype=jnp.float32,
         fft_impl: str = "rdft",
     ):
-        if fft_impl not in ("rdft", "fft"):
-            raise ValueError("fft_impl must be 'rdft' or 'fft'")
+        if fft_impl not in ("rdft", "fft", "hp"):
+            raise ValueError("fft_impl must be 'rdft', 'fft' or 'hp'")
         self.fft_size = fft_size
         self.hop_size = hop_size
         self.n_mels = n_mels
@@ -104,6 +104,14 @@ class WhisperMelPipeline:
         return self._filters_np
 
     def _power(self, frames: jnp.ndarray) -> jnp.ndarray:
+        if self.fft_impl == "hp":
+            # window folded into the sliced matrices (exact signal path)
+            from melspec_tpu.ops.hp_dft import hp_rdft_power
+
+            return hp_rdft_power(
+                frames.astype(jnp.float32), self.fft_size, self.half,
+                hann_windowed=True,
+            )
         xw = frames.astype(self.dtype) * self.window
         if self.fft_impl == "rdft":
             return dft.rdft_power(xw, self.fft_size, self.half, dtype=self.dtype)
