@@ -89,8 +89,10 @@ uint64_t msrb_dropped(Ring* r) {
     return r->dropped.load(std::memory_order_relaxed);
 }
 
-// Producer: append up to n samples, dropping the excess (rtrb-style
-// push-fails-when-full). Returns the number accepted.
+// Producer: append up to n samples, rejecting the excess (rtrb-style
+// push-fails-when-full — the caller may retry the rest). Returns the
+// number accepted; rejected samples are NOT counted as dropped (only the
+// overwrite mode destroys data).
 uint64_t msrb_push(Ring* r, const float* src, uint64_t n) {
     uint64_t head = r->head.load(std::memory_order_relaxed);
     uint64_t tail = r->tail.load(std::memory_order_acquire);
@@ -100,7 +102,6 @@ uint64_t msrb_push(Ring* r, const float* src, uint64_t n) {
         copy_in(r, head, src, take);
         r->head.store(head + take, std::memory_order_release);
     }
-    if (n > take) r->dropped.fetch_add(n - take, std::memory_order_relaxed);
     return take;
 }
 

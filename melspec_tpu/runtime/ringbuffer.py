@@ -105,7 +105,8 @@ class SampleRing:
     # -- producer -----------------------------------------------------------
 
     def push(self, samples: np.ndarray) -> int:
-        """Append samples, dropping the excess when full; returns accepted."""
+        """Append samples, rejecting the excess when full; returns the
+        number accepted (the caller may retry the rest)."""
         samples = np.ascontiguousarray(samples, dtype=np.float32)
         if self._lib is not None:
             ptr = samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
@@ -114,7 +115,6 @@ class SampleRing:
             free = self._capacity - len(self._deque)
             take = min(free, samples.size)
             self._deque.extend(samples[:take].tolist())
-            self._py_dropped += samples.size - take
             return take
 
     def push_overwrite(self, samples: np.ndarray) -> int:

@@ -38,11 +38,11 @@ def test_wrap_around(ring_cls):
         np.testing.assert_array_equal(ring.pop(7), data)
 
 
-def test_push_drop_newest(ring_cls):
+def test_push_rejects_when_full(ring_cls):
     ring = ring_cls(8)
     accepted = ring.push(np.arange(12, dtype=np.float32))
     assert accepted == ring.capacity
-    assert ring.dropped == 12 - ring.capacity
+    assert ring.dropped == 0  # rejected, not destroyed
     np.testing.assert_array_equal(
         ring.pop(8), np.arange(ring.capacity, dtype=np.float32)
     )
