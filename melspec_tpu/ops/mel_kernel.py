@@ -51,18 +51,19 @@ def _build_matrices(
     half = fft_size // 2  # the whisper projection zeroes bins >= fft/2
     n_bins_pad = -(-half // LANES) * LANES
     n_mels_pad = -(-n_mels // LANES) * LANES
+    k_pad = -(-fft_size // LANES) * LANES  # contraction dim, tile-aligned
 
     cos_m, msin_m = dft.rdft_matrices(fft_size, half)
     window = hann_periodic(fft_size)
-    cw = np.zeros((fft_size, n_bins_pad))
-    sw = np.zeros((fft_size, n_bins_pad))
-    cw[:, :half] = window[:, None] * cos_m
-    sw[:, :half] = window[:, None] * msin_m
+    cw = np.zeros((k_pad, n_bins_pad))
+    sw = np.zeros((k_pad, n_bins_pad))
+    cw[:fft_size, :half] = window[:, None] * cos_m
+    sw[:fft_size, :half] = window[:, None] * msin_m
 
     filters = mel_filterbank(sampling_rate, fft_size, n_mels)  # [n_mels, half+1]
     mt = np.zeros((n_bins_pad, n_mels_pad))
     mt[:half, :n_mels] = filters[:, :half].T
-    return cw, sw, mt, n_bins_pad, n_mels_pad
+    return cw, sw, mt, n_bins_pad, n_mels_pad, k_pad
 
 
 def _mel_tile_kernel(frames_ref, cw_ref, sw_ref, mt_ref, out_ref):
@@ -90,7 +91,7 @@ def _pallas_mel_frames(
     sampling_rate: float,
     interpret: bool,
 ) -> jnp.ndarray:
-    cw, sw, mt, n_bins_pad, n_mels_pad = _build_matrices(
+    cw, sw, mt, n_bins_pad, n_mels_pad, k_pad = _build_matrices(
         fft_size, n_mels, sampling_rate
     )
     cw = jnp.asarray(cw, jnp.float32)
@@ -99,17 +100,18 @@ def _pallas_mel_frames(
 
     n = frames.shape[0]
     assert n % TILE_FRAMES == 0
+    assert frames.shape[1] == k_pad
     n_tiles = n // TILE_FRAMES
 
     flops_tile = (
-        2 * 2 * TILE_FRAMES * fft_size * n_bins_pad
+        2 * 2 * TILE_FRAMES * k_pad * n_bins_pad
         + 2 * TILE_FRAMES * n_bins_pad * n_mels_pad
     )
     return pl.pallas_call(
         _mel_tile_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_FRAMES, fft_size), lambda i: (i, 0),
+            pl.BlockSpec((TILE_FRAMES, k_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -120,7 +122,7 @@ def _pallas_mel_frames(
         out_shape=jax.ShapeDtypeStruct((n, n_mels_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * n_tiles,
-            bytes_accessed=(n * fft_size + n * n_mels_pad) * 4,
+            bytes_accessed=(n * k_pad + n * n_mels_pad) * 4,
             transcendentals=n * n_mels_pad,
         ),
         interpret=interpret,
@@ -171,8 +173,10 @@ def whisper_mel_pallas(
         x = jnp.pad(x, ((0, 0), (0, needed - x.shape[-1])))
     frames = framing.frame_signal(x, fft_size, hop_size, n_frames)
     frames = frames.reshape(total, fft_size)
-    if total_pad > total:
-        frames = jnp.pad(frames, ((0, total_pad - total), (0, 0)))
+    k_pad = -(-fft_size // LANES) * LANES
+    frames = jnp.pad(
+        frames, ((0, total_pad - total), (0, k_pad - fft_size))
+    )
 
     out = _pallas_mel_frames(
         frames,

@@ -18,10 +18,10 @@ def signal():
 
 
 def test_matrix_padding():
-    cw, sw, mt, n_bins_pad, n_mels_pad = _build_matrices(400, 80, 16000.0)
-    assert cw.shape == (400, 256) and mt.shape == (256, 128)
-    assert (cw[:, 200:] == 0).all() and (mt[200:] == 0).all()
-    assert (mt[:, 80:] == 0).all()
+    cw, sw, mt, n_bins_pad, n_mels_pad, k_pad = _build_matrices(400, 80, 16000.0)
+    assert cw.shape == (512, 256) and mt.shape == (256, 128)
+    assert (cw[:, 200:] == 0).all() and (cw[400:] == 0).all()
+    assert (mt[200:] == 0).all() and (mt[:, 80:] == 0).all()
     assert TILE_FRAMES % 8 == 0
 
 
