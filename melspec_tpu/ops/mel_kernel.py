@@ -79,6 +79,128 @@ def _mel_tile_kernel(frames_ref, cw_ref, sw_ref, mt_ref, out_ref):
     out_ref[:] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
 
 
+def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
+    """Fused Ozaki-split whisper-mel tile: raw [256, k_pad] frames in,
+    normalized log-mel out, every DFT FLOP an exact bf16 MXU matmul (see
+    ``ops/hp_dft.py`` for the numerical argument)."""
+    frames_ref, mt_ref = refs[0], refs[1]
+    cs_refs = refs[2 : 2 + n_slices]
+    ss_refs = refs[2 + n_slices : 2 + 2 * n_slices]
+    out_ref = refs[2 + 2 * n_slices]
+
+    fr = frames_ref[:]
+    row_max = jnp.max(jnp.abs(fr), axis=1, keepdims=True)
+    sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(row_max, 1e-38))))
+    residual = fr / sigma
+
+    x_slices = []
+    for _ in range(n_slices):
+        scaled = residual * 128.0
+        t = jnp.trunc(scaled)
+        residual = scaled - t
+        x_slices.append(t.astype(jnp.bfloat16))
+
+    def two_sum(a, b):
+        s = a + b
+        bb = s - a
+        return s, (a - (s - bb)) + (b - bb)
+
+    def component(mat_refs):
+        terms = []
+        for i, xs in enumerate(x_slices):
+            for j in range(n_slices):
+                if i + j > max_pair_sum:
+                    continue
+                y = jnp.dot(xs, mat_refs[j][:],
+                            preferred_element_type=jnp.float32)
+                terms.append((i + j, y * (128.0 ** (-(i + j + 2)))))
+        terms.sort(key=lambda t: t[0])
+        hi = terms[0][1]
+        lo = jnp.zeros_like(hi)
+        for _, t in terms[1:]:
+            hi, err = two_sum(hi, t)
+            lo = lo + err
+        return two_sum(hi, lo)
+
+    re_hi, re_lo = component(cs_refs)
+    im_hi, im_lo = component(ss_refs)
+    power = (
+        re_hi * re_hi + im_hi * im_hi + 2.0 * (re_hi * re_lo + im_hi * im_lo)
+    ) * (sigma * sigma)
+
+    energy = jnp.dot(power, mt_ref[:], preferred_element_type=jnp.float32)
+    log_mel = jnp.log10(jnp.maximum(energy, LOG10_FLOOR))
+    mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
+    out_ref[:] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fft_size", "n_mels", "sampling_rate", "interpret"),
+)
+def _pallas_hp_mel_frames(
+    frames: jnp.ndarray,  # [N, k_pad] float32 RAW (unwindowed) frames
+    *,
+    fft_size: int,
+    n_mels: int,
+    sampling_rate: float,
+    interpret: bool,
+    n_slices: int = 5,
+    max_pair_sum: int = 5,
+) -> jnp.ndarray:
+    from melspec_tpu.ops.hp_dft import matrix_slices
+    from melspec_tpu.ops.windows import hann_periodic as _hann
+
+    half = fft_size // 2
+    n_bins_pad = -(-half // LANES) * LANES
+    n_mels_pad = -(-n_mels // LANES) * LANES
+    k_pad = -(-fft_size // LANES) * LANES
+
+    cos_m, msin_m = dft.rdft_matrices(fft_size, half)
+    w = _hann(fft_size)[:, None]
+    cw = np.zeros((k_pad, n_bins_pad))
+    sw = np.zeros((k_pad, n_bins_pad))
+    cw[:fft_size, :half] = w * cos_m
+    sw[:fft_size, :half] = w * msin_m
+    cs = [jnp.asarray(m, jnp.bfloat16) for m in matrix_slices(cw, n_slices)]
+    ss = [jnp.asarray(m, jnp.bfloat16) for m in matrix_slices(sw, n_slices)]
+
+    filters = mel_filterbank(sampling_rate, fft_size, n_mels)
+    mt = np.zeros((n_bins_pad, n_mels_pad))
+    mt[:half, :n_mels] = filters[:, :half].T
+    mt = jnp.asarray(mt, jnp.float32)
+
+    n = frames.shape[0]
+    assert n % TILE_FRAMES == 0 and frames.shape[1] == k_pad
+    n_tiles = n // TILE_FRAMES
+
+    kernel = functools.partial(
+        _hp_mel_tile_kernel, n_slices=n_slices, max_pair_sum=max_pair_sum
+    )
+    n_pairs = sum(1 for i in range(n_slices) for j in range(n_slices)
+                  if i + j <= max_pair_sum)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_FRAMES, k_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mt
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_slices),
+        out_specs=pl.BlockSpec((TILE_FRAMES, n_mels_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n_mels_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pairs * 2 * n * k_pad * n_bins_pad
+            + 2 * n * n_bins_pad * n_mels_pad,
+            bytes_accessed=(n * k_pad + n * n_mels_pad) * 4,
+            transcendentals=n * n_mels_pad,
+        ),
+        interpret=interpret,
+    )(frames, mt, *cs, *ss)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("fft_size", "n_mels", "sampling_rate", "interpret"),
@@ -137,6 +259,7 @@ def whisper_mel_pallas(
     sampling_rate: float = 16000.0,
     streaming: bool = False,
     interpret: bool = False,
+    hp: bool = False,
 ) -> jnp.ndarray:
     """Whisper log-mel via the fused Pallas kernel.
 
@@ -178,7 +301,8 @@ def whisper_mel_pallas(
         frames, ((0, total_pad - total), (0, k_pad - fft_size))
     )
 
-    out = _pallas_mel_frames(
+    impl = _pallas_hp_mel_frames if hp else _pallas_mel_frames
+    out = impl(
         frames,
         fft_size=fft_size, n_mels=n_mels,
         sampling_rate=float(sampling_rate), interpret=interpret,
