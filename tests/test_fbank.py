@@ -101,8 +101,14 @@ def test_fbank_vs_kaldi_golden(testdata, jfk_samples):
     assert np.isfinite(computed).all()
     variance = float((computed ** 2).mean())
     assert variance > 0.1
-    diff = np.abs(computed[:50] - golden_t[:50])
-    print(f"kaldi golden: max diff {diff.max():.4f}, avg {diff.mean():.4f}")
+    # the reference keeps this informational because its implementation is
+    # an admitted approximation; ours gates hard — measured max 0.0152 /
+    # mean 0.0028 / corr 0.999999 against kaldi_native_fbank
+    diff = np.abs(computed - golden_t)
+    assert diff.max() < 0.05, f"max diff {diff.max()}"
+    assert diff.mean() < 0.01, f"mean diff {diff.mean()}"
+    corr = np.corrcoef(computed.ravel(), golden_t.ravel())[0, 1]
+    assert corr > 0.9999
 
 
 def test_batched_matches_loop():
