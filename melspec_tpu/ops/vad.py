@@ -278,7 +278,11 @@ def as_image(
         img = np.asarray(frames, dtype=np.float64)
     height, width = img.shape
     max_val = max(img.max(), 0.0)
-    scaled = (img * (255.0 / max_val)).astype(np.uint8) if max_val > 0 else np.zeros_like(img, np.uint8)
+    if max_val > 0:
+        # saturating cast (Rust `as u8` semantics): negatives -> 0
+        scaled = np.clip(img * (255.0 / max_val), 0.0, 255.0).astype(np.uint8)
+    else:
+        scaled = np.zeros_like(img, np.uint8)
     scaled = scaled[::-1]  # row 0 at the bottom
 
     rgb = np.stack([scaled] * 3, axis=-1).astype(np.int32)

@@ -22,10 +22,9 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from melspec_tpu.config import DetectionSettings, VadFrameTiming
+from melspec_tpu.config import DetectionSettings
 from melspec_tpu.io.wav import read_wav_mono
 from melspec_tpu.ops.spectrogram import compute_mel_spectrogram
-from melspec_tpu.ops.vad import streaming_decisions
 
 
 @dataclasses.dataclass
