@@ -46,6 +46,45 @@ def whisper_norm(log_mel: jnp.ndarray, axis=None) -> jnp.ndarray:
     return (jnp.maximum(log_mel, mmax) + 4.0) / 4.0
 
 
+# Familiar-name aliases for users coming from the reference API
+def norm_mel(mel_spec) -> jnp.ndarray:
+    """Global-max whisper norm (reference ``norm_mel``, ``src/mel.rs:449-455``)."""
+    return whisper_norm(jnp.asarray(mel_spec))
+
+
+def norm_mel_vec(mel_spec) -> np.ndarray:
+    """Float32 vector variant (reference ``norm_mel_vec``, ``src/mel.rs:458-469``)."""
+    return np.asarray(whisper_norm(jnp.asarray(mel_spec, jnp.float32)))
+
+
+def log_mel_spectrogram(fft_frame, mel_filters) -> np.ndarray:
+    """Project one complex FFT frame through a dense filterbank:
+    ``[n_mels, 1]`` of ``log10(max(energy, 1e-10))`` with bins >=
+    ``len(fft)/2`` zeroed (reference ``src/mel.rs:437-442`` +
+    ``project_stft_log10`` semantics)."""
+    fft_frame = np.asarray(fft_frame)
+    mel_filters = np.asarray(mel_filters, dtype=np.float64)
+    half = fft_frame.shape[-1] // 2
+    power = np.abs(fft_frame[..., :half]) ** 2
+    energy = mel_filters[:, :half] @ power
+    return np.log10(np.maximum(energy, LOG10_FLOOR))[:, None]
+
+
+class MelProjection:
+    """Stateful FFT-frame -> normalized mel column projector — the direct
+    analogue of the reference's ``MelSpectrogram`` (``src/mel.rs:13-32``):
+    whisper-norm is applied per frame."""
+
+    def __init__(self, fft_size: int, sampling_rate: float, n_mels: int):
+        self.fft_size = fft_size
+        self.filters = mel_filterbank(sampling_rate, fft_size, n_mels)
+
+    def add(self, fft_frame) -> np.ndarray:
+        log_mel = log_mel_spectrogram(fft_frame, self.filters)
+        mmax = log_mel.max() - 8.0
+        return (np.maximum(log_mel, mmax) + 4.0) / 4.0
+
+
 def log_mel_from_power(
     power: jnp.ndarray, filters_t: jnp.ndarray, dtype=jnp.float32
 ) -> jnp.ndarray:

@@ -44,9 +44,13 @@ from melspec_tpu.ops.quant import (
     quantize,
 )
 from melspec_tpu.ops.spectrogram import (
+    MelProjection,
     WhisperMelPipeline,
     compute_mel_spectrogram,
     compute_streaming_mel,
+    log_mel_spectrogram,
+    norm_mel,
+    norm_mel_vec,
     whisper_norm,
 )
 from melspec_tpu.ops.vad import (
@@ -59,7 +63,8 @@ from melspec_tpu.ops.vad import (
 )
 from melspec_tpu.runtime import SampleRing
 from melspec_tpu.streaming.pipeline import RingBuffer
-from melspec_tpu.streaming.stft import StftState, StreamingMel
+from melspec_tpu.streaming.speech_to_mel import SpeechToMel
+from melspec_tpu.streaming.stft import StftState, StreamingMel, StreamingStft
 from melspec_tpu.streaming.vad import VoiceActivityDetector
 from melspec_tpu.utils.timing import (
     duration_ms_for_n_frames,
@@ -75,12 +80,15 @@ __all__ = [
     "Fbank",
     "FbankConfig",
     "MelConfig",
+    "MelProjection",
     "QuantizationRange",
     "RingBuffer",
     "SampleRing",
     "SparseFilterbankView",
+    "SpeechToMel",
     "StftState",
     "StreamingMel",
+    "StreamingStft",
     "VadFrameTiming",
     "VoiceActivity",
     "VoiceActivityDetector",
@@ -98,6 +106,7 @@ __all__ = [
     "interleave_frames",
     "kaldi_filterbank",
     "load_tga_8bit",
+    "log_mel_spectrogram",
     "mel",
     "mel_filterbank",
     "mel_frequencies",
@@ -105,6 +114,8 @@ __all__ = [
     "mel_to_hz",
     "mels_to_hz",
     "n_frames_for_duration",
+    "norm_mel",
+    "norm_mel_vec",
     "parse_tga_8bit",
     "quantize",
     "read_wav_f32le",

@@ -40,6 +40,41 @@ class StftState(NamedTuple):
     idx: jnp.ndarray      # scalar int32/int64 — total samples pushed
 
 
+class StreamingStft:
+    """Overlap-and-save STFT emitting raw complex FFT frames — the direct
+    analogue of the reference's ``Spectrogram`` (``src/stft.rs:24-86``) for
+    callers that want the FFT itself (e.g. to feed ``MelProjection`` or a
+    custom analysis). Host-side numpy; the fused device paths
+    (``StreamingMel``, ``WhisperMelPipeline``) are the production routes.
+    """
+
+    def __init__(self, fft_size: int, hop_size: int):
+        from melspec_tpu.ops.windows import hann_periodic as _hann
+
+        self.fft_size = fft_size
+        self.hop_size = hop_size
+        self._window = _hann(fft_size)
+        self._hop_buf = np.zeros(fft_size, dtype=np.float64)
+        self._idx = 0
+
+    def add(self, chunk: np.ndarray):
+        """Push <= hop_size samples; returns the full-size complex FFT of
+        the windowed buffer once ``fft_size`` samples have been seen."""
+        chunk = np.asarray(chunk, dtype=np.float64)
+        if chunk.size > self.hop_size:
+            raise ValueError("chunk must be <= hop_size")
+        true_len = chunk.size
+        if chunk.size < self.hop_size:
+            chunk = np.pad(chunk, (0, self.hop_size - chunk.size))
+        self._hop_buf = np.concatenate(
+            [self._hop_buf[self.hop_size :], chunk]
+        )
+        self._idx += true_len
+        if self._idx < self.fft_size:
+            return None
+        return np.fft.fft(self._hop_buf * self._window)
+
+
 class StreamingMel:
     """Whisper streaming mel with explicit state.
 
