@@ -115,7 +115,10 @@ class BatchLogMel:
 
         energy = jnp.matmul(power, self.filters_t, preferred_element_type=self.dtype,
                             precision=jax.lax.Precision.HIGHEST)
-        feats = jnp.log(energy + jnp.asarray(cfg.log_zero_guard, self.dtype))
+        from melspec_tpu.ops.fastmath import ln_best
+
+        feats = ln_best(energy + jnp.asarray(cfg.log_zero_guard, self.dtype),
+                        self.dtype)
         feats = jnp.swapaxes(feats, -1, -2)  # [..., n_mels, valid]
 
         if cfg.normalize_per_feature:

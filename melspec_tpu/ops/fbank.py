@@ -130,7 +130,9 @@ class Fbank:
                             precision=jax.lax.Precision.HIGHEST)
         floor = cfg.energy_floor if cfg.energy_floor > 0.0 else F32_EPSILON
         energy = jnp.maximum(energy, jnp.asarray(floor, self.dtype))
-        feats = jnp.log(energy) if cfg.use_log_fbank else energy
+        from melspec_tpu.ops.fastmath import ln_best
+
+        feats = ln_best(energy, self.dtype) if cfg.use_log_fbank else energy
 
         if cfg.apply_cmn:
             feats = feats - jnp.mean(feats, axis=-2, keepdims=True)

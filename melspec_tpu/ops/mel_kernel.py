@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from melspec_tpu.ops import dft, framing
+from melspec_tpu.ops.fastmath import log10_accurate
 from melspec_tpu.ops.filterbank import mel_filterbank
 from melspec_tpu.ops.windows import hann_periodic
 
@@ -74,7 +75,7 @@ def _mel_tile_kernel(frames_ref, cw_ref, sw_ref, mt_ref, out_ref):
     energy = jnp.dot(power, mt_ref[:], preferred_element_type=jnp.float32)
     # padded mel lanes have zero energy -> exactly the -10 floor, so the
     # row max over all lanes equals the max over the true mel bins
-    log_mel = jnp.log10(jnp.maximum(energy, LOG10_FLOOR))
+    log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
     mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
     out_ref[:] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
 
@@ -129,7 +130,7 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
     ) * (sigma * sigma)
 
     energy = jnp.dot(power, mt_ref[:], preferred_element_type=jnp.float32)
-    log_mel = jnp.log10(jnp.maximum(energy, LOG10_FLOOR))
+    log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
     mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
     out_ref[:] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
 

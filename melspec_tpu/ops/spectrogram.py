@@ -96,7 +96,9 @@ def log_mel_from_power(
     """
     energy = jnp.matmul(power, filters_t, preferred_element_type=dtype,
                         precision=jax.lax.Precision.HIGHEST)
-    return jnp.log10(jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, dtype=dtype)))
+    from melspec_tpu.ops.fastmath import log10_best
+
+    return log10_best(jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, dtype=dtype)), dtype)
 
 
 class WhisperMelPipeline:

@@ -109,7 +109,11 @@ class StreamingMel:
         im = jnp.matmul(xw, self.msin_m, precision=hp)
         power = re * re + im * im
         energy = jnp.matmul(power, self.filters_t, precision=hp)
-        log_mel = jnp.log10(jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)))
+        from melspec_tpu.ops.fastmath import log10_best
+
+        log_mel = log10_best(
+            jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)), self.dtype
+        )
         mmax = jnp.max(log_mel) - 8.0
         return (jnp.maximum(log_mel, mmax) + 4.0) / 4.0
 
