@@ -106,9 +106,13 @@ def hp_rdft_power(
     )
 
     x = frames.astype(jnp.float32)
-    # per-row power-of-two scale so xn in [-1, 1] (exact division)
+    # per-row power-of-two scale so xn in [-1, 1]: exact exponent
+    # extraction (bit ops) rather than the approximate VPU log2/exp2
     row_max = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(row_max, 1e-38))))
+    bits = jax.lax.bitcast_convert_type(jnp.maximum(row_max, 1e-38), jnp.int32)
+    sigma = jax.lax.bitcast_convert_type(
+        (((bits >> 23) & 0xFF) + 1) << 23, jnp.float32
+    )
     xn = x / sigma
     x_slices = _signal_slices(xn, n_slices)
 

@@ -91,7 +91,14 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
 
     fr = frames_ref[:]
     row_max = jnp.max(jnp.abs(fr), axis=1, keepdims=True)
-    sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(row_max, 1e-38))))
+    # power-of-two row scale via exact exponent extraction (the VPU's
+    # log2/exp2 are approximations; bit ops are exact): sigma = 2^(e-126)
+    # >= row_max, so |fr/sigma| <= 1
+    bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(row_max, 1e-38), jnp.int32
+    )
+    exp = (bits >> 23) & 0xFF
+    sigma = jax.lax.bitcast_convert_type((exp + 1) << 23, jnp.float32)
     residual = fr / sigma
 
     x_slices = []

@@ -123,9 +123,13 @@ class WhisperMelPipeline:
         sampling_rate: float = 16000.0,
         dtype=jnp.float32,
         fft_impl: str = "rdft",
+        hp_n_slices: int = 5,
+        hp_max_pair_sum: int = 5,
     ):
         if fft_impl not in ("rdft", "fft", "hp"):
             raise ValueError("fft_impl must be 'rdft', 'fft' or 'hp'")
+        self.hp_n_slices = hp_n_slices
+        self.hp_max_pair_sum = hp_max_pair_sum
         self.fft_size = fft_size
         self.hop_size = hop_size
         self.n_mels = n_mels
@@ -151,6 +155,8 @@ class WhisperMelPipeline:
 
             return hp_rdft_power(
                 frames.astype(jnp.float32), self.fft_size, self.half,
+                n_slices=self.hp_n_slices,
+                max_pair_sum=self.hp_max_pair_sum,
                 hann_windowed=True,
             )
         xw = frames.astype(self.dtype) * self.window
