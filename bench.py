@@ -54,8 +54,8 @@ def main() -> None:
     # ordered so the headline (fastest known backend at the headline
     # config) compiles first: compile service latency must not starve the
     # JSON line. Budget-capped.
-    configs = [("64x10s", 64, 10 * SR), ("16x60s", 16, 60 * SR),
-               ("8x300s", 8, 300 * SR)]
+    configs = [("256x10s", 256, 10 * SR), ("64x10s", 64, 10 * SR),
+               ("16x60s", 16, 60 * SR), ("8x300s", 8, 300 * SR)]
     backends = [
         ("xla_f32", pipe.mel_batch),
         ("xla_hp", pipe_hp.mel_batch),  # <=1e-6 golden parity, bf16 MXU
