@@ -68,11 +68,17 @@ def _build_matrices(
 
 
 def _mel_tile_kernel(frames_ref, cw_ref, sw_ref, mt_ref, out_ref):
+    # Mosaic's default f32 dot is a single bf16 pass (rel err ~2^-8);
+    # request full f32 passes explicitly
+    hp = jax.lax.Precision.HIGHEST
     fr = frames_ref[:]
-    re = jnp.dot(fr, cw_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(fr, sw_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.dot(fr, cw_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp)
+    im = jnp.dot(fr, sw_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp)
     power = re * re + im * im
-    energy = jnp.dot(power, mt_ref[:], preferred_element_type=jnp.float32)
+    energy = jnp.dot(power, mt_ref[:], preferred_element_type=jnp.float32,
+                     precision=hp)
     # padded mel lanes have zero energy -> exactly the -10 floor, so the
     # row max over all lanes equals the max over the true mel bins
     log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
@@ -136,7 +142,8 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
         re_hi * re_hi + im_hi * im_hi + 2.0 * (re_hi * re_lo + im_hi * im_lo)
     ) * (sigma * sigma)
 
-    energy = jnp.dot(power, mt_ref[:], preferred_element_type=jnp.float32)
+    energy = jnp.dot(power, mt_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
     mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
     out_ref[:] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
