@@ -57,6 +57,9 @@ def main() -> None:
     ap.add_argument("--warmup", action="store_true",
                     help="run the testset once first so jit compilation is "
                          "excluded from the reported RTFx (steady-state)")
+    ap.add_argument("--batched", action="store_true",
+                    help="run the whole testset as one batched device "
+                         "dispatch (TPU serving shape)")
     args = ap.parse_args()
 
     settings = DetectionSettings(
@@ -85,11 +88,19 @@ def main() -> None:
     )
     print()
 
-    if args.warmup:
-        evaluate_testset(args.testset, opts, settings,
-                         max_files=args.max_files)
-    total, rows = evaluate_testset(args.testset, opts, settings,
-                                   max_files=args.max_files)
+    if args.batched:
+        from melspec_tpu.utils.vad_eval import evaluate_testset_batched
+
+        total, rows = evaluate_testset_batched(
+            args.testset, opts, settings, max_files=args.max_files,
+            warmup=args.warmup,
+        )
+    else:
+        if args.warmup:
+            evaluate_testset(args.testset, opts, settings,
+                             max_files=args.max_files)
+        total, rows = evaluate_testset(args.testset, opts, settings,
+                                       max_files=args.max_files)
 
     print("=== Aggregate ===")
     print(

@@ -296,6 +296,122 @@ def evaluate_testset(
     return total, rows
 
 
+def evaluate_testset_batched(
+    testset: Path,
+    opts: EvalOptions,
+    settings: DetectionSettings,
+    max_files: Optional[int] = None,
+    warmup: bool = False,
+) -> Tuple[Metrics, List[FileResult]]:
+    """Whole-testset evaluation as ONE batched device program.
+
+    All clips are zero-padded to a common power-of-two length and the mel +
+    raw VAD classification run as a single ``[files, ...]`` dispatch — the
+    scale-out shape a TPU serving deployment uses (shard the file axis over
+    a mesh for more chips). Decisions/metrics are identical to the
+    sequential path; per-file wall time is attributed duration-weighted.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from melspec_tpu.ops.framing import num_frames_batch
+    from melspec_tpu.ops.spectrogram import WhisperMelPipeline, whisper_norm
+    from melspec_tpu.ops.vad import classify_columns
+
+    wavs = sorted(testset.glob("*.wav"))
+    if max_files is not None:
+        wavs = wavs[:max_files]
+    if not wavs:
+        raise FileNotFoundError(f"no .wav files found in {testset}")
+
+    clips, rates, labels_all = [], [], []
+    for wav in wavs:
+        samples, rate = read_wav_mono(wav)
+        clips.append(samples)
+        rates.append(rate)
+        labels_all.append(read_labels(wav.with_suffix(".scv")))
+    if len(set(rates)) != 1:
+        raise ValueError("batched evaluation requires a uniform sample rate")
+    rate = rates[0]
+
+    max_len = max(len(c) for c in clips)
+    bucket = 1
+    while bucket < max_len:
+        bucket <<= 1
+    batch = np.zeros((len(clips), bucket), dtype=np.float32)
+    for i, c in enumerate(clips):
+        batch[i, : len(c)] = c
+
+    pipe = WhisperMelPipeline(opts.fft_size, opts.hop_size, opts.n_mels,
+                              float(rate))
+
+    @jax.jit
+    def device_pass(x):
+        mel = pipe._mel_batch_jit(x)              # [B, F, n_mels]
+        img = jnp.swapaxes(mel, -1, -2)           # [B, n_mels, F]
+        raw = classify_columns(img.astype(jnp.float64), settings)
+        return raw
+
+    if warmup:
+        jax.block_until_ready(device_pass(jnp.asarray(batch)))
+
+    started = time.perf_counter()
+    raw_all = np.asarray(device_pass(jnp.asarray(batch)))
+    wall_total = time.perf_counter() - started
+
+    from melspec_tpu.ops.vad import smooth_mask
+
+    total = Metrics()
+    rows: List[FileResult] = []
+    durations = [len(c) / rate for c in clips]
+    dur_sum = sum(durations)
+    min_x = settings.min_x
+    win_cols = min_x - 2
+
+    for i, wav in enumerate(wavs):
+        t0 = time.perf_counter()
+        n_frames = num_frames_batch(len(clips[i]), opts.fft_size,
+                                    opts.hop_size)
+        raw = raw_all[i][: n_frames - 2]
+        n_dec = n_frames - min_x + 1
+        idx = np.arange(n_dec)[:, None] + np.arange(win_cols)[None, :]
+        windows = raw[idx]
+        d_pad = 1
+        while d_pad < n_dec:
+            d_pad <<= 1
+        windows_p = np.pad(windows, ((0, d_pad - n_dec), (0, 0)))
+        import jax.numpy as _jnp
+
+        smoothed = np.asarray(smooth_mask(_jnp.asarray(windows_p), 4))[:n_dec]
+        active_columns = smoothed.sum(axis=1)
+        leading = np.where(smoothed, 1, 0).cumprod(axis=1).sum(axis=1)
+        speech = (
+            smoothed[:, 0]
+            & (leading >= opts.min_leading_active_columns)
+            & (active_columns >= opts.min_active_columns)
+            & ((active_columns / win_cols) >= opts.min_confidence)
+        )
+        frame_idx = np.arange(min_x - 1, min_x - 1 + n_dec)
+        sample_off = {"start": 0, "center": opts.fft_size // 2,
+                      "end": opts.fft_size}[opts.time_mode]
+        times_s = np.floor(
+            (frame_idx * opts.hop_size + sample_off) / rate * 1000.0 + 0.5
+        ) / 1000.0
+        decisions = [TimedDecision(float(t), bool(s))
+                     for t, s in zip(times_s, speech)]
+        decisions = postprocess_decisions(
+            decisions, opts.hop_size / rate, opts
+        )
+        metrics = Metrics()
+        for d in decisions:
+            metrics.add(d.speech, label_at(labels_all[i], d.time_s))
+        total.merge(metrics)
+        host_wall = time.perf_counter() - t0
+        attributed = wall_total * durations[i] / dur_sum + host_wall
+        rows.append(FileResult(wav, durations[i], attributed, metrics))
+    return total, rows
+
+
 def macro_metrics(rows: Sequence[FileResult]) -> dict:
     n = len(rows)
     agg = {"precision": 0.0, "recall": 0.0, "f1": 0.0, "accuracy": 0.0,
