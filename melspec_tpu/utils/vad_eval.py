@@ -359,7 +359,19 @@ def evaluate_testset_batched(
     raw_all = np.asarray(device_pass(jnp.asarray(batch)))
     wall_total = time.perf_counter() - started
 
-    from melspec_tpu.ops.vad import smooth_mask
+    def smooth_np(mask: np.ndarray, window: int = 4) -> np.ndarray:
+        """Host majority smoothing over the last axis (numpy prefix sums) —
+        avoids one device round-trip per file."""
+        n = mask.shape[-1]
+        prefix = np.concatenate(
+            [np.zeros(mask.shape[:-1] + (1,), np.int64),
+             np.cumsum(mask, axis=-1)], axis=-1,
+        )
+        i = np.arange(n)
+        start = np.maximum(i - window, 0)
+        end = np.minimum(i + window + 1, n)
+        count = np.take(prefix, end, axis=-1) - np.take(prefix, start, axis=-1)
+        return count * 2 >= (end - start)
 
     total = Metrics()
     rows: List[FileResult] = []
@@ -376,13 +388,7 @@ def evaluate_testset_batched(
         n_dec = n_frames - min_x + 1
         idx = np.arange(n_dec)[:, None] + np.arange(win_cols)[None, :]
         windows = raw[idx]
-        d_pad = 1
-        while d_pad < n_dec:
-            d_pad <<= 1
-        windows_p = np.pad(windows, ((0, d_pad - n_dec), (0, 0)))
-        import jax.numpy as _jnp
-
-        smoothed = np.asarray(smooth_mask(_jnp.asarray(windows_p), 4))[:n_dec]
+        smoothed = smooth_np(windows, 4)
         active_columns = smoothed.sum(axis=1)
         leading = np.where(smoothed, 1, 0).cumprod(axis=1).sum(axis=1)
         speech = (
