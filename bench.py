@@ -57,9 +57,12 @@ def main() -> None:
     configs = [("256x10s", 256, 10 * SR), ("64x10s", 64, 10 * SR),
                ("16x60s", 16, 60 * SR), ("8x300s", 8, 300 * SR)]
     backends = [
+        # fused Pallas kernels: fastest paths (hp: <=1e-6 golden parity)
+        ("pallas_f32", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0)),
+        ("pallas_hp", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0,
+                                                   hp=True)),
         ("xla_f32", pipe.mel_batch),
-        ("xla_hp", pipe_hp.mel_batch),  # <=1e-6 golden parity, bf16 MXU
-        ("pallas", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0)),
+        ("xla_hp", pipe_hp.mel_batch),
     ]
 
     for name, batch, t in configs:

@@ -151,7 +151,8 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fft_size", "n_mels", "sampling_rate", "interpret"),
+    static_argnames=("fft_size", "n_mels", "sampling_rate", "interpret",
+                     "n_slices", "max_pair_sum", "tile_frames"),
 )
 def _pallas_hp_mel_frames(
     frames: jnp.ndarray,  # [N, k_pad] float32 RAW (unwindowed) frames
@@ -162,6 +163,7 @@ def _pallas_hp_mel_frames(
     interpret: bool,
     n_slices: int = 5,
     max_pair_sum: int = 5,
+    tile_frames: int = 512,
 ) -> jnp.ndarray:
     from melspec_tpu.ops.hp_dft import matrix_slices
     from melspec_tpu.ops.windows import hann_periodic as _hann
@@ -186,8 +188,8 @@ def _pallas_hp_mel_frames(
     mt = jnp.asarray(mt, jnp.float32)
 
     n = frames.shape[0]
-    assert n % TILE_FRAMES == 0 and frames.shape[1] == k_pad
-    n_tiles = n // TILE_FRAMES
+    assert n % tile_frames == 0 and frames.shape[1] == k_pad
+    n_tiles = n // tile_frames
 
     kernel = functools.partial(
         _hp_mel_tile_kernel, n_slices=n_slices, max_pair_sum=max_pair_sum
@@ -198,12 +200,12 @@ def _pallas_hp_mel_frames(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_FRAMES, k_pad), lambda i: (i, 0),
+            pl.BlockSpec((tile_frames, k_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mt
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_slices),
-        out_specs=pl.BlockSpec((TILE_FRAMES, n_mels_pad), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_frames, n_mels_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, n_mels_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -304,7 +306,8 @@ def whisper_mel_pallas(
 
     batch = x.shape[0]
     total = batch * n_frames
-    total_pad = -(-total // TILE_FRAMES) * TILE_FRAMES
+    tile = 512 if hp else TILE_FRAMES  # measured-best tile sizes (v5e)
+    total_pad = -(-total // tile) * tile
     # pad the signal so framing stays in bounds, then pad the frame count
     needed = (n_frames - 1) * hop_size + fft_size
     if x.shape[-1] < needed:
@@ -316,11 +319,18 @@ def whisper_mel_pallas(
         frames, ((0, total_pad - total), (0, k_pad - fft_size))
     )
 
-    impl = _pallas_hp_mel_frames if hp else _pallas_mel_frames
-    out = impl(
-        frames,
-        fft_size=fft_size, n_mels=n_mels,
-        sampling_rate=float(sampling_rate), interpret=interpret,
-    )
+    if hp:
+        out = _pallas_hp_mel_frames(
+            frames,
+            fft_size=fft_size, n_mels=n_mels,
+            sampling_rate=float(sampling_rate), interpret=interpret,
+            tile_frames=tile,
+        )
+    else:
+        out = _pallas_mel_frames(
+            frames,
+            fft_size=fft_size, n_mels=n_mels,
+            sampling_rate=float(sampling_rate), interpret=interpret,
+        )
     out = out[:total, :n_mels].reshape(batch, n_frames, n_mels)
     return out[0] if squeeze else out
