@@ -21,14 +21,19 @@ BASELINE_RTFX = 484.0
 SR = 16000
 
 
-def _bench(fn, args, iters=5, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def _bench(fn, inputs, iters=6, warmup=2):
+    """Mean wall seconds per call, cycling over DISTINCT inputs — repeated
+    identical execute requests can be memoized by remote runtimes, which
+    would fake sub-roofline timings."""
+    outs = []
+    for i in range(warmup):
+        outs.append(fn(inputs[i % len(inputs)]))
+    jax.block_until_ready(outs)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = []
+    for i in range(iters):
+        outs.append(fn(inputs[i % len(inputs)]))
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 
@@ -66,8 +71,10 @@ def main() -> None:
     ]
 
     for name, batch, t in configs:
-        x = jax.random.normal(key, (batch, t), dtype=jnp.float32) * 0.1
-        jax.block_until_ready(x)
+        keys = jax.random.split(key, 3)
+        xs = [jax.random.normal(k, (batch, t), dtype=jnp.float32) * 0.1
+              for k in keys]
+        jax.block_until_ready(xs)
         audio_s = batch * t / SR
         for backend, fn in backends:
             if time.perf_counter() - started > BUDGET_S and best[0]:
@@ -75,7 +82,7 @@ def main() -> None:
                       file=sys.stderr)
                 break
             try:
-                wall = _bench(fn, (x,))
+                wall = _bench(fn, xs)
             except Exception as e:  # noqa: BLE001 — report and continue
                 print(f"{backend} {name} failed: {e!r}"[:400], file=sys.stderr)
                 continue
@@ -85,7 +92,7 @@ def main() -> None:
                   file=sys.stderr)
             if rtfx > best[1]:
                 best = (f"{backend}_{name}", rtfx)
-        del x
+        del xs
         if time.perf_counter() - started > BUDGET_S and best[0]:
             break
 
