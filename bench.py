@@ -22,18 +22,24 @@ SR = 16000
 
 
 def _bench(fn, inputs, iters=6, warmup=2):
-    """Mean wall seconds per call, cycling over DISTINCT inputs — repeated
-    identical execute requests can be memoized by remote runtimes, which
-    would fake sub-roofline timings."""
-    outs = []
+    """Mean wall seconds per call with DISTINCT inputs and a data-dependency
+    chain between iterations: iteration i+1's input depends on iteration
+    i's full output, so neither request memoization nor optimistic
+    readiness signaling in a remote runtime can fake the timing. The chain
+    adds one elementwise add + reduce per iteration (counted against us —
+    the number is conservative)."""
+    import jax.numpy as jnp
+
+    carry = jnp.zeros((), jnp.float32)
     for i in range(warmup):
-        outs.append(fn(inputs[i % len(inputs)]))
-    jax.block_until_ready(outs)
+        x = inputs[i % len(inputs)] + carry * 1e-30
+        carry = jnp.sum(fn(x)) * 1e-30
+    jax.block_until_ready(carry)
     t0 = time.perf_counter()
-    outs = []
     for i in range(iters):
-        outs.append(fn(inputs[i % len(inputs)]))
-    jax.block_until_ready(outs)
+        x = inputs[i % len(inputs)] + carry * 1e-30
+        carry = jnp.sum(fn(x)) * 1e-30
+    jax.block_until_ready(carry)
     return (time.perf_counter() - t0) / iters
 
 
