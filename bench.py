@@ -21,26 +21,36 @@ BASELINE_RTFX = 484.0
 SR = 16000
 
 
-def _bench(fn, inputs, iters=6, warmup=2):
-    """Mean wall seconds per call with DISTINCT inputs and a data-dependency
-    chain between iterations: iteration i+1's input depends on iteration
-    i's full output, so neither request memoization nor optimistic
-    readiness signaling in a remote runtime can fake the timing. The chain
-    adds one elementwise add + reduce per iteration (counted against us —
-    the number is conservative)."""
+def _bench(fn, inputs, iters=10):
+    """Slope-calibrated wall seconds per call.
+
+    Defenses, all required for honest numbers through a remote runtime:
+    - DISTINCT inputs (identical execute requests can be memoized);
+    - a data-dependency chain (iteration i+1 consumes iteration i's
+      output, so executions serialize on device);
+    - the timed quantity ends with a HOST FETCH of a scalar reduced from
+      the final output (block_until_ready can be optimistically signaled;
+      a fetched value cannot);
+    - the reported time is the SLOPE (T(2+iters) - T(2)) / iters, which
+      cancels fixed dispatch/RTT overheads and the fetch itself.
+    """
     import jax.numpy as jnp
 
-    carry = jnp.zeros((), jnp.float32)
-    for i in range(warmup):
-        x = inputs[i % len(inputs)] + carry * 1e-30
-        carry = jnp.sum(fn(x)) * 1e-30
-    jax.block_until_ready(carry)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        x = inputs[i % len(inputs)] + carry * 1e-30
-        carry = jnp.sum(fn(x)) * 1e-30
-    jax.block_until_ready(carry)
-    return (time.perf_counter() - t0) / iters
+    def timed(n):
+        carry = jnp.zeros((), jnp.float32)
+        carry = jnp.sum(fn(inputs[0] + carry * 1e-30)) * 1e-30  # warm
+        float(carry)
+        t0 = time.perf_counter()
+        carry = jnp.zeros((), jnp.float32)
+        for i in range(n):
+            x = inputs[i % len(inputs)] + carry * 1e-30
+            carry = jnp.sum(fn(x)) * 1e-30
+        float(carry)
+        return time.perf_counter() - t0
+
+    t_short = timed(2)
+    t_long = timed(2 + iters)
+    return max((t_long - t_short) / iters, 1e-9)
 
 
 BUDGET_S = float(__import__("os").environ.get("MELSPEC_BENCH_BUDGET_S", 1500))
@@ -68,12 +78,11 @@ def main() -> None:
     configs = [("256x10s", 256, 10 * SR), ("64x10s", 64, 10 * SR),
                ("16x60s", 16, 60 * SR), ("8x300s", 8, 300 * SR)]
     backends = [
-        # fused Pallas kernels: fastest paths (hp: <=1e-6 golden parity)
+        ("xla_f32", pipe.mel_batch),
+        ("xla_hp", pipe_hp.mel_batch),  # <=1e-6 golden parity (Ozaki bf16)
         ("pallas_f32", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0)),
         ("pallas_hp", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0,
                                                    hp=True)),
-        ("xla_f32", pipe.mel_batch),
-        ("xla_hp", pipe_hp.mel_batch),
     ]
 
     for name, batch, t in configs:
