@@ -149,22 +149,12 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
     out_ref[:] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fft_size", "n_mels", "sampling_rate", "interpret",
-                     "n_slices", "max_pair_sum", "tile_frames"),
-)
-def _pallas_hp_mel_frames(
-    frames: jnp.ndarray,  # [N, k_pad] float32 RAW (unwindowed) frames
-    *,
-    fft_size: int,
-    n_mels: int,
-    sampling_rate: float,
-    interpret: bool,
-    n_slices: int = 5,
-    max_pair_sum: int = 5,
-    tile_frames: int = 512,
-) -> jnp.ndarray:
+@functools.lru_cache(maxsize=8)
+def _hp_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
+                        n_slices: int):
+    """Device-resident sliced matrices, built once per config. Passed to
+    the jitted kernels as ARGUMENTS, not closure constants: embedded HLO
+    constants can be re-shipped on every execute by remote runtimes."""
     from melspec_tpu.ops.hp_dft import matrix_slices
     from melspec_tpu.ops.windows import hann_periodic as _hann
 
@@ -179,16 +169,44 @@ def _pallas_hp_mel_frames(
     sw = np.zeros((k_pad, n_bins_pad))
     cw[:fft_size, :half] = w * cos_m
     sw[:fft_size, :half] = w * msin_m
-    cs = [jnp.asarray(m, jnp.bfloat16) for m in matrix_slices(cw, n_slices)]
-    ss = [jnp.asarray(m, jnp.bfloat16) for m in matrix_slices(sw, n_slices)]
+    cs = tuple(jnp.asarray(m, jnp.bfloat16) for m in matrix_slices(cw, n_slices))
+    ss = tuple(jnp.asarray(m, jnp.bfloat16) for m in matrix_slices(sw, n_slices))
 
     filters = mel_filterbank(sampling_rate, fft_size, n_mels)
     mt = np.zeros((n_bins_pad, n_mels_pad))
     mt[:half, :n_mels] = filters[:, :half].T
-    mt = jnp.asarray(mt, jnp.float32)
+    return cs, ss, jnp.asarray(mt, jnp.float32), n_bins_pad, n_mels_pad, k_pad
 
-    n = frames.shape[0]
-    assert n % tile_frames == 0 and frames.shape[1] == k_pad
+
+@functools.lru_cache(maxsize=8)
+def _f32_device_matrices(fft_size: int, n_mels: int, sampling_rate: float):
+    cw, sw, mt, n_bins_pad, n_mels_pad, k_pad = _build_matrices(
+        fft_size, n_mels, sampling_rate
+    )
+    return (
+        jnp.asarray(cw, jnp.float32),
+        jnp.asarray(sw, jnp.float32),
+        jnp.asarray(mt, jnp.float32),
+        n_bins_pad, n_mels_pad, k_pad,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "n_slices", "max_pair_sum", "tile_frames"),
+)
+def _pallas_hp_mel_frames(
+    frames: jnp.ndarray,  # [N, k_pad] float32 RAW (unwindowed) frames
+    cs, ss, mt,
+    *,
+    interpret: bool,
+    n_slices: int = 5,
+    max_pair_sum: int = 5,
+    tile_frames: int = 512,
+) -> jnp.ndarray:
+    n, k_pad = frames.shape
+    n_mels_pad = mt.shape[1]
+    assert n % tile_frames == 0
     n_tiles = n // tile_frames
 
     kernel = functools.partial(
@@ -196,6 +214,7 @@ def _pallas_hp_mel_frames(
     )
     n_pairs = sum(1 for i in range(n_slices) for j in range(n_slices)
                   if i + j <= max_pair_sum)
+    n_bins_pad = mt.shape[0]
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -218,28 +237,16 @@ def _pallas_hp_mel_frames(
     )(frames, mt, *cs, *ss)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fft_size", "n_mels", "sampling_rate", "interpret"),
-)
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_mel_frames(
-    frames: jnp.ndarray,  # [N, fft] float32, N a multiple of TILE_FRAMES
+    frames: jnp.ndarray,  # [N, k_pad] float32, N a multiple of TILE_FRAMES
+    cw, sw, mt,
     *,
-    fft_size: int,
-    n_mels: int,
-    sampling_rate: float,
     interpret: bool,
 ) -> jnp.ndarray:
-    cw, sw, mt, n_bins_pad, n_mels_pad, k_pad = _build_matrices(
-        fft_size, n_mels, sampling_rate
-    )
-    cw = jnp.asarray(cw, jnp.float32)
-    sw = jnp.asarray(sw, jnp.float32)
-    mt = jnp.asarray(mt, jnp.float32)
-
-    n = frames.shape[0]
+    n, k_pad = frames.shape
+    n_bins_pad, n_mels_pad = mt.shape
     assert n % TILE_FRAMES == 0
-    assert frames.shape[1] == k_pad
     n_tiles = n // TILE_FRAMES
 
     flops_tile = (
@@ -320,17 +327,16 @@ def whisper_mel_pallas(
     )
 
     if hp:
+        cs, ss, mt, _, _, _ = _hp_device_matrices(
+            fft_size, n_mels, float(sampling_rate), 5
+        )
         out = _pallas_hp_mel_frames(
-            frames,
-            fft_size=fft_size, n_mels=n_mels,
-            sampling_rate=float(sampling_rate), interpret=interpret,
-            tile_frames=tile,
+            frames, cs, ss, mt, interpret=interpret, tile_frames=tile,
         )
     else:
-        out = _pallas_mel_frames(
-            frames,
-            fft_size=fft_size, n_mels=n_mels,
-            sampling_rate=float(sampling_rate), interpret=interpret,
+        cw, sw, mt, _, _, _ = _f32_device_matrices(
+            fft_size, n_mels, float(sampling_rate)
         )
+        out = _pallas_mel_frames(frames, cw, sw, mt, interpret=interpret)
     out = out[:total, :n_mels].reshape(batch, n_frames, n_mels)
     return out[0] if squeeze else out
