@@ -34,10 +34,24 @@ from melspec_tpu.ops.windows import hann_periodic
 
 class StftState(NamedTuple):
     """Carried streaming state — trivially serializable (the checkpoint/
-    resume analogue in SURVEY.md §5: persist this plus the feature stream)."""
+    resume analogue in SURVEY.md §5: persist this plus the feature stream,
+    the way the reference persists features as TGA and resumes ASR from
+    them alone)."""
 
     hop_buf: jnp.ndarray  # [fft_size] samples, newest at the end
     idx: jnp.ndarray      # scalar int32/int64 — total samples pushed
+
+
+def save_state(state: StftState, path) -> None:
+    """Checkpoint streaming state to an ``.npz`` file."""
+    np.savez(path, hop_buf=np.asarray(state.hop_buf),
+             idx=np.asarray(state.idx))
+
+
+def load_state(path) -> StftState:
+    """Resume streaming state from ``save_state`` output."""
+    with np.load(path) as z:
+        return StftState(jnp.asarray(z["hop_buf"]), jnp.asarray(z["idx"]))
 
 
 class StreamingStft:

@@ -21,7 +21,6 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 from pathlib import Path
 

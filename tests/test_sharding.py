@@ -17,6 +17,11 @@ from melspec_tpu.parallel import (
 )
 
 
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
 def test_mesh_has_8_devices():
     mesh = make_mesh()
     assert mesh.devices.size == 8

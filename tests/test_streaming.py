@@ -91,6 +91,40 @@ def test_short_chunk_zero_padding():
     assert out is not None
 
 
+def test_checkpoint_resume(tmp_path, jfk_samples):
+    """Streaming can checkpoint mid-clip and resume bit-identically."""
+    from melspec_tpu.streaming.stft import load_state, save_state
+
+    config = MelConfig(fft_size=400, hop_size=160, n_mels=80,
+                       sampling_rate=16000.0)
+    mel = StreamingMel(config, dtype=jnp.float64)
+
+    # continuous run
+    state = mel.init()
+    outs_full = []
+    for off in range(0, 16000, 160):
+        state, out = mel.push(state, jfk_samples[off : off + 160])
+        outs_full.append(out)
+
+    # checkpointed run: stop halfway, persist, reload, continue
+    state = mel.init()
+    outs_ckpt = []
+    for off in range(0, 8000, 160):
+        state, out = mel.push(state, jfk_samples[off : off + 160])
+        outs_ckpt.append(out)
+    save_state(state, tmp_path / "stream.npz")
+    state = load_state(tmp_path / "stream.npz")
+    for off in range(8000, 16000, 160):
+        state, out = mel.push(state, jfk_samples[off : off + 160])
+        outs_ckpt.append(out)
+
+    assert len(outs_full) == len(outs_ckpt)
+    for a, b in zip(outs_full, outs_ckpt):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_array_equal(a, b)
+
+
 def test_state_is_serializable():
     config = MelConfig(fft_size=400, hop_size=160, n_mels=80,
                        sampling_rate=16000.0)
