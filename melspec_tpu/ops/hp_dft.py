@@ -123,10 +123,15 @@ def hp_rdft_power(
         return s, err
 
     def component(mat_slices):
-        """Compensated (hi, lo) float32 accumulation of slice-pair matmuls,
-        largest scale first — keeps ~2^-45 of the running sum without any
-        float64 (works with jax_enable_x64 off)."""
-        terms = []
+        """Compensated (hi, lo) float32 accumulation of slice-pair matmuls.
+
+        Same-scale pairs (i+j == s) are summed FIRST as plain f32 adds —
+        their integer magnitudes keep those sums exact to ~2 ulp of 2^25,
+        which the 128^-(s+2) scale renders negligible — then the <= 6
+        scaled group sums go through a short two-float chain, largest
+        scale first. No float64 anywhere (works with jax_enable_x64 off).
+        """
+        groups = {}
         for i, xs in enumerate(x_slices):
             xs_b = xs.astype(jnp.bfloat16)
             for j, cs in enumerate(mat_slices):
@@ -137,12 +142,14 @@ def hp_rdft_power(
                     jnp.asarray(cs, jnp.bfloat16),
                     preferred_element_type=jnp.float32,
                 )
-                # 2^-7(i+j+2) is a power of two: the scale multiply is exact
-                terms.append((i + j, y * (SLICE_SCALE ** (-(i + j + 2)))))
-        terms.sort(key=lambda t: t[0])
-        hi = terms[0][1]
+                s = i + j
+                groups[s] = y if s not in groups else groups[s] + y
+        # 2^-7(s+2) is a power of two: the scale multiply is exact
+        terms = [groups[s] * (SLICE_SCALE ** (-(s + 2)))
+                 for s in sorted(groups)]
+        hi = terms[0]
         lo = jnp.zeros_like(hi)
-        for _, t in terms[1:]:
+        for t in terms[1:]:
             hi, err = two_sum(hi, t)
             lo = lo + err
         return two_sum(hi, lo)  # renormalize

@@ -120,18 +120,21 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
         return s, (a - (s - bb)) + (b - bb)
 
     def component(mat_refs):
-        terms = []
+        # group same-scale pairs with exact-enough plain adds, then a
+        # short compensated chain over the <= 6 scaled groups
+        groups = {}
         for i, xs in enumerate(x_slices):
             for j in range(n_slices):
                 if i + j > max_pair_sum:
                     continue
                 y = jnp.dot(xs, mat_refs[j][:],
                             preferred_element_type=jnp.float32)
-                terms.append((i + j, y * (128.0 ** (-(i + j + 2)))))
-        terms.sort(key=lambda t: t[0])
-        hi = terms[0][1]
+                s = i + j
+                groups[s] = y if s not in groups else groups[s] + y
+        terms = [groups[s] * (128.0 ** (-(s + 2))) for s in sorted(groups)]
+        hi = terms[0]
         lo = jnp.zeros_like(hi)
-        for _, t in terms[1:]:
+        for t in terms[1:]:
             hi, err = two_sum(hi, t)
             lo = lo + err
         return two_sum(hi, lo)
