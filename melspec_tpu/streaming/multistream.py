@@ -1,0 +1,112 @@
+"""Vectorized streaming mel over many concurrent audio streams.
+
+A serving deployment decodes hundreds of live streams at once. The
+reference's streaming objects are one-stream-per-struct; here the carried
+state is batched — ``hop_buf [S, fft]``, ``idx [S]`` — and one jitted step
+advances every stream by one hop (masked, so ragged activity is fine).
+The stream axis shards over a mesh with ``shard_map``/``jit`` shardings
+exactly like the batch axis in ``parallel/sharding.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.config import MelConfig
+from melspec_tpu.ops import dft
+from melspec_tpu.ops.fastmath import log10_best
+from melspec_tpu.ops.filterbank import mel_filterbank
+from melspec_tpu.ops.spectrogram import LOG10_FLOOR
+from melspec_tpu.ops.windows import hann_periodic
+
+
+class MultiStreamState(NamedTuple):
+    hop_buf: jnp.ndarray  # [S, fft_size]
+    idx: jnp.ndarray      # [S] samples seen per stream
+
+
+class MultiStreamMel:
+    """Whisper streaming mel for ``n_streams`` concurrent streams.
+
+    - ``init()`` -> fresh state for all streams
+    - ``push(state, chunks [S, hop], active [S])`` ->
+      ``(state, mels [S, n_mels], valid [S])``: advances only the streams
+      whose ``active`` flag is set; ``valid`` marks streams whose overlap
+      window has filled AND were active this step.
+    - ``reset(state, mask [S])`` -> state with masked streams re-zeroed
+      (a stream ended; its slot is reused).
+    """
+
+    def __init__(self, config: MelConfig = MelConfig(), n_streams: int = 64,
+                 dtype=jnp.float32):
+        self.config = config
+        self.n_streams = n_streams
+        self.dtype = dtype
+        fft, n_mels = config.fft_size, config.n_mels
+        half = fft // 2
+        filters = mel_filterbank(config.sampling_rate, fft, n_mels)
+        self.filters_t = jnp.asarray(filters[:, :half].T, dtype=dtype)
+        self.window = jnp.asarray(hann_periodic(fft), dtype=dtype)
+        cos_m, msin_m = dft.rdft_matrices(fft, half)
+        self.cos_m = jnp.asarray(cos_m, dtype=dtype)
+        self.msin_m = jnp.asarray(msin_m, dtype=dtype)
+
+    def init(self) -> MultiStreamState:
+        return MultiStreamState(
+            hop_buf=jnp.zeros((self.n_streams, self.config.fft_size),
+                              dtype=self.dtype),
+            idx=jnp.zeros(self.n_streams, dtype=jnp.int32),
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _push_jit(self, state: MultiStreamState, chunks: jnp.ndarray,
+                  active: jnp.ndarray):
+        hop = self.config.hop_size
+        fft = self.config.fft_size
+        hp = jax.lax.Precision.HIGHEST
+
+        shifted = jnp.concatenate(
+            [state.hop_buf[:, hop:], chunks.astype(self.dtype)], axis=1
+        )
+        buf = jnp.where(active[:, None], shifted, state.hop_buf)
+        idx = state.idx + jnp.where(active, hop, 0).astype(state.idx.dtype)
+
+        xw = buf * self.window
+        re = jnp.matmul(xw, self.cos_m, precision=hp)
+        im = jnp.matmul(xw, self.msin_m, precision=hp)
+        power = re * re + im * im
+        energy = jnp.matmul(power, self.filters_t, precision=hp)
+        log_mel = log10_best(
+            jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)),
+            self.dtype,
+        )
+        mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
+        mels = (jnp.maximum(log_mel, mmax) + 4.0) / 4.0
+        valid = active & (idx >= fft)
+        return MultiStreamState(buf, idx), mels, valid
+
+    def push(self, state: MultiStreamState, chunks, active=None
+             ) -> Tuple[MultiStreamState, np.ndarray, np.ndarray]:
+        chunks = jnp.asarray(chunks, self.dtype)
+        if chunks.shape != (self.n_streams, self.config.hop_size):
+            raise ValueError("chunks must be [n_streams, hop_size]")
+        if active is None:
+            active = jnp.ones(self.n_streams, dtype=bool)
+        state, mels, valid = self._push_jit(state, chunks,
+                                            jnp.asarray(active, bool))
+        return state, np.asarray(mels), np.asarray(valid)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _reset_jit(self, state: MultiStreamState, mask: jnp.ndarray):
+        return MultiStreamState(
+            hop_buf=jnp.where(mask[:, None], 0.0, state.hop_buf),
+            idx=jnp.where(mask, 0, state.idx),
+        )
+
+    def reset(self, state: MultiStreamState, mask) -> MultiStreamState:
+        return self._reset_jit(state, jnp.asarray(mask, bool))
