@@ -125,23 +125,31 @@ def hp_rdft_power(
     def component(mat_slices):
         """Compensated (hi, lo) float32 accumulation of slice-pair matmuls.
 
-        Same-scale pairs (i+j == s) are summed FIRST as plain f32 adds —
-        their integer magnitudes keep those sums exact to ~2 ulp of 2^25,
-        which the 128^-(s+2) scale renders negligible — then the <= 6
-        scaled group sums go through a short two-float chain, largest
-        scale first. No float64 anywhere (works with jax_enable_x64 off).
+        MXU shape: the n_slices matrix planes are concatenated column-wise
+        so each signal slice does ONE wide matmul ``[.., K] @ [K,
+        n_slices*n_bins]`` — fewer, fatter matmuls beat many narrow ones
+        on the systolic array (a few i+j > max_pair_sum products are
+        computed and discarded; cheap at these sizes).
+
+        Same-scale pairs (i+j == s) are summed as plain f32 adds — their
+        integer magnitudes keep those sums exact to ~2 ulp of 2^25, which
+        the 128^-(s+2) scale renders negligible — then the <= 6 scaled
+        group sums go through a short two-float chain, largest scale
+        first. No float64 anywhere (works with jax_enable_x64 off).
         """
+        c_all = jnp.concatenate(
+            [jnp.asarray(cs, jnp.bfloat16) for cs in mat_slices], axis=1
+        )
         groups = {}
         for i, xs in enumerate(x_slices):
-            xs_b = xs.astype(jnp.bfloat16)
-            for j, cs in enumerate(mat_slices):
+            y_all = jnp.matmul(
+                xs.astype(jnp.bfloat16), c_all,
+                preferred_element_type=jnp.float32,
+            )
+            for j in range(len(mat_slices)):
                 if i + j > max_pair_sum:
                     continue
-                y = jnp.matmul(
-                    xs_b,
-                    jnp.asarray(cs, jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
+                y = y_all[..., j * n_bins : (j + 1) * n_bins]
                 s = i + j
                 groups[s] = y if s not in groups else groups[s] + y
         # 2^-7(s+2) is a power of two: the scale multiply is exact

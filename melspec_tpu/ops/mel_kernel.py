@@ -87,13 +87,10 @@ def _mel_tile_kernel(frames_ref, cw_ref, sw_ref, mt_ref, out_ref):
 
 
 def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
-    """Fused Ozaki-split whisper-mel tile: raw [256, k_pad] frames in,
+    """Fused Ozaki-split whisper-mel tile: raw [tile, k_pad] frames in,
     normalized log-mel out, every DFT FLOP an exact bf16 MXU matmul (see
     ``ops/hp_dft.py`` for the numerical argument)."""
-    frames_ref, mt_ref = refs[0], refs[1]
-    cs_refs = refs[2 : 2 + n_slices]
-    ss_refs = refs[2 + n_slices : 2 + 2 * n_slices]
-    out_ref = refs[2 + 2 * n_slices]
+    frames_ref, mt_ref, cs_all_ref, ss_all_ref, out_ref = refs
 
     fr = frames_ref[:]
     row_max = jnp.max(jnp.abs(fr), axis=1, keepdims=True)
@@ -119,16 +116,20 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
         bb = s - a
         return s, (a - (s - bb)) + (b - bb)
 
-    def component(mat_refs):
-        # group same-scale pairs with exact-enough plain adds, then a
-        # short compensated chain over the <= 6 scaled groups
+    def component(mat_ref):
+        # one WIDE matmul per signal slice against the column-concatenated
+        # matrix planes [k_pad, n_slices * n_bins_pad]; group same-scale
+        # pairs with exact-enough plain adds, then a short compensated
+        # chain over the <= 6 scaled groups
+        c_all = mat_ref[:]
+        n_bins_pad = c_all.shape[1] // n_slices
         groups = {}
         for i, xs in enumerate(x_slices):
+            y_all = jnp.dot(xs, c_all, preferred_element_type=jnp.float32)
             for j in range(n_slices):
                 if i + j > max_pair_sum:
                     continue
-                y = jnp.dot(xs, mat_refs[j][:],
-                            preferred_element_type=jnp.float32)
+                y = y_all[:, j * n_bins_pad : (j + 1) * n_bins_pad]
                 s = i + j
                 groups[s] = y if s not in groups else groups[s] + y
         terms = [groups[s] * (128.0 ** (-(s + 2))) for s in sorted(groups)]
@@ -139,8 +140,8 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
             lo = lo + err
         return two_sum(hi, lo)
 
-    re_hi, re_lo = component(cs_refs)
-    im_hi, im_lo = component(ss_refs)
+    re_hi, re_lo = component(cs_all_ref)
+    im_hi, im_lo = component(ss_all_ref)
     power = (
         re_hi * re_hi + im_hi * im_hi + 2.0 * (re_hi * re_lo + im_hi * im_lo)
     ) * (sigma * sigma)
@@ -172,8 +173,10 @@ def _hp_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
     sw = np.zeros((k_pad, n_bins_pad))
     cw[:fft_size, :half] = w * cos_m
     sw[:fft_size, :half] = w * msin_m
-    cs = tuple(jnp.asarray(m, jnp.bfloat16) for m in matrix_slices(cw, n_slices))
-    ss = tuple(jnp.asarray(m, jnp.bfloat16) for m in matrix_slices(sw, n_slices))
+    cs = jnp.asarray(np.concatenate(matrix_slices(cw, n_slices), axis=1),
+                     jnp.bfloat16)
+    ss = jnp.asarray(np.concatenate(matrix_slices(sw, n_slices), axis=1),
+                     jnp.bfloat16)
 
     filters = mel_filterbank(sampling_rate, fft_size, n_mels)
     mt = np.zeros((n_bins_pad, n_mels_pad))
@@ -225,8 +228,9 @@ def _pallas_hp_mel_frames(
             pl.BlockSpec((tile_frames, k_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mt
-        ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_slices),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cs (wide)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ss (wide)
+        ],
         out_specs=pl.BlockSpec((tile_frames, n_mels_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, n_mels_pad), jnp.float32),
@@ -237,7 +241,7 @@ def _pallas_hp_mel_frames(
             transcendentals=n * n_mels_pad,
         ),
         interpret=interpret,
-    )(frames, mt, *cs, *ss)
+    )(frames, mt, cs, ss)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
