@@ -65,6 +65,40 @@ def sharded_whisper_mel(
     return shard_batch(pipe._mel_batch_jit, mesh, axis)
 
 
+def sharded_multistream(
+    mesh: Mesh,
+    config=None,
+    n_streams: int = 64,
+    axis: str = "batch",
+):
+    """Concurrent-stream serving over the mesh: the stream axis of
+    ``MultiStreamMel`` shards like a batch axis (streams are independent;
+    no collectives). Returns ``(multi, init_fn, push_fn)`` where the state
+    and chunk arrays are sharded on their leading axis."""
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.streaming.multistream import MultiStreamMel
+
+    config = config or MelConfig()
+    if n_streams % mesh.devices.size != 0:
+        raise ValueError("n_streams must divide evenly over the mesh")
+    multi = MultiStreamMel(config, n_streams)
+    spec = NamedSharding(mesh, P(axis))
+
+    from melspec_tpu.streaming.multistream import MultiStreamState
+
+    def init_fn():
+        state = multi.init()
+        return jax.device_put(state, MultiStreamState(spec, spec))
+
+    raw_push = multi._push_jit.__wrapped__.__get__(multi)
+    push_fn = jax.jit(
+        raw_push,
+        in_shardings=(MultiStreamState(spec, spec), spec, spec),
+        out_shardings=(MultiStreamState(spec, spec), spec, spec),
+    )
+    return multi, init_fn, push_fn
+
+
 def sharded_frontend_step(
     mesh: Mesh,
     settings: DetectionSettings = DetectionSettings(),

@@ -1,0 +1,83 @@
+"""Broad config coverage: non-16k sample rates, 128-mel (whisper large-v3
+style), odd fft/hop combinations — every pipeline must keep its frame
+semantics and match the f64 naive computation."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from melspec_tpu.ops import framing
+from melspec_tpu.ops.filterbank import mel_filterbank
+from melspec_tpu.ops.spectrogram import WhisperMelPipeline
+from melspec_tpu.ops.windows import hann_periodic
+
+
+@pytest.mark.parametrize(
+    "fft,hop,n_mels,sr",
+    [
+        (400, 160, 128, 16000.0),   # whisper large-v3
+        (512, 128, 64, 8000.0),
+        (1024, 256, 80, 22050.0),
+        (960, 480, 40, 48000.0),
+        (256, 96, 32, 16000.0),     # hop not a divisor of fft
+    ],
+)
+def test_whisper_pipeline_any_config(fft, hop, n_mels, sr):
+    rng = np.random.default_rng(0)
+    samples = (rng.normal(size=int(sr)) * 0.2).astype(np.float32)
+
+    pipe = WhisperMelPipeline(fft, hop, n_mels, sr, dtype=jnp.float64)
+    got = np.asarray(pipe.mel_batch(samples))
+    nf = framing.num_frames_batch(len(samples), fft, hop)
+    assert got.shape == (nf, n_mels)
+
+    # naive f64 check on a few frames
+    window = hann_periodic(fft)
+    filters = mel_filterbank(sr, fft, n_mels)
+    half = fft // 2
+    for k in [0, nf // 2, nf - 1]:
+        frame = samples[k * hop : k * hop + fft].astype(np.float64)
+        spec = np.fft.fft(frame * window)
+        power = np.abs(spec[:half]) ** 2
+        log_mel = np.log10(np.maximum(filters[:, :half] @ power, 1e-10))
+        mmax = log_mel.max() - 8.0
+        want = (np.maximum(log_mel, mmax) + 4.0) / 4.0
+        np.testing.assert_allclose(got[k], want, atol=1e-9)
+
+
+@pytest.mark.parametrize("fft,hop", [(400, 160), (1024, 256), (960, 480)])
+def test_hp_path_any_config(fft, hop):
+    rng = np.random.default_rng(1)
+    samples = (rng.normal(size=48000) * 0.2).astype(np.float32)
+    f64 = WhisperMelPipeline(fft, hop, 80, 16000.0, dtype=jnp.float64)
+    hp = WhisperMelPipeline(fft, hop, 80, 16000.0, dtype=jnp.float32,
+                            fft_impl="hp")
+    a = np.asarray(f64.mel_batch(samples))
+    b = np.asarray(hp.mel_batch(samples))
+    assert np.abs(a - b).max() < 1e-6
+
+
+def test_sharded_multistream_runs():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.parallel import make_mesh
+    from melspec_tpu.parallel.sharding import sharded_multistream
+
+    mesh = make_mesh()
+    multi, init_fn, push_fn = sharded_multistream(
+        mesh, MelConfig(400, 160, 80, 16000.0), n_streams=16
+    )
+    state = init_fn()
+    rng = np.random.default_rng(2)
+    for step in range(4):
+        chunks = jnp.asarray(
+            (rng.normal(size=(16, 160)) * 0.2).astype(np.float32)
+        )
+        state, mels, valid = push_fn(state, chunks,
+                                     jnp.ones(16, dtype=bool))
+    assert mels.shape == (16, 80)
+    assert bool(np.asarray(valid).all())  # window filled after 3 hops
+    assert len(state.hop_buf.sharding.device_set) == 8
