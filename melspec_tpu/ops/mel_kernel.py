@@ -291,6 +291,8 @@ def whisper_mel_pallas(
     streaming: bool = False,
     interpret: bool = False,
     hp: bool = False,
+    hp_n_slices: int = 5,
+    hp_max_pair_sum: int = 5,
 ) -> jnp.ndarray:
     """Whisper log-mel via the fused Pallas kernel.
 
@@ -335,10 +337,11 @@ def whisper_mel_pallas(
 
     if hp:
         cs, ss, mt, _, _, _ = _hp_device_matrices(
-            fft_size, n_mels, float(sampling_rate), 5
+            fft_size, n_mels, float(sampling_rate), hp_n_slices
         )
         out = _pallas_hp_mel_frames(
             frames, cs, ss, mt, interpret=interpret, tile_frames=tile,
+            n_slices=hp_n_slices, max_pair_sum=hp_max_pair_sum,
         )
     else:
         cw, sw, mt, _, _, _ = _f32_device_matrices(
