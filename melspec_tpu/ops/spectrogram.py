@@ -22,7 +22,6 @@ Exact semantics preserved:
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 import jax

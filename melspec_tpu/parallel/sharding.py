@@ -19,7 +19,6 @@ fleet-wide VAD metrics) is reduced with ``psum``. This module provides:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence
 
 import numpy as np

@@ -17,7 +17,7 @@ applications (websocket services, audio workers, RPC frontends):
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

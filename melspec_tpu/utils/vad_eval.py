@@ -315,7 +315,7 @@ def evaluate_testset_batched(
     import jax.numpy as jnp
 
     from melspec_tpu.ops.framing import num_frames_batch
-    from melspec_tpu.ops.spectrogram import WhisperMelPipeline, whisper_norm
+    from melspec_tpu.ops.spectrogram import WhisperMelPipeline
     from melspec_tpu.ops.vad import classify_columns
 
     wavs = sorted(testset.glob("*.wav"))
