@@ -69,6 +69,21 @@ def log_mel_spectrogram(fft_frame, mel_filters) -> np.ndarray:
     return np.log10(np.maximum(energy, LOG10_FLOOR))[:, None]
 
 
+def stft_frames(samples, fft_size: int, hop_size: int) -> np.ndarray:
+    """Batch STFT returning raw complex FFT frames ``[n_frames, fft_size]``
+    (the analogue of ``Spectrogram::compute_all_cpu``,
+    ``src/stft.rs:89-115``): periodic Hann window, frame k starting at
+    ``k*hop``. Host float64 — for feature pipelines use the fused device
+    paths."""
+    samples = np.asarray(samples, dtype=np.float64)
+    nf = framing.num_frames_batch(len(samples), fft_size, hop_size)
+    if nf <= 0:
+        return np.zeros((0, fft_size), dtype=np.complex128)
+    window = hann_periodic(fft_size)
+    idx = np.arange(nf)[:, None] * hop_size + np.arange(fft_size)
+    return np.fft.fft(samples[idx] * window, axis=-1)
+
+
 class MelProjection:
     """Stateful FFT-frame -> normalized mel column projector — the direct
     analogue of the reference's ``MelSpectrogram`` (``src/mel.rs:13-32``):
