@@ -51,8 +51,8 @@ class BatchLogMel:
 
     def __init__(self, config: BatchLogMelConfig = BatchLogMelConfig(),
                  dtype=jnp.float32, fft_impl: str = "rdft"):
-        if fft_impl not in ("rdft", "fft"):
-            raise ValueError("fft_impl must be 'rdft' or 'fft'")
+        if fft_impl not in ("rdft", "fft", "hp"):
+            raise ValueError("fft_impl must be 'rdft', 'fft' or 'hp'")
         self.config = config
         self.dtype = dtype
         self.fft_impl = fft_impl
@@ -69,9 +69,8 @@ class BatchLogMel:
         )
         self._filters_np = filters
         self.filters_t = jnp.asarray(filters.T, dtype=dtype)  # [bins, n_mels]
-        self.window = jnp.asarray(
-            hann_centered(config.n_fft, config.win_length), dtype=dtype
-        )
+        self._window_np = hann_centered(config.n_fft, config.win_length)
+        self.window = jnp.asarray(self._window_np, dtype=dtype)
 
     @property
     def filters(self) -> np.ndarray:
@@ -106,12 +105,22 @@ class BatchLogMel:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, needed - x.shape[-1])])
 
         frames = framing.frame_signal(x, cfg.n_fft, cfg.hop_length, valid)
-        xw = frames * self.window
-        if self.fft_impl == "rdft":
-            power = dft.rdft_power(xw, cfg.n_fft, self.fft_bins, dtype=self.dtype)
+        if self.fft_impl == "hp":
+            from melspec_tpu.ops.hp_dft import hp_rdft_power_windowed
+
+            power = hp_rdft_power_windowed(
+                frames.astype(jnp.float32), self._window_np, cfg.n_fft,
+                self.fft_bins,
+            ).astype(self.dtype)
         else:
-            spec = jnp.fft.rfft(xw, axis=-1)
-            power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(self.dtype)
+            xw = frames * self.window
+            if self.fft_impl == "rdft":
+                power = dft.rdft_power(xw, cfg.n_fft, self.fft_bins,
+                                       dtype=self.dtype)
+            else:
+                spec = jnp.fft.rfft(xw, axis=-1)
+                power = (jnp.real(spec) ** 2
+                         + jnp.imag(spec) ** 2).astype(self.dtype)
 
         energy = jnp.matmul(power, self.filters_t, preferred_element_type=self.dtype,
                             precision=jax.lax.Precision.HIGHEST)

@@ -51,8 +51,8 @@ class Fbank:
 
     def __init__(self, config: FbankConfig = FbankConfig(), dtype=jnp.float32,
                  fft_impl: str = "rdft"):
-        if fft_impl not in ("rdft", "fft"):
-            raise ValueError("fft_impl must be 'rdft' or 'fft'")
+        if fft_impl not in ("rdft", "fft", "hp"):
+            raise ValueError("fft_impl must be 'rdft', 'fft' or 'hp'")
         self.config = config
         self.dtype = dtype
         self.fft_impl = fft_impl
@@ -71,7 +71,8 @@ class Fbank:
         )
         self._filters_np = filters
         self.filters_t = jnp.asarray(filters.T, dtype=dtype)
-        self.window = jnp.asarray(povey(self.frame_len), dtype=dtype)
+        self._window_np = povey(self.frame_len)
+        self.window = jnp.asarray(self._window_np, dtype=dtype)
 
     @property
     def dense_filterbank(self) -> np.ndarray:
@@ -106,6 +107,27 @@ class Fbank:
             y = y.at[..., 0].set(first)
         else:
             y = d
+
+        if self.fft_impl == "hp":
+            from melspec_tpu.ops.hp_dft import hp_rdft_power_windowed
+
+            power = hp_rdft_power_windowed(
+                y.astype(jnp.float32), self._window_np, self.fft_size,
+                self.fft_bins,
+            ).astype(self.dtype)
+            if not cfg.use_power:
+                power = jnp.sqrt(power)
+            energy = jnp.matmul(power, self.filters_t,
+                                preferred_element_type=self.dtype,
+                                precision=jax.lax.Precision.HIGHEST)
+            floor = cfg.energy_floor if cfg.energy_floor > 0.0 else F32_EPSILON
+            energy = jnp.maximum(energy, jnp.asarray(floor, self.dtype))
+            from melspec_tpu.ops.fastmath import ln_best
+
+            feats = ln_best(energy, self.dtype) if cfg.use_log_fbank else energy
+            if cfg.apply_cmn:
+                feats = feats - jnp.mean(feats, axis=-2, keepdims=True)
+            return feats
 
         xw = y * self.window
         # zero-pad to fft_size happens implicitly: the rDFT matrices are

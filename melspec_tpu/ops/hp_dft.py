@@ -52,21 +52,60 @@ def matrix_slices(mat: np.ndarray, n_slices: int) -> Tuple[np.ndarray, ...]:
 
 @functools.lru_cache(maxsize=16)
 def _dft_matrix_slices(
-    fft_size: int, n_bins: int, n_slices: int, windowed: bool
+    fft_size: int, n_bins: int, n_slices: int, windowed: bool,
+    frame_len: int = 0,
 ) -> Tuple[Tuple[np.ndarray, ...], Tuple[np.ndarray, ...]]:
-    """7-bit slices of the (optionally Hann-window-folded) DFT matrices.
+    """7-bit slices of the (optionally window-folded) DFT matrices.
     Folding the window in keeps the signal path exact: the f32 product
     ``frames * window`` would inject 2^-24-relative element noise, which a
     512-point dot amplifies to ~2^-21 of the frame amplitude — right at the
-    1e-5 parity bar this path exists to beat."""
+    1e-5 parity bar this path exists to beat. ``windowed`` selects the
+    periodic Hann; for other windows use ``hp_rdft_power_windowed``.
+    ``frame_len`` truncates the matrices for zero-padded framing (Kaldi's
+    400-in-512)."""
     cos_m, msin_m = dft.rdft_matrices(fft_size, n_bins)
+    if frame_len:
+        cos_m = cos_m[:frame_len]
+        msin_m = msin_m[:frame_len]
     if windowed:
         from melspec_tpu.ops.windows import hann_periodic
 
-        w = hann_periodic(fft_size)[:, None]
+        w = hann_periodic(fft_size)[: cos_m.shape[0], None]
         cos_m = w * cos_m
         msin_m = w * msin_m
     return matrix_slices(cos_m, n_slices), matrix_slices(msin_m, n_slices)
+
+
+def hp_rdft_power_windowed(
+    frames: jnp.ndarray,
+    window: np.ndarray,
+    fft_size: int,
+    n_bins: int,
+    n_slices: int = 5,
+    max_pair_sum: int = 5,
+) -> jnp.ndarray:
+    """hp power spectrum with an arbitrary float64 window folded into the
+    sliced matrices. ``frames`` are RAW (unwindowed) ``[..., frame_len]``
+    with ``frame_len = len(window) <= fft_size`` (implicit zero padding,
+    like Kaldi's 400-sample frames in a 512 FFT)."""
+    frame_len = len(window)
+    cos_m, msin_m = dft.rdft_matrices(fft_size, n_bins)
+    w = np.asarray(window, np.float64)[:, None]
+    key = (fft_size, n_bins, n_slices, frame_len,
+           hash(w.tobytes()))
+    cached = _windowed_cache.get(key)
+    if cached is None:
+        cached = (
+            matrix_slices(w * cos_m[:frame_len], n_slices),
+            matrix_slices(w * msin_m[:frame_len], n_slices),
+        )
+        _windowed_cache[key] = cached
+    cs, ss = cached
+    return _hp_power_from_slices(frames, cs, ss, n_bins, n_slices,
+                                 max_pair_sum)
+
+
+_windowed_cache: dict = {}
 
 
 def _signal_slices(xn: jnp.ndarray, n_slices: int):
@@ -104,7 +143,18 @@ def hp_rdft_power(
     cos_slices, msin_slices = _dft_matrix_slices(
         fft_size, n_bins, n_slices, hann_windowed
     )
+    return _hp_power_from_slices(frames, cos_slices, msin_slices, n_bins,
+                                 n_slices, max_pair_sum)
 
+
+def _hp_power_from_slices(
+    frames: jnp.ndarray,
+    cos_slices,
+    msin_slices,
+    n_bins: int,
+    n_slices: int,
+    max_pair_sum: int,
+) -> jnp.ndarray:
     x = frames.astype(jnp.float32)
     # per-row power-of-two scale so xn in [-1, 1]: exact exponent
     # extraction (bit ops) rather than the approximate VPU log2/exp2

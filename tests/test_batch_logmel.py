@@ -110,6 +110,17 @@ def test_f32_close_to_f64():
     assert np.abs(a - b).mean() < 1.2e-3
 
 
+def test_hp_path_tightens_f32():
+    cfg = BatchLogMelConfig(n_mels=128, preemphasis=0.97)
+    rng = np.random.default_rng(3)
+    samples = (rng.normal(size=16000) * 0.2).astype(np.float32)
+    f64 = np.asarray(BatchLogMel(cfg, dtype=jnp.float64).compute(samples))
+    hp = np.asarray(
+        BatchLogMel(cfg, dtype=jnp.float32, fft_impl="hp").compute(samples)
+    )
+    assert np.abs(hp - f64).max() < 1e-4  # measured 3.4e-5 (plain f32: 1.8e-4)
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         BatchLogMelConfig(win_length=1024)  # > n_fft

@@ -111,6 +111,14 @@ def test_fbank_vs_kaldi_golden(testdata, jfk_samples):
     assert corr > 0.9999
 
 
+def test_hp_path_tightens_f32(jfk_samples):
+    f64 = np.asarray(Fbank(FbankConfig(), dtype=jnp.float64)
+                     .compute(jfk_samples))
+    hp = np.asarray(Fbank(FbankConfig(), dtype=jnp.float32, fft_impl="hp")
+                    .compute(jfk_samples))
+    assert np.abs(hp - f64).max() < 2e-4  # plain f32 measured ~6.6e-4
+
+
 def test_batched_matches_loop():
     cfg = FbankConfig()
     fb = Fbank(cfg, dtype=jnp.float64)
