@@ -136,12 +136,16 @@ class WhisperMelPipeline:
         n_mels: int = 80,
         sampling_rate: float = 16000.0,
         dtype=jnp.float32,
-        fft_impl: str = "rdft",
+        fft_impl: str = "auto",
         hp_n_slices: int = 5,
         hp_max_pair_sum: int = 5,
     ):
+        if fft_impl == "auto":
+            # the DFT-matmul feeds the MXU; scalar backends are faster with
+            # a real FFT (measured: 6.5k x RT vs 1.9k x RT on one CPU core)
+            fft_impl = "rdft" if jax.default_backend() in ("tpu", "gpu") else "fft"
         if fft_impl not in ("rdft", "fft", "hp"):
-            raise ValueError("fft_impl must be 'rdft', 'fft' or 'hp'")
+            raise ValueError("fft_impl must be 'auto', 'rdft', 'fft' or 'hp'")
         self.hp_n_slices = hp_n_slices
         self.hp_max_pair_sum = hp_max_pair_sum
         self.fft_size = fft_size
@@ -238,7 +242,7 @@ def compute_mel_spectrogram(
     n_mels: int,
     sampling_rate: float,
     dtype=jnp.float32,
-    fft_impl: str = "rdft",
+    fft_impl: str = "auto",
 ) -> np.ndarray:
     """Drop-in analogue of ``Spectrogram::compute_mel_spectrogram_cpu``
     (reference ``src/stft.rs:119-138``): returns ``[n_frames, n_mels]``
@@ -257,7 +261,7 @@ def compute_streaming_mel(
     n_mels: int,
     sampling_rate: float,
     dtype=jnp.float32,
-    fft_impl: str = "rdft",
+    fft_impl: str = "auto",
 ) -> np.ndarray:
     """Batched computation reproducing the reference's streaming
     RingBuffer -> Spectrogram -> MelSpectrogram pipeline output
