@@ -172,14 +172,15 @@ def _hp_power_from_slices(
         err = (a - (s - bb)) + (b - bb)
         return s, err
 
-    def component(mat_slices):
-        """Compensated (hi, lo) float32 accumulation of slice-pair matmuls.
+    def components(cos_sl, sin_sl):
+        """Compensated (hi, lo) float32 accumulation of slice-pair matmuls
+        for BOTH DFT components at once.
 
-        MXU shape: the n_slices matrix planes are concatenated column-wise
-        so each signal slice does ONE wide matmul ``[.., K] @ [K,
-        n_slices*n_bins]`` — fewer, fatter matmuls beat many narrow ones
-        on the systolic array (a few i+j > max_pair_sum products are
-        computed and discarded; cheap at these sizes).
+        MXU shape: all cos planes and all sin planes are concatenated
+        column-wise so each signal slice does ONE wide matmul
+        ``[.., K] @ [K, 2*n_slices*n_bins]`` — fewer, fatter matmuls beat
+        many narrow ones on the systolic array (a few i+j > max_pair_sum
+        products are computed and discarded; cheap at these sizes).
 
         Same-scale pairs (i+j == s) are summed as plain f32 adds — their
         integer magnitudes keep those sums exact to ~2 ulp of 2^25, which
@@ -187,33 +188,40 @@ def _hp_power_from_slices(
         group sums go through a short two-float chain, largest scale
         first. No float64 anywhere (works with jax_enable_x64 off).
         """
+        n_sl = len(cos_sl)
         c_all = jnp.concatenate(
-            [jnp.asarray(cs, jnp.bfloat16) for cs in mat_slices], axis=1
+            [jnp.asarray(m, jnp.bfloat16) for m in (*cos_sl, *sin_sl)],
+            axis=1,
         )
-        groups = {}
+        groups_re, groups_im = {}, {}
         for i, xs in enumerate(x_slices):
             y_all = jnp.matmul(
                 xs.astype(jnp.bfloat16), c_all,
                 preferred_element_type=jnp.float32,
             )
-            for j in range(len(mat_slices)):
+            for j in range(n_sl):
                 if i + j > max_pair_sum:
                     continue
-                y = y_all[..., j * n_bins : (j + 1) * n_bins]
                 s = i + j
-                groups[s] = y if s not in groups else groups[s] + y
-        # 2^-7(s+2) is a power of two: the scale multiply is exact
-        terms = [groups[s] * (SLICE_SCALE ** (-(s + 2)))
-                 for s in sorted(groups)]
-        hi = terms[0]
-        lo = jnp.zeros_like(hi)
-        for t in terms[1:]:
-            hi, err = two_sum(hi, t)
-            lo = lo + err
-        return two_sum(hi, lo)  # renormalize
+                yr = y_all[..., j * n_bins : (j + 1) * n_bins]
+                yi = y_all[..., (n_sl + j) * n_bins : (n_sl + j + 1) * n_bins]
+                groups_re[s] = yr if s not in groups_re else groups_re[s] + yr
+                groups_im[s] = yi if s not in groups_im else groups_im[s] + yi
 
-    re_hi, re_lo = component(cos_slices)
-    im_hi, im_lo = component(msin_slices)
+        def combine(groups):
+            # 2^-7(s+2) is a power of two: the scale multiply is exact
+            terms = [groups[s] * (SLICE_SCALE ** (-(s + 2)))
+                     for s in sorted(groups)]
+            hi = terms[0]
+            lo = jnp.zeros_like(hi)
+            for t in terms[1:]:
+                hi, err = two_sum(hi, t)
+                lo = lo + err
+            return two_sum(hi, lo)  # renormalize
+
+        return combine(groups_re), combine(groups_im)
+
+    (re_hi, re_lo), (im_hi, im_lo) = components(cos_slices, msin_slices)
     # |v|^2 with the two-float cross term; powers are nonnegative so the
     # sum does not cancel. sigma^2 is a power of two (exact rescale).
     power = (
