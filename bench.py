@@ -64,9 +64,13 @@ def main() -> None:
     from melspec_tpu.ops.mel_kernel import whisper_mel_pallas
     from melspec_tpu.ops.spectrogram import WhisperMelPipeline
 
-    pipe = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32)
+    pipe = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
+                              fft_impl="rdft")
     pipe_hp = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
                                  fft_impl="hp")
+    pipe_hp44 = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
+                                   fft_impl="hp", hp_n_slices=4,
+                                   hp_max_pair_sum=4)
 
     key = jax.random.PRNGKey(0)
     results = {}
@@ -78,8 +82,9 @@ def main() -> None:
     configs = [("256x10s", 256, 10 * SR), ("64x10s", 64, 10 * SR),
                ("16x60s", 16, 60 * SR), ("8x300s", 8, 300 * SR)]
     backends = [
-        ("xla_f32", pipe.mel_batch),
-        ("xla_hp", pipe_hp.mel_batch),  # <=1e-6 golden parity (Ozaki bf16)
+        ("xla_f32", pipe.mel_batch),          # 1.16e-5 JFK parity
+        ("xla_hp44", pipe_hp44.mel_batch),    # 1.07e-6 parity
+        ("xla_hp", pipe_hp.mel_batch),        # 3.6e-7 parity (Ozaki bf16)
         ("pallas_f32", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0)),
         ("pallas_hp", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0,
                                                    hp=True)),
