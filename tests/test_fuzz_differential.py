@@ -49,6 +49,52 @@ def test_whisper_pipeline_fuzz(fft, hop, n_mels, sr):
                                    err_msg=f"frame {k}")
 
 
+VAD_CASES = []
+for _ in range(6):
+    VAD_CASES.append((
+        float(RNG.uniform(0.2, 1.5)),       # min_energy
+        int(RNG.integers(0, 12)),           # min_y
+        int(RNG.integers(3, 12)),           # min_x
+        int(RNG.integers(0, 5)),            # min_mel
+        int(RNG.integers(8, 30)),           # height
+        int(RNG.integers(10, 120)),         # width
+    ))
+
+
+@pytest.mark.parametrize("me,my,mx,mm,h,w", VAD_CASES)
+def test_vad_boundaries_fuzz(me, my, mx, mm, h, w):
+    """Random images x random settings: vectorized classification equals
+    the naive scalar Sobel implementation decision-for-decision."""
+    from melspec_tpu.config import DetectionSettings
+    from melspec_tpu.ops.vad import vad_boundaries
+    from tests.test_vad import naive_vad_boundaries
+
+    img = RNG.random((h, w)) * 3.0
+    settings = DetectionSettings(me, my, mx, mm)
+    got = vad_boundaries(img, settings)
+    non, inter = naive_vad_boundaries(img, settings)
+    assert got.intersected() == inter
+    assert got.non_intersected() == non
+
+
+@pytest.mark.parametrize("me,my,mx,mm,h,w", VAD_CASES[:3])
+def test_streaming_decisions_fuzz(me, my, mx, mm, h, w):
+    from melspec_tpu.config import DetectionSettings
+    from melspec_tpu.ops.vad import streaming_decisions
+    from melspec_tpu.streaming.vad import VoiceActivityDetector
+
+    img = RNG.random((h, max(w, mx + 2))) * 3.0
+    settings = DetectionSettings(me, my, mx, mm)
+    batched = streaming_decisions(img, settings)
+    vad = VoiceActivityDetector(settings)
+    for t in range(img.shape[1]):
+        got = vad.add_activity(img[:, t : t + 1])
+        want = batched[t]
+        assert (got is None) == (want is None)
+        if got is not None:
+            assert got == want, f"frame {t}"
+
+
 def test_stft_frames_matches_streaming_emission(jfk_samples):
     """compute_all-style batch STFT agrees with per-hop StreamingStft for
     the frames both produce (after the streaming warmup offset)."""
