@@ -222,6 +222,43 @@ def streaming_decision_fields(
     }
 
 
+def streaming_decision_fields_batched(
+    mels: jnp.ndarray, settings: DetectionSettings
+) -> dict:
+    """Fully on-device, jittable batched decision fields.
+
+    ``mels`` is ``[B, n_mels, T]``; returns a dict of ``[B, n_dec]`` arrays
+    (``n_dec = T - min_x + 1``) with the same semantics as
+    ``streaming_decision_fields`` — the serving-shaped form: jit it, shard
+    the batch axis, or embed it in a larger step. Requires
+    ``T >= min_x`` and ``min_x >= 3``.
+    """
+    height, total = mels.shape[-2], mels.shape[-1]
+    min_x = settings.min_x
+    win_cols = min_x - 2
+    if total < min_x or height < 3 or win_cols < 1:
+        raise ValueError("need T >= min_x >= 3 and n_mels >= 3")
+
+    raw = classify_columns(mels, settings)  # [B, T-2]
+    n_dec = total - min_x + 1
+    windows = jnp.stack(
+        [raw[..., j : j + n_dec] for j in range(win_cols)], axis=-1
+    )  # [B, n_dec, win_cols]
+    smoothed = smooth_mask(windows, 4)
+
+    active_columns = jnp.sum(smoothed, axis=-1)
+    leading = jnp.sum(
+        jnp.cumprod(smoothed.astype(jnp.int32), axis=-1), axis=-1
+    )
+    return {
+        "active": smoothed[..., 0],
+        "leading": leading,
+        "active_columns": active_columns,
+        "window_columns": jnp.full(active_columns.shape, win_cols),
+        "confidence": active_columns / win_cols,
+    }
+
+
 def streaming_decisions(
     mel: np.ndarray,
     settings: DetectionSettings,

@@ -1,0 +1,59 @@
+"""On-device batched VAD decision fields: parity with the host path and
+jit/shard compatibility."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.config import DetectionSettings
+from melspec_tpu.ops.vad import (
+    streaming_decision_fields,
+    streaming_decision_fields_batched,
+)
+
+
+def test_batched_fields_match_host():
+    rng = np.random.default_rng(0)
+    mels = rng.random((3, 40, 200)) * 3.0
+    settings = DetectionSettings(min_energy=0.9, min_y=4, min_x=6, min_mel=1)
+    got = jax.jit(
+        lambda m: streaming_decision_fields_batched(m, settings)
+    )(jnp.asarray(mels))
+    for b in range(3):
+        want = streaming_decision_fields(mels[b], settings)
+        np.testing.assert_array_equal(np.asarray(got["active"][b]),
+                                      want["active"])
+        np.testing.assert_array_equal(np.asarray(got["leading"][b]),
+                                      want["leading"])
+        np.testing.assert_array_equal(np.asarray(got["active_columns"][b]),
+                                      want["active_columns"])
+        np.testing.assert_allclose(np.asarray(got["confidence"][b]),
+                                   want["confidence"])
+
+
+def test_batched_fields_sharded():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from melspec_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    spec = NamedSharding(mesh, P("batch"))
+    settings = DetectionSettings(min_energy=0.9, min_y=4, min_x=6, min_mel=1)
+    fn = jax.jit(
+        lambda m: streaming_decision_fields_batched(m, settings),
+        in_shardings=spec,
+    )
+    rng = np.random.default_rng(1)
+    mels = jnp.asarray(rng.random((8, 40, 120)) * 3.0)
+    out = fn(mels)
+    assert out["active"].shape == (8, 120 - 6 + 1)
+
+
+def test_batched_fields_rejects_degenerate():
+    with pytest.raises(ValueError):
+        streaming_decision_fields_batched(
+            jnp.zeros((1, 40, 4)), DetectionSettings(min_x=6)
+        )
