@@ -345,33 +345,23 @@ def evaluate_testset_batched(
     pipe = WhisperMelPipeline(opts.fft_size, opts.hop_size, opts.n_mels,
                               float(rate))
 
+    from melspec_tpu.ops.vad import streaming_decision_fields_batched
+
     @jax.jit
     def device_pass(x):
         mel = pipe._mel_batch_jit(x)              # [B, F, n_mels]
         img = jnp.swapaxes(mel, -1, -2)           # [B, n_mels, F]
-        raw = classify_columns(img.astype(jnp.float64), settings)
-        return raw
+        return streaming_decision_fields_batched(
+            img.astype(jnp.float64), settings
+        )
 
     if warmup:
         jax.block_until_ready(device_pass(jnp.asarray(batch)))
 
     started = time.perf_counter()
-    raw_all = np.asarray(device_pass(jnp.asarray(batch)))
+    fields_all = device_pass(jnp.asarray(batch))
+    fields_all = {k: np.asarray(v) for k, v in fields_all.items()}
     wall_total = time.perf_counter() - started
-
-    def smooth_np(mask: np.ndarray, window: int = 4) -> np.ndarray:
-        """Host majority smoothing over the last axis (numpy prefix sums) —
-        avoids one device round-trip per file."""
-        n = mask.shape[-1]
-        prefix = np.concatenate(
-            [np.zeros(mask.shape[:-1] + (1,), np.int64),
-             np.cumsum(mask, axis=-1)], axis=-1,
-        )
-        i = np.arange(n)
-        start = np.maximum(i - window, 0)
-        end = np.minimum(i + window + 1, n)
-        count = np.take(prefix, end, axis=-1) - np.take(prefix, start, axis=-1)
-        return count * 2 >= (end - start)
 
     total = Metrics()
     rows: List[FileResult] = []
@@ -384,18 +374,16 @@ def evaluate_testset_batched(
         t0 = time.perf_counter()
         n_frames = num_frames_batch(len(clips[i]), opts.fft_size,
                                     opts.hop_size)
-        raw = raw_all[i][: n_frames - 2]
+        # decision fields were computed on-device for the padded width;
+        # the first n_dec entries only read this file's real frames
         n_dec = n_frames - min_x + 1
-        idx = np.arange(n_dec)[:, None] + np.arange(win_cols)[None, :]
-        windows = raw[idx]
-        smoothed = smooth_np(windows, 4)
-        active_columns = smoothed.sum(axis=1)
-        leading = np.where(smoothed, 1, 0).cumprod(axis=1).sum(axis=1)
         speech = (
-            smoothed[:, 0]
-            & (leading >= opts.min_leading_active_columns)
-            & (active_columns >= opts.min_active_columns)
-            & ((active_columns / win_cols) >= opts.min_confidence)
+            fields_all["active"][i][:n_dec]
+            & (fields_all["leading"][i][:n_dec]
+               >= opts.min_leading_active_columns)
+            & (fields_all["active_columns"][i][:n_dec]
+               >= opts.min_active_columns)
+            & (fields_all["confidence"][i][:n_dec] >= opts.min_confidence)
         )
         frame_idx = np.arange(min_x - 1, min_x - 1 + n_dec)
         sample_off = {"start": 0, "center": opts.fft_size // 2,
