@@ -316,7 +316,6 @@ def evaluate_testset_batched(
 
     from melspec_tpu.ops.framing import num_frames_batch
     from melspec_tpu.ops.spectrogram import WhisperMelPipeline
-    from melspec_tpu.ops.vad import classify_columns
 
     wavs = sorted(testset.glob("*.wav"))
     if max_files is not None:
