@@ -60,6 +60,8 @@ def main() -> None:
     ap.add_argument("--batched", action="store_true",
                     help="run the whole testset as one batched device "
                          "dispatch (TPU serving shape)")
+    ap.add_argument("--print-segments", action="store_true",
+                    help="print predicted speech timestamp segments per file")
     args = ap.parse_args()
 
     settings = DetectionSettings(
@@ -87,6 +89,27 @@ def main() -> None:
         f"merge_gap_ms={args.merge_gap_ms}"
     )
     print()
+
+    if args.print_segments:
+        from melspec_tpu.utils.vad_eval import (
+            evaluate_file,
+            read_labels,
+        )
+        from melspec_tpu.io.wav import read_wav_mono
+
+        wavs = sorted(args.testset.glob("*.wav"))
+        if args.max_files is not None:
+            wavs = wavs[: args.max_files]
+        for wav in wavs:
+            samples, rate = read_wav_mono(wav)
+            labels = read_labels(wav.with_suffix(".scv"))
+            _, decisions = evaluate_file(samples, rate, labels, opts, settings)
+            segments = decisions_to_segments(decisions,
+                                             args.hop_size / rate)
+            print(f"segments {wav.name}")
+            for seg in segments:
+                print(f"  {seg.start:.3f},{seg.end:.3f}")
+        print()
 
     if args.batched:
         from melspec_tpu.utils.vad_eval import evaluate_testset_batched
