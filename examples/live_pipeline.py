@@ -9,7 +9,7 @@ packs quantized frames into a byte queue, and the main thread consumes
 frames and prints a summary.
 
     python examples/live_pipeline.py --platform cpu \
-        --wav /root/reference/testdata/jfk_f32le.wav
+        --wav testdata/jfk_f32le.wav
 """
 
 from __future__ import annotations
@@ -38,7 +38,8 @@ from melspec_tpu.streaming.speech_to_mel import SpeechToMel
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--wav", type=Path,
-                    default=Path("/root/reference/testdata/jfk_f32le.wav"))
+                    default=Path(__file__).resolve().parents[1]
+                    / "testdata" / "jfk_f32le.wav")
     ap.add_argument("--realtime", action="store_true",
                     help="pace the producer at realtime (default: as fast "
                          "as possible)")

@@ -3,7 +3,7 @@
 ``examples/vad_ten_eval`` binary: macro/micro P/R/F1/FPR/FNR + RTFx over a
 labeled testset.
 
-    python examples/vad_ten_eval.py --testset /root/reference/testdata/ten-vad
+    python examples/vad_ten_eval.py --testset testdata/ten-vad
     python examples/vad_ten_eval.py --min-energy 0.98 --min-y 11 --min-x 5 \
         --min-mel 2 --min-speech-ms 150 --merge-gap-ms 150
 """
@@ -36,7 +36,8 @@ from melspec_tpu.utils.vad_eval import (
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--testset", type=Path,
-                    default=Path("/root/reference/testdata/ten-vad"))
+                    default=Path(__file__).resolve().parents[1]
+                    / "testdata" / "ten-vad")
     ap.add_argument("--fft-size", type=int, default=400)
     ap.add_argument("--hop-size", type=int, default=160)
     ap.add_argument("--n-mels", type=int, default=80)

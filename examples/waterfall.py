@@ -6,7 +6,7 @@ The offline counterpart of the reference's browser canvas waterfall
 indicator row): stream a WAV through the pipeline and write the waterfall
 as an image.
 
-    python examples/waterfall.py /root/reference/testdata/jfk_f32le.wav \
+    python examples/waterfall.py testdata/jfk_f32le.wav \
         --out /tmp/waterfall.png --platform cpu
 """
 

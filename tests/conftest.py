@@ -26,15 +26,26 @@ from pathlib import Path
 
 import pytest
 
-REF_TESTDATA = Path(
-    os.environ.get("MELSPEC_REF_TESTDATA", "/root/reference/testdata")
+# Fixtures are vendored in-repo (testdata/, MIT-licensed upstream data per
+# testdata/LICENSE-MIT) so the parity suite is self-contained, mirroring the
+# reference's own vendored goldens (`src/rb.rs:171-178`).  An explicit
+# MELSPEC_REF_TESTDATA still overrides for cross-checking a live checkout.
+_VENDORED = Path(__file__).resolve().parent.parent / "testdata"
+_OVERRIDE = os.environ.get("MELSPEC_REF_TESTDATA")
+REF_TESTDATA = (
+    Path(_OVERRIDE)
+    if _OVERRIDE and Path(_OVERRIDE).is_dir()
+    else _VENDORED
 )
 
 
 @pytest.fixture(scope="session")
 def testdata() -> Path:
-    if not REF_TESTDATA.is_dir():
-        pytest.skip(f"reference testdata not available at {REF_TESTDATA}")
+    if not (REF_TESTDATA / "jfk_f32le.wav").is_file():
+        pytest.fail(
+            f"vendored testdata missing at {REF_TESTDATA} — the fixture suite "
+            "is supposed to be self-contained"
+        )
     return REF_TESTDATA
 
 

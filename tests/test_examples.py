@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 REPO = Path(__file__).resolve().parents[1]
-REF = Path("/root/reference/testdata")
+REF = REPO / "testdata"
 
 
 def run(args, timeout=600):
