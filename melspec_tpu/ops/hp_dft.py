@@ -91,14 +91,18 @@ def hp_rdft_power_windowed(
     frame_len = len(window)
     cos_m, msin_m = dft.rdft_matrices(fft_size, n_bins)
     w = np.asarray(window, np.float64)[:, None]
-    key = (fft_size, n_bins, n_slices, frame_len,
-           hash(w.tobytes()))
+    # Keyed on the window bytes themselves (not their hash — a 64-bit hash
+    # collision would silently return the wrong matrices) and bounded like
+    # the lru_cache used elsewhere.
+    key = (fft_size, n_bins, n_slices, frame_len, w.tobytes())
     cached = _windowed_cache.get(key)
     if cached is None:
         cached = (
             matrix_slices(w * cos_m[:frame_len], n_slices),
             matrix_slices(w * msin_m[:frame_len], n_slices),
         )
+        if len(_windowed_cache) >= _WINDOWED_CACHE_MAX:
+            _windowed_cache.pop(next(iter(_windowed_cache)))
         _windowed_cache[key] = cached
     cs, ss = cached
     return _hp_power_from_slices(frames, cs, ss, n_bins, n_slices,
@@ -106,6 +110,7 @@ def hp_rdft_power_windowed(
 
 
 _windowed_cache: dict = {}
+_WINDOWED_CACHE_MAX = 16
 
 
 def _signal_slices(xn: jnp.ndarray, n_slices: int):

@@ -89,9 +89,8 @@ def sharded_multistream(
         state = multi.init()
         return jax.device_put(state, MultiStreamState(spec, spec))
 
-    raw_push = multi._push_jit.__wrapped__.__get__(multi)
     push_fn = jax.jit(
-        raw_push,
+        multi.step,
         in_shardings=(MultiStreamState(spec, spec), spec, spec),
         out_shardings=(MultiStreamState(spec, spec), spec, spec),
     )

@@ -15,6 +15,13 @@
 //  - pop(): consumer side, returns how many samples were read.
 //
 // Capacity is rounded up to a power of two so index masking is branch-free.
+//
+// Overwrite-mode caveat: while a pop() is copying, push_overwrite() may
+// memcpy over the same region (the bytes read are then torn). This overlap
+// is formally a data race on the float payload; it is rendered unobservable
+// by the tail CAS — a pop whose region was invalidated discards its copy
+// and retries from the advanced tail — but strict-TSan users should prefer
+// plain push() (reject-when-full), which never writes over unread data.
 
 #include <atomic>
 #include <cstdint>
@@ -135,28 +142,25 @@ uint64_t msrb_push_overwrite(Ring* r, const float* src, uint64_t n) {
 }
 
 // Consumer: read up to n samples. Returns the number read.
+//
+// The CAS on tail coordinates with push_overwrite: if the producer advanced
+// tail while we copied, the copied bytes may be stale, so the read is
+// discarded and retried from the NEW tail — data that survived the
+// overwrite is still delivered (a bare `return 0` here would drop it).
 uint64_t msrb_pop(Ring* r, float* dst, uint64_t n) {
     uint64_t tail = r->tail.load(std::memory_order_relaxed);
-    uint64_t head = r->head.load(std::memory_order_acquire);
-    uint64_t avail = head - tail;
-    uint64_t take = n < avail ? n : avail;
-    if (take) {
+    for (;;) {
+        uint64_t head = r->head.load(std::memory_order_acquire);
+        uint64_t avail = head - tail;
+        uint64_t take = n < avail ? n : avail;
+        if (!take) return 0;
         copy_out(r, tail, dst, take);
         uint64_t expected = tail;
-        // CAS: push_overwrite may advance tail concurrently.
-        while (!r->tail.compare_exchange_weak(expected, expected + take,
-                                              std::memory_order_acq_rel)) {
-            if (expected >= tail + take) return 0;  // fully overwritten
-            // partial overwrite: re-read from the new tail
-            tail = expected;
-            head = r->head.load(std::memory_order_acquire);
-            avail = head - tail;
-            take = n < avail ? n : avail;
-            if (!take) return 0;
-            copy_out(r, tail, dst, take);
-        }
+        if (r->tail.compare_exchange_strong(expected, tail + take,
+                                            std::memory_order_acq_rel))
+            return take;
+        tail = expected;  // overwritten mid-copy: retry at the new tail
     }
-    return take;
 }
 
 }  // extern "C"

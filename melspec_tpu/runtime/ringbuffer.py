@@ -31,9 +31,14 @@ def _load_library() -> Optional[ctypes.CDLL]:
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if not _LIB_PATH.exists():
+            src = _NATIVE_DIR / "ringbuffer.cpp"
+            stale = (
+                not _LIB_PATH.exists()
+                or _LIB_PATH.stat().st_mtime < src.stat().st_mtime
+            )
+            if stale:
                 subprocess.run(
-                    ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                    ["make", "-sB"], cwd=_NATIVE_DIR, check=True,
                     capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(str(_LIB_PATH))

@@ -63,9 +63,11 @@ class MultiStreamMel:
             idx=jnp.zeros(self.n_streams, dtype=jnp.int32),
         )
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _push_jit(self, state: MultiStreamState, chunks: jnp.ndarray,
-                  active: jnp.ndarray):
+    def step(self, state: MultiStreamState, chunks: jnp.ndarray,
+             active: jnp.ndarray):
+        """One unjitted push step — public so callers can wrap it in their
+        own ``jax.jit`` with explicit shardings (see
+        ``parallel.sharding.sharded_multistream``)."""
         hop = self.config.hop_size
         fft = self.config.fft_size
         hp = jax.lax.Precision.HIGHEST
@@ -74,7 +76,11 @@ class MultiStreamMel:
             [state.hop_buf[:, hop:], chunks.astype(self.dtype)], axis=1
         )
         buf = jnp.where(active[:, None], shifted, state.hop_buf)
-        idx = state.idx + jnp.where(active, hop, 0).astype(state.idx.dtype)
+        # Saturating at fft_size (idx only feeds `valid = idx >= fft`), so a
+        # long-lived int32 stream slot can never wrap negative.
+        idx = jnp.minimum(
+            state.idx + jnp.where(active, hop, 0).astype(state.idx.dtype), fft
+        )
 
         xw = buf * self.window
         re = jnp.matmul(xw, self.cos_m, precision=hp)
@@ -89,6 +95,11 @@ class MultiStreamMel:
         mels = (jnp.maximum(log_mel, mmax) + 4.0) / 4.0
         valid = active & (idx >= fft)
         return MultiStreamState(buf, idx), mels, valid
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _push_jit(self, state: MultiStreamState, chunks: jnp.ndarray,
+                  active: jnp.ndarray):
+        return self.step(state, chunks, active)
 
     def push(self, state: MultiStreamState, chunks, active=None
              ) -> Tuple[MultiStreamState, np.ndarray, np.ndarray]:

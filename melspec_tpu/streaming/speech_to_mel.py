@@ -77,13 +77,20 @@ class SpeechToMel:
         power = re * re + im * im
         floor = jnp.asarray(LOG10_FLOOR, self.dtype)
 
-        log_mel = jnp.log10(
-            jnp.maximum(jnp.matmul(power, self._filters_t, precision=hp), floor)
+        # log10_best, like every other pipeline: native jnp.log10 has ~5e-5
+        # abs error on TPU for no throughput gain here.
+        from melspec_tpu.ops.fastmath import log10_best
+
+        log_mel = log10_best(
+            jnp.maximum(jnp.matmul(power, self._filters_t, precision=hp),
+                        floor),
+            self.dtype,
         )
-        log_vad = jnp.log10(
+        log_vad = log10_best(
             jnp.maximum(
                 jnp.matmul(power, self._filters_vad_t, precision=hp), floor
-            )
+            ),
+            self.dtype,
         )
         vad_norm = (jnp.maximum(log_vad, jnp.max(log_vad) - 8.0) + 4.0) / 4.0
         return log_mel, vad_norm

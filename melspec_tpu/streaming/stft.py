@@ -136,7 +136,11 @@ class StreamingMel:
         hop = self.config.hop_size
         fft = self.config.fft_size
         buf = jnp.concatenate([state.hop_buf[hop:], chunk.astype(self.dtype)])
-        idx = state.idx + true_len  # the reference counts pre-padding samples
+        # The reference counts pre-padding samples in a u64 with wrapping_add
+        # (`stft.rs:12-14`); here idx only ever feeds `valid = idx >= fft`, so
+        # saturate at fft_size instead — an int32 counter would wrap negative
+        # after ~2^31 samples (~37 h at 16 kHz) and silently stop emission.
+        idx = jnp.minimum(state.idx + true_len, fft)
         valid = idx >= fft
         mel = self._mel_of_buf(buf)
         return StftState(buf, idx), mel, valid
@@ -154,7 +158,7 @@ class StreamingMel:
         hop = self.config.hop_size
         fft = self.config.fft_size
         buf = jnp.concatenate([state.hop_buf[hop:], chunk.astype(self.dtype)])
-        idx = state.idx + hop
+        idx = jnp.minimum(state.idx + hop, fft)  # saturating, see _step
         return StftState(buf, idx), self._mel_of_buf(buf), idx >= fft
 
     def push(

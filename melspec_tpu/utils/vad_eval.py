@@ -346,12 +346,23 @@ def evaluate_testset_batched(
 
     from melspec_tpu.ops.vad import streaming_decision_fields_batched
 
+    # Classification dtype: float64 when x64 is on (bit-parity with the
+    # sequential host path), else float32 — the TPU default, where
+    # astype(float64) would silently stay f32 anyway.  f32 decisions are
+    # test-enforced equal to the f64 path on the JFK fixture
+    # (tests/test_vad_batched_device.py::test_batched_fields_f32_parity_jfk);
+    # the Sobel threshold comparison is far from f32 rounding at the
+    # detector's operating points.
+    classify_dtype = (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    )
+
     @jax.jit
     def device_pass(x):
         mel = pipe._mel_batch_jit(x)              # [B, F, n_mels]
         img = jnp.swapaxes(mel, -1, -2)           # [B, n_mels, F]
         return streaming_decision_fields_batched(
-            img.astype(jnp.float64), settings
+            img.astype(classify_dtype), settings
         )
 
     if warmup:

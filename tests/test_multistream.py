@@ -45,7 +45,8 @@ def test_inactive_streams_hold_state(jfk_samples):
         state, _, valid = multi.push(
             state, np.stack([chunk, zeros]), active=[True, False]
         )
-    assert int(np.asarray(state.idx)[0]) == 5 * 160
+    # idx saturates at fft_size once the window has filled (overflow-proof)
+    assert int(np.asarray(state.idx)[0]) == min(5 * 160, 400)
     assert int(np.asarray(state.idx)[1]) == 0
     assert not valid[1]
 
@@ -60,4 +61,4 @@ def test_reset_reuses_slot(jfk_samples):
     state = multi.reset(state, [False, True])
     assert int(np.asarray(state.idx)[1]) == 0
     assert float(np.abs(np.asarray(state.hop_buf)[1]).sum()) == 0.0
-    assert int(np.asarray(state.idx)[0]) == 4 * 160
+    assert int(np.asarray(state.idx)[0]) == min(4 * 160, 400)

@@ -57,3 +57,28 @@ def test_batched_fields_rejects_degenerate():
         streaming_decision_fields_batched(
             jnp.zeros((1, 40, 4)), DetectionSettings(min_x=6)
         )
+
+
+def test_batched_fields_f32_parity_jfk(jfk_samples):
+    """The eval path's classification dtype story: with x64 off (the TPU
+    default) the batched decision fields run in f32 — they must equal the
+    sequential float64 host path decision-for-decision on real speech
+    (`utils/vad_eval.py` device_pass relies on this)."""
+    from melspec_tpu.config import DetectionSettings as DS
+    from melspec_tpu.ops.spectrogram import WhisperMelPipeline
+
+    pipe = WhisperMelPipeline(400, 160, 80, 16000.0)
+    mel = np.asarray(
+        pipe._mel_batch_jit(jnp.asarray(jfk_samples[None, :], jnp.float32))
+    )[0]
+    img = mel.T  # [n_mels, frames]
+    for settings in (DS(), DS(min_energy=0.98, min_y=11, min_x=5, min_mel=2)):
+        want = streaming_decision_fields(img.astype(np.float64), settings)
+        got = jax.jit(
+            lambda m, s=settings: streaming_decision_fields_batched(m, s)
+        )(jnp.asarray(img[None], jnp.float32))
+        for k in ("active", "leading", "active_columns", "window_columns"):
+            np.testing.assert_array_equal(
+                np.asarray(got[k][0]), want[k],
+                err_msg=f"f32 batched VAD field {k} diverged from f64 host",
+            )
