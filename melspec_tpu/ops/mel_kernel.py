@@ -153,6 +153,330 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
     out_ref[:] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
 
 
+def _matrix_slices_i8(mat: np.ndarray, n_slices: int) -> list:
+    """7-bit integer slices CLIPPED to the int8 range. Unlike the bf16
+    slices (``hp_dft.matrix_slices``), int8 cannot hold ±128 — which the
+    window-folded DFT matrices do hit (the frame-center row has
+    ``|w*cos| = 1``). Clipping to ±127 keeps every plane int8-exact; the
+    clipped remainder flows into the next plane's residual, so the
+    truncation tail stays <= 128^-n_slices."""
+    out = []
+    residual = np.asarray(mat, np.float64).copy()
+    for _ in range(n_slices):
+        t = np.clip(np.trunc(residual * 128.0), -127.0, 127.0)
+        residual = residual * 128.0 - t
+        out.append(t.astype(np.int8))
+    return out
+
+
+def _hp8_plane_widths(ks: int, km: int, cutoff: int) -> list:
+    """Number of matrix planes signal slice ``i`` is paired with."""
+    return [min(cutoff - i, km - 1) + 1 for i in range(ks)]
+
+
+@functools.lru_cache(maxsize=8)
+def _hp8_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
+                         ks: int, km: int, cutoff: int):
+    """Per-signal-slice concatenated int8 DFT plane matrices.
+
+    For signal slice ``i`` only the matrix planes ``j <= cutoff - i`` are
+    ever used, so slice i gets its own concatenation
+    ``[cos_0..cos_J | sin_0..sin_J]`` (each plane ``[k_pad, n_bins_pad]``)
+    — no slice-pair product is computed and thrown away, unlike the
+    uniform wide matmul of the bf16 kernel. int8 x int8 -> int32 runs the
+    MXU at twice the bf16 rate and every product is EXACT (7-bit slices:
+    |a*b| <= 16129, 400-element dots < 2^23)."""
+    half = fft_size // 2
+    n_bins_pad = -(-half // LANES) * LANES
+    n_mels_pad = -(-n_mels // LANES) * LANES
+    k_pad = -(-fft_size // LANES) * LANES
+
+    cos_m, msin_m = dft.rdft_matrices(fft_size, half)
+    w = hann_periodic(fft_size)[:, None]
+    cw = np.zeros((k_pad, n_bins_pad))
+    sw = np.zeros((k_pad, n_bins_pad))
+    cw[:fft_size, :half] = w * cos_m
+    sw[:fft_size, :half] = w * msin_m
+    cos_planes = _matrix_slices_i8(cw, km)
+    sin_planes = _matrix_slices_i8(sw, km)
+
+    slice_mats = tuple(
+        jnp.asarray(
+            np.concatenate(cos_planes[:n_p] + sin_planes[:n_p], axis=1)
+        )
+        for n_p in _hp8_plane_widths(ks, km, cutoff)
+    )
+
+    filters = mel_filterbank(sampling_rate, fft_size, n_mels)
+    mt = np.zeros((n_bins_pad, n_mels_pad))
+    mt[:half, :n_mels] = filters[:, :half].T
+    return slice_mats, jnp.asarray(mt, jnp.float32), n_bins_pad, n_mels_pad, k_pad
+
+
+def _hp8_mel_tile_kernel(*refs, ks: int, km: int, cutoff: int,
+                         n_bins_pad: int):
+    """Fused int8-Ozaki whisper-mel tile: raw f32 frames in, normalized
+    log-mel out. Per signal slice ONE int8 MXU matmul against that slice's
+    concatenated planes; same-scale (i+j) groups accumulate in int32
+    (exact — sums stay under 2^31; the s<=1 groups even convert to f32
+    exactly), then a short compensated f32 chain over the <= cutoff+1
+    scaled groups."""
+    frames_ref, mt_ref = refs[0], refs[1]
+    plane_refs = refs[2 : 2 + ks]
+    out_ref = refs[2 + ks]
+
+    fr = frames_ref[:]
+    row_max = jnp.max(jnp.abs(fr), axis=1, keepdims=True)
+    # power-of-two row scale sigma = 2^(e+1) > row_max via exact exponent
+    # bit ops, so |fr/sigma| < 1 and every 7-bit slice fits int8
+    bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(row_max, 1e-38), jnp.int32
+    )
+    sigma = jax.lax.bitcast_convert_type(
+        ((((bits >> 23) & 0xFF) + 1) << 23), jnp.float32
+    )
+    residual = fr / sigma
+
+    groups_re: dict = {}
+    groups_im: dict = {}
+    for i in range(ks):
+        scaled = residual * 128.0
+        t = jnp.trunc(scaled)
+        residual = scaled - t
+        xs = t.astype(jnp.int8)
+        n_p = min(cutoff - i, km - 1) + 1
+        y = jnp.dot(xs, plane_refs[i][:], preferred_element_type=jnp.int32)
+        for j in range(n_p):
+            s = i + j
+            yr = y[:, j * n_bins_pad : (j + 1) * n_bins_pad]
+            yi = y[:, (n_p + j) * n_bins_pad : (n_p + j + 1) * n_bins_pad]
+            groups_re[s] = yr if s not in groups_re else groups_re[s] + yr
+            groups_im[s] = yi if s not in groups_im else groups_im[s] + yi
+
+    def two_sum(a, b):
+        s = a + b
+        bb = s - a
+        return s, (a - (s - bb)) + (b - bb)
+
+    def combine(groups):
+        terms = [groups[s].astype(jnp.float32) * (128.0 ** (-(s + 2)))
+                 for s in sorted(groups)]
+        hi = terms[0]
+        lo = jnp.zeros_like(hi)
+        for t in terms[1:]:
+            hi, err = two_sum(hi, t)
+            lo = lo + err
+        return two_sum(hi, lo)
+
+    re_hi, re_lo = combine(groups_re)
+    im_hi, im_lo = combine(groups_im)
+    power = (
+        re_hi * re_hi + im_hi * im_hi + 2.0 * (re_hi * re_lo + im_hi * im_lo)
+    ) * (sigma * sigma)
+
+    energy = jnp.dot(power, mt_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
+    mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
+    out_ref[:] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "ks", "km", "cutoff", "tile_frames"),
+)
+def _pallas_hp8_mel_frames(
+    frames: jnp.ndarray,  # [N, k_pad] float32 RAW (unwindowed) frames
+    mt, *slice_mats,
+    interpret: bool,
+    ks: int,
+    km: int,
+    cutoff: int,
+    tile_frames: int,
+) -> jnp.ndarray:
+    n, k_pad = frames.shape
+    n_bins_pad, n_mels_pad = mt.shape
+    assert n % tile_frames == 0
+    n_tiles = n // tile_frames
+
+    kernel = functools.partial(
+        _hp8_mel_tile_kernel, ks=ks, km=km, cutoff=cutoff,
+        n_bins_pad=n_bins_pad,
+    )
+    total_cols = sum(m.shape[1] for m in slice_mats)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_frames, k_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mt
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(slice_mats),
+        out_specs=pl.BlockSpec((tile_frames, n_mels_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n_mels_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_pad * total_cols
+            + 2 * n * n_bins_pad * n_mels_pad,
+            bytes_accessed=(n * k_pad + n * n_mels_pad) * 4,
+            transcendentals=n * n_mels_pad,
+        ),
+        interpret=interpret,
+    )(frames, mt, *slice_mats)
+
+
+def _bf16_round_slices(mat: np.ndarray, n_slices: int) -> list:
+    """Rounded bfloat16 slices: ``mat = sum_j M_j + tail`` with
+    ``|M_j| <= 2^-8j |mat|`` elementwise. Unlike the integer Ozaki slices
+    these are scale-free (no row normalization needed) — each level is the
+    bf16 rounding of the previous residual, so 3 slices carry ~24+ bits."""
+    out = []
+    residual = np.asarray(mat, np.float64).copy()
+    for _ in range(n_slices):
+        t = residual.astype(jnp.bfloat16).astype(np.float64)
+        residual = residual - t
+        out.append(t.astype(jnp.bfloat16))
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _bf3_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
+                         ks: int, km: int, cutoff: int):
+    """Per-signal-slice concatenated bf16 DFT plane matrices for the
+    3-slice scheme (layout mirrors ``_hp8_device_matrices``). The window
+    is folded into the float64 matrices BEFORE slicing — the f32 product
+    ``frames * window`` is exactly the 2^-24-per-sample noise source that
+    puts the plain-XLA pipeline above the 1e-5 parity bar."""
+    half = fft_size // 2
+    n_bins_pad = -(-half // LANES) * LANES
+    n_mels_pad = -(-n_mels // LANES) * LANES
+    k_pad = -(-fft_size // LANES) * LANES
+
+    cos_m, msin_m = dft.rdft_matrices(fft_size, half)
+    w = hann_periodic(fft_size)[:, None]
+    cw = np.zeros((k_pad, n_bins_pad))
+    sw = np.zeros((k_pad, n_bins_pad))
+    cw[:fft_size, :half] = w * cos_m
+    sw[:fft_size, :half] = w * msin_m
+    cos_planes = _bf16_round_slices(cw, km)
+    sin_planes = _bf16_round_slices(sw, km)
+
+    slice_mats = tuple(
+        jnp.asarray(
+            np.concatenate(
+                [np.asarray(p, np.float32) for p in
+                 cos_planes[:n_p] + sin_planes[:n_p]], axis=1
+            ),
+            jnp.bfloat16,
+        )
+        for n_p in _hp8_plane_widths(ks, km, cutoff)
+    )
+
+    filters = mel_filterbank(sampling_rate, fft_size, n_mels)
+    mt = np.zeros((n_bins_pad, n_mels_pad))
+    mt[:half, :n_mels] = filters[:, :half].T
+    return slice_mats, jnp.asarray(mt, jnp.float32), n_bins_pad, n_mels_pad, k_pad
+
+
+def _bf3_mel_tile_kernel(*refs, ks: int, km: int, cutoff: int,
+                         n_bins_pad: int, mel_precision):
+    """Fused bf16-3-slice whisper-mel tile.
+
+    The numerical scheme: signal and window-folded DFT matrices are each
+    split into ``ks``/``km`` ROUNDED bf16 slices (successive bf16
+    roundings of the residual — scale-free, ~8 bits per level); slice
+    pairs with ``i + j <= cutoff`` are computed as bf16 MXU matmuls with
+    f32 accumulation and summed smallest-last. With (3, 3, 2) this is the
+    SAME 6-pass MXU cost as one ``precision=HIGHEST`` f32 dot, but with
+    the window exact (folded before slicing) and the pipeline fully fused
+    — measured 1.5e-6 JFK parity vs the f64 reference, 9x under the 1e-5
+    bar the plain-XLA f32 path misses (1.3e-5).
+    """
+    frames_ref, mt_ref = refs[0], refs[1]
+    plane_refs = refs[2 : 2 + ks]
+    out_ref = refs[2 + ks]
+
+    residual = frames_ref[:]
+    groups: dict = {}
+    for i in range(ks):
+        xs = residual.astype(jnp.bfloat16)
+        if i + 1 < ks:
+            residual = residual - xs.astype(jnp.float32)
+        n_p = min(cutoff - i, km - 1) + 1
+        y = jnp.dot(xs, plane_refs[i][:],
+                    preferred_element_type=jnp.float32)
+        for j in range(n_p):
+            s = i + j
+            yr = y[:, j * n_bins_pad : (j + 1) * n_bins_pad]
+            yi = y[:, (n_p + j) * n_bins_pad : (n_p + j + 1) * n_bins_pad]
+            if s not in groups:
+                groups[s] = (yr, yi)
+            else:
+                groups[s] = (groups[s][0] + yr, groups[s][1] + yi)
+
+    # sum pair groups largest-first (plain f32 adds: the terms decay by
+    # 2^-8 per level, so the tail contributes below 2^-24 of the head)
+    order = sorted(groups)
+    re = groups[order[0]][0]
+    im = groups[order[0]][1]
+    for s in order[1:]:
+        re = re + groups[s][0]
+        im = im + groups[s][1]
+    power = re * re + im * im
+
+    energy = jnp.dot(power, mt_ref[:], preferred_element_type=jnp.float32,
+                     precision=mel_precision)
+    log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
+    mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
+    out_ref[:] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "ks", "km", "cutoff", "tile_frames",
+                     "mel_precision"),
+)
+def _pallas_bf3_mel_frames(
+    frames: jnp.ndarray,  # [N, k_pad] float32 RAW (unwindowed) frames
+    mt, *slice_mats,
+    interpret: bool,
+    ks: int,
+    km: int,
+    cutoff: int,
+    tile_frames: int,
+    mel_precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    n, k_pad = frames.shape
+    n_bins_pad, n_mels_pad = mt.shape
+    assert n % tile_frames == 0
+    n_tiles = n // tile_frames
+
+    kernel = functools.partial(
+        _bf3_mel_tile_kernel, ks=ks, km=km, cutoff=cutoff,
+        n_bins_pad=n_bins_pad, mel_precision=mel_precision,
+    )
+    total_cols = sum(m.shape[1] for m in slice_mats)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_frames, k_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mt
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(slice_mats),
+        out_specs=pl.BlockSpec((tile_frames, n_mels_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n_mels_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k_pad * total_cols
+            + 2 * n * n_bins_pad * n_mels_pad,
+            bytes_accessed=(n * k_pad + n * n_mels_pad) * 4,
+            transcendentals=n * n_mels_pad,
+        ),
+        interpret=interpret,
+    )(frames, mt, *slice_mats)
+
+
 @functools.lru_cache(maxsize=8)
 def _hp_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
                         n_slices: int):
@@ -291,8 +615,9 @@ def whisper_mel_pallas(
     streaming: bool = False,
     interpret: bool = False,
     hp: bool = False,
-    hp_n_slices: int = 5,
-    hp_max_pair_sum: int = 5,
+    hp_n_slices: int | None = None,
+    hp_max_pair_sum: int | None = None,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """Whisper log-mel via the fused Pallas kernel.
 
@@ -302,7 +627,23 @@ def whisper_mel_pallas(
     ``ceil(fft/hop)*hop - fft``, reference ring-pipeline semantics) in the
     same frame-major layout — transpose for the golden's feature-major
     view.
+
+    ``impl`` selects the kernel:
+    - ``"bf3"`` (the default): rounded-bf16 3-slice pair kernel — the
+      MXU cost of ONE HIGHEST-precision f32 dot (6 bf16 passes) with the
+      window folded exactly into the sliced matrices; ~1.5e-6 JFK parity.
+      The shipped fast path.
+    - ``"hp8"``: int8-Ozaki fused kernel — exact 7-bit integer slices,
+      default (4 slices, cutoff 4), ~1.5e-6 parity; more passes than bf3.
+    - ``"hp_bf16"``: the integer-bf16-slice kernel (default 5 slices /
+      cutoff 5, ~3e-7 parity). Also selected by the legacy ``hp=True``.
+    - ``"f32"``: plain f32 kernel with HIGHEST-precision dots (kept for
+      comparison).
     """
+    if impl is None:
+        impl = "hp_bf16" if hp else "bf3"
+    if impl not in ("bf3", "hp8", "hp_bf16", "f32"):
+        raise ValueError("impl must be 'bf3', 'hp8', 'hp_bf16' or 'f32'")
     x = jnp.asarray(samples, jnp.float32)
     squeeze = x.ndim == 1
     if squeeze:
@@ -322,7 +663,8 @@ def whisper_mel_pallas(
 
     batch = x.shape[0]
     total = batch * n_frames
-    tile = 512 if hp else TILE_FRAMES  # measured-best tile sizes (v5e)
+    # measured-best tile sizes (v5e)
+    tile = 512 if impl == "hp_bf16" else TILE_FRAMES
     total_pad = -(-total // tile) * tile
     # pad the signal so framing stays in bounds, then pad the frame count
     needed = (n_frames - 1) * hop_size + fft_size
@@ -335,13 +677,35 @@ def whisper_mel_pallas(
         frames, ((0, total_pad - total), (0, k_pad - fft_size))
     )
 
-    if hp:
+    if impl == "bf3":
+        ks = 3 if hp_n_slices is None else hp_n_slices
+        cutoff = 2 if hp_max_pair_sum is None else hp_max_pair_sum
+        slice_mats, mt, _, _, _ = _bf3_device_matrices(
+            fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
+        )
+        out = _pallas_bf3_mel_frames(
+            frames, mt, *slice_mats, interpret=interpret,
+            ks=ks, km=ks, cutoff=cutoff, tile_frames=tile,
+        )
+    elif impl == "hp8":
+        ks = 4 if hp_n_slices is None else hp_n_slices
+        cutoff = 4 if hp_max_pair_sum is None else hp_max_pair_sum
+        slice_mats, mt, _, _, _ = _hp8_device_matrices(
+            fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
+        )
+        out = _pallas_hp8_mel_frames(
+            frames, mt, *slice_mats, interpret=interpret,
+            ks=ks, km=ks, cutoff=cutoff, tile_frames=tile,
+        )
+    elif impl == "hp_bf16":
+        n_slices = 5 if hp_n_slices is None else hp_n_slices
+        pair_sum = 5 if hp_max_pair_sum is None else hp_max_pair_sum
         cs, ss, mt, _, _, _ = _hp_device_matrices(
-            fft_size, n_mels, float(sampling_rate), hp_n_slices
+            fft_size, n_mels, float(sampling_rate), n_slices
         )
         out = _pallas_hp_mel_frames(
             frames, cs, ss, mt, interpret=interpret, tile_frames=tile,
-            n_slices=hp_n_slices, max_pair_sum=hp_max_pair_sum,
+            n_slices=n_slices, max_pair_sum=pair_sum,
         )
     else:
         cw, sw, mt, _, _, _ = _f32_device_matrices(
