@@ -24,7 +24,7 @@ BASELINE_RTFX = 484.0
 SR = 16000
 
 
-def _bench(fn, inputs, iters=10):
+def _bench(fn, inputs, iters=16, reps=2):
     """Slope-calibrated wall seconds per call.
 
     Defenses, all required for honest numbers through a remote runtime:
@@ -35,7 +35,9 @@ def _bench(fn, inputs, iters=10):
       the final output (block_until_ready can be optimistically signaled;
       a fetched value cannot);
     - the reported time is the SLOPE (T(2+iters) - T(2)) / iters, which
-      cancels fixed dispatch/RTT overheads and the fetch itself.
+      cancels fixed dispatch/RTT overheads and the fetch itself;
+    - each endpoint is the MIN over ``reps`` runs: tunnel RTT jitter is
+      strictly additive, so the minimum is the cleanest estimate.
     """
     import jax.numpy as jnp
 
@@ -51,8 +53,8 @@ def _bench(fn, inputs, iters=10):
         float(carry)
         return time.perf_counter() - t0
 
-    t_short = timed(2)
-    t_long = timed(2 + iters)
+    t_short = min(timed(2) for _ in range(reps))
+    t_long = min(timed(2 + iters) for _ in range(reps))
     return max((t_long - t_short) / iters, 1e-9)
 
 
@@ -67,30 +69,40 @@ def main() -> None:
     from melspec_tpu.ops.mel_kernel import whisper_mel_pallas
     from melspec_tpu.ops.spectrogram import WhisperMelPipeline
 
+    pipe_bf3 = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
+                                  fft_impl="bf3")
     pipe = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
                               fft_impl="rdft")
-    pipe_hp = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
-                                 fft_impl="hp")
     pipe_hp44 = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
                                    fft_impl="hp", hp_n_slices=4,
                                    hp_max_pair_sum=4)
 
     key = jax.random.PRNGKey(0)
     results = {}
-    best = (None, 0.0)
+    best = (None, 0.0)           # best among ACCURACY-ELIGIBLE backends
+    best_any = (None, 0.0)       # best overall (diagnostic only)
 
-    # ordered so the headline (fastest known backend at the headline
-    # config) compiles first: compile service latency must not starve the
-    # JSON line. Budget-capped.
+    # ordered so the headline (fastest accuracy-eligible backend at the
+    # headline config) compiles first: compile service latency must not
+    # starve the JSON line. Budget-capped.
+    #
+    # eligible = JFK parity vs the f64 reference <= 1e-5, TEST-ENFORCED
+    # (tests/test_spectrogram.py::test_benched_config_bf3_vs_f64 and the
+    # golden gates in test_mel_kernel.py). The headline metric must satisfy
+    # the throughput AND accuracy bars simultaneously; xla_f32 (1.3e-5) is
+    # reported as a diagnostic but can never be the headline.
     configs = [("256x10s", 256, 10 * SR), ("64x10s", 64, 10 * SR),
                ("16x60s", 16, 60 * SR), ("8x300s", 8, 300 * SR)]
     backends = [
-        ("xla_f32", pipe.mel_batch),          # 1.16e-5 JFK parity
-        ("xla_hp44", pipe_hp44.mel_batch),    # 1.07e-6 parity
-        ("xla_hp", pipe_hp.mel_batch),        # 3.6e-7 parity (Ozaki bf16)
-        ("pallas_f32", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0)),
+        ("xla_bf3", pipe_bf3.mel_batch, True),     # 3.2e-6 JFK parity
+        ("pallas_bf3", lambda x: whisper_mel_pallas(x, 400, 160, 80,
+                                                    16000.0), True),  # 3.2e-6
+        ("pallas_hp8", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0,
+                                                    impl="hp8"), True),  # 1.5e-6
+        ("xla_f32", pipe.mel_batch, False),        # 1.3e-5: over the bar
+        ("xla_hp44", pipe_hp44.mel_batch, True),   # 1.07e-6 parity
         ("pallas_hp", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0,
-                                                   hp=True)),
+                                                   hp=True), True),  # 3e-7
     ]
 
     for name, batch, t in configs:
@@ -99,7 +111,7 @@ def main() -> None:
               for k in keys]
         jax.block_until_ready(xs)
         audio_s = batch * t / SR
-        for backend, fn in backends:
+        for backend, fn, eligible in backends:
             if time.perf_counter() - started > BUDGET_S and best[0]:
                 print("bench budget exhausted; reporting best so far",
                       file=sys.stderr)
@@ -113,8 +125,10 @@ def main() -> None:
             results[f"{backend}_{name}"] = round(rtfx, 1)
             print(f"{backend} {name}: {wall*1e3:.2f} ms -> {rtfx:,.0f}x RT",
                   file=sys.stderr)
-            if rtfx > best[1]:
+            if eligible and rtfx > best[1]:
                 best = (f"{backend}_{name}", rtfx)
+            if rtfx > best_any[1]:
+                best_any = (f"{backend}_{name}", rtfx)
         del xs
         if time.perf_counter() - started > BUDGET_S and best[0]:
             break
@@ -126,8 +140,10 @@ def main() -> None:
         return
 
     print(f"per-config results: {results}", file=sys.stderr)
+    print(f"best overall (incl. accuracy-ineligible): {best_any}",
+          file=sys.stderr)
     print(json.dumps({
-        "metric": f"whisper_mel_rtfx_1chip[{best[0]}]",
+        "metric": f"whisper_mel_rtfx_1chip[{best[0]}|par<=1e-5]",
         "value": round(best[1], 1),
         "unit": "x_realtime",
         "vs_baseline": round(best[1] / BASELINE_RTFX, 1),

@@ -399,6 +399,10 @@ def _bf3_mel_tile_kernel(*refs, ks: int, km: int, cutoff: int,
     residual = frames_ref[:]
     groups: dict = {}
     for i in range(ks):
+        # astype is safe HERE (and reduce_precision is unimplemented in
+        # Mosaic): unlike XLA's allow-excess-precision mode, Mosaic does
+        # not fold `residual - f32(bf16(residual))` to zero — kernel JFK
+        # parity is measured at 3.2e-6 on chip
         xs = residual.astype(jnp.bfloat16)
         if i + 1 < ks:
             residual = residual - xs.astype(jnp.float32)

@@ -60,19 +60,28 @@ def test_kernel_batched_input(signal):
 
 
 def test_kernel_jfk_golden_gate(testdata, jfk_samples):
-    """The kernel must beat the reference's own accelerator parity gate on
-    the JFK golden (max<0.08, mean<0.01 in normalized mel units)."""
+    """The SHIPPED (default) kernel must hold the driver's 1e-5 bar on the
+    master end-to-end golden — far past the reference's own accelerator
+    gate (max<0.08, mean<0.01, ``src/cuda.rs:540-545``). Measured: 4.5e-6
+    (bf3 default)."""
     golden = np.load(testdata / "rust_jfk_golden.npy")
     got = np.asarray(
         whisper_mel_pallas(jfk_samples, 512, 160, 80, 16000.0,
                            streaming=True, interpret=True)
     ).T
     assert got.shape == golden.shape
-    err = np.abs(got - golden)
-    assert err.max() < 0.6      # f32 FFT noise floor, see test_spectrogram
-    assert err.mean() < 0.01    # reference GPU gate
-    loud = golden >= golden.max() - 0.5
-    assert err[loud].max() < 1e-4
+    assert np.abs(got - golden).max() <= 1e-5
+
+
+def test_hp8_kernel_jfk_golden(testdata, jfk_samples):
+    """int8-Ozaki kernel on the master golden (measured 9.5e-7)."""
+    golden = np.load(testdata / "rust_jfk_golden.npy")
+    got = np.asarray(
+        whisper_mel_pallas(jfk_samples, 512, 160, 80, 16000.0,
+                           streaming=True, interpret=True, impl="hp8")
+    ).T
+    assert got.shape == golden.shape
+    assert np.abs(got - golden).max() <= 2e-6
 
 
 def test_hp_kernel_jfk_golden(testdata, jfk_samples):
