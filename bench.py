@@ -94,9 +94,13 @@ def main() -> None:
     configs = [("256x10s", 256, 10 * SR), ("64x10s", 64, 10 * SR),
                ("16x60s", 16, 60 * SR), ("8x300s", 8, 300 * SR)]
     backends = [
+        # pallas_sig: the flagship fused kernel (in-kernel framing,
+        # K-concatenated bf16 slice pairs); 3.3e-6 JFK parity on chip
+        ("pallas_sig", lambda x: whisper_mel_pallas(x, 400, 160, 80,
+                                                    16000.0), True),
         ("xla_bf3", pipe_bf3.mel_batch, True),     # 3.2e-6 JFK parity
-        ("pallas_bf3", lambda x: whisper_mel_pallas(x, 400, 160, 80,
-                                                    16000.0), True),  # 3.2e-6
+        ("pallas_bf3", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0,
+                                                    impl="bf3"), True),
         ("pallas_hp8", lambda x: whisper_mel_pallas(x, 400, 160, 80, 16000.0,
                                                     impl="hp8"), True),  # 1.5e-6
         ("xla_f32", pipe.mel_batch, False),        # 1.3e-5: over the bar

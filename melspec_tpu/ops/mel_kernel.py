@@ -481,6 +481,296 @@ def _pallas_bf3_mel_frames(
     )(frames, mt, *slice_mats)
 
 
+# --------------------------------------------------------------------------
+# "sig" kernel: the flagship — bf3 numerics + IN-KERNEL FRAMING.
+#
+# Every other path (XLA or Pallas) pays for the overlapping frames tensor:
+# either XLA materializes [total_frames, fft] (3.2x the signal, and the
+# strided-slice relayouts behind it measure 5-8 ms at 256x10s), or the MXU
+# eats zero-padding. Here the kernel reads the RAW SIGNAL (13x less HBM
+# traffic), DMAs each tile's 65 x 640-sample macro-row window into VMEM,
+# and assembles the 256 overlapping frames with four lane-rolls:
+#
+#   frame k = 4j+g starts at sample 160k = 640j + 160g, so for each phase
+#   g the 64 frames live at a FIXED lane offset 160g inside macro-row pair
+#   [j, j+1] — one pltpu.roll + slice per phase. Garbage lanes past sample
+#   400 are killed by the zero rows of the DFT matrix, so no masking.
+#
+# The bf3 pair sum is folded into the MXU: signal slices are concatenated
+# along K ([x0|x0|x0|x1|x1|x2], K = 6*512) against stacked matrix planes
+# ([M0;M1;M2;M0;M1;M0]), so the dot's native f32 accumulator performs the
+# entire 6-pass pair summation — no per-pair extraction or VPU adds, and
+# the only matmul output is [tile, 512] (re|im).
+#
+# Output rows are phase-major within each tile; `whisper_mel_pallas`
+# reindexes with a cheap XLA reshape/transpose on [*, n_mels].
+# --------------------------------------------------------------------------
+
+_SIG_ROW = 640            # macro-row samples: lcm(hop=160, lanes=128)
+_SIG_FRAMES_PER_TILE = 512
+_SIG_ROWS_PER_TILE = 128  # 512 frames * 160 hop / 640 (measured-best, v5e)
+
+
+@functools.lru_cache(maxsize=8)
+def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
+                         ks: int, km: int, cutoff: int):
+    """K-stacked bf16 plane matrix [n_pairs*k_pad, 512] with re in cols
+    [0, n_bins_pad) and im in [n_bins_pad, 2*n_bins_pad), plus the pair
+    order for the matching signal-slice concatenation."""
+    half = fft_size // 2
+    n_bins_pad = -(-half // LANES) * LANES
+    n_mels_pad = -(-n_mels // LANES) * LANES
+    k_pad = -(-fft_size // LANES) * LANES
+
+    cos_m, msin_m = dft.rdft_matrices(fft_size, half)
+    w = hann_periodic(fft_size)[:, None]
+    cw = np.zeros((k_pad, n_bins_pad))
+    sw = np.zeros((k_pad, n_bins_pad))
+    cw[:fft_size, :half] = w * cos_m
+    sw[:fft_size, :half] = w * msin_m
+    cos_planes = _bf16_round_slices(cw, km)
+    sin_planes = _bf16_round_slices(sw, km)
+
+    pair_i = []  # signal-slice index per K block, i-major
+    blocks = []
+    for i in range(ks):
+        for j in range(min(cutoff - i, km - 1) + 1):
+            pair_i.append(i)
+            blocks.append(np.concatenate(
+                [np.asarray(cos_planes[j], np.float32),
+                 np.asarray(sin_planes[j], np.float32)], axis=1
+            ))
+    m_big = jnp.asarray(np.concatenate(blocks, axis=0), jnp.bfloat16)
+
+    filters = mel_filterbank(sampling_rate, fft_size, n_mels)
+    mt = np.zeros((n_bins_pad, n_mels_pad))
+    mt[:half, :n_mels] = filters[:, :half].T
+    # bf2 variant: 2 rounded-bf16 filter slices K-stacked [F0; F1; F0] to
+    # pair with the power slices [p0 | p0 | p1]
+    f0, f1 = _bf16_round_slices(mt, 2)
+    mt_bf2 = jnp.asarray(
+        np.concatenate([np.asarray(f0, np.float32),
+                        np.asarray(f1, np.float32),
+                        np.asarray(f0, np.float32)], axis=0),
+        jnp.bfloat16,
+    )
+    return (m_big, tuple(pair_i), jnp.asarray(mt, jnp.float32), mt_bf2,
+            n_bins_pad, n_mels_pad, k_pad)
+
+
+def _sig_mel_tile_kernel(sig_ref, m_big_ref, mt_ref, out_ref, s_scratch,
+                         dma_sems, *, ks: int, pair_i, k_pad: int,
+                         n_bins_pad: int, offset: int, mel_precision,
+                         rows_per_clip: int, tiles_per_clip: int):
+    rows = _SIG_ROWS_PER_TILE
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    slot = (b * n_t + t) % 2
+
+    def dma_for(bb, tt, sl):
+        row0 = bb * rows_per_clip + tt * rows
+        return pltpu.make_async_copy(
+            sig_ref.at[pl.ds(row0, rows + 8), :],
+            s_scratch.at[sl], dma_sems.at[sl],
+        )
+
+    # double-buffered window DMA: tile (b, t) waits on its own slot and
+    # prefetches the next tile's window into the other one
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dma_for(0, 0, 0).start()
+
+    nxt = b * n_t + t + 1
+    nb, nt = nxt // n_t, nxt % n_t
+
+    @pl.when(nxt < n_b * n_t)
+    def _():
+        dma_for(nb, nt, (slot + 1) % 2).start()
+
+    dma_for(b, t, slot).wait()
+    s = s_scratch[slot]  # [rows + 8, 640]
+
+    # lo = macro-rows r, hi = rows r+1: the one-row shift comes from a
+    # sublane roll of the DMA'd window (DMA slices are 8-row granular, so
+    # a +1-row source view cannot be fetched directly)
+    lo = s[:rows]
+    hi = pltpu.roll(s, shift=rows + 8 - 1, axis=0)[:rows]
+    pair = jnp.concatenate([lo, hi], axis=1)  # [rows, 1280]
+    hop_g = _SIG_ROW // 4  # 160
+    width = 2 * _SIG_ROW
+    frames = jnp.concatenate(
+        [pltpu.roll(pair,
+                    shift=(width - hop_g * g - offset) % width,
+                    axis=1)[:, :k_pad]
+         for g in range(4)],
+        axis=0,
+    )  # [256, k_pad], phase-major rows (pltpu.roll matches np.roll: a
+       # positive shift of width-d left-rotates by d)
+
+    # bf3 slices, concatenated along K in pair order
+    residual = frames
+    x_slices = []
+    for i in range(ks):
+        xs = residual.astype(jnp.bfloat16)
+        if i + 1 < ks:
+            residual = residual - xs.astype(jnp.float32)
+        x_slices.append(xs)
+    xcat = jnp.concatenate([x_slices[i] for i in pair_i], axis=1)
+
+    y = jnp.dot(xcat, m_big_ref[:], preferred_element_type=jnp.float32)
+    re = y[:, :n_bins_pad]
+    im = y[:, n_bins_pad : 2 * n_bins_pad]
+    power = re * re + im * im
+
+    if mel_precision == "bf2":
+        # 2-slice bf16 K-concat mel projection: pairs (0,0),(0,1),(1,0)
+        # accumulate in the MXU's f32 accumulator (3 bf16 passes vs
+        # HIGHEST's 6; both power and filters are nonnegative, so the
+        # relative error stays ~2^-16 -> ~1.7e-6 in normalized units)
+        p0 = power.astype(jnp.bfloat16)
+        p1 = (power - p0.astype(jnp.float32)).astype(jnp.bfloat16)
+        pcat = jnp.concatenate([p0, p0, p1], axis=1)
+        energy = jnp.dot(pcat, mt_ref[:],
+                         preferred_element_type=jnp.float32)
+    else:
+        energy = jnp.dot(power, mt_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=mel_precision)
+    log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
+    mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
+    out_ref[0, 0] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
+                     "mel_precision"),
+)
+def _pallas_sig_mel(
+    samples: jnp.ndarray,  # [B, T] float32 raw signal
+    m_big, mt,
+    *,
+    interpret: bool,
+    ks: int,
+    pair_i: tuple,
+    n_frames: int,
+    offset: int = 0,
+    mel_precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Whisper log-mel from the raw signal, framing fused into the kernel.
+    Returns ``[B, n_frames, n_mels_pad]`` in natural frame order."""
+    b, t = samples.shape
+    n_bins_pad = m_big.shape[1] // 2  # mt rows differ in bf2 mode
+    n_mels_pad = mt.shape[1]
+    k_pad = m_big.shape[0] // len(pair_i)
+
+    tiles = -(-n_frames // _SIG_FRAMES_PER_TILE)
+    # rows per clip padded to 8-row DMA granularity past the last tile
+    rows = _SIG_ROWS_PER_TILE * tiles + 8
+    need = rows * _SIG_ROW
+    if t < need:
+        # one pad copy; callers wanting zero-copy provide T == need
+        samples = jnp.pad(samples, ((0, 0), (0, need - t)))
+    else:
+        samples = samples[:, :need]
+    sig = samples.reshape(b * rows, _SIG_ROW)
+
+    kernel = functools.partial(
+        _sig_mel_tile_kernel, ks=ks, pair_i=pair_i, k_pad=k_pad,
+        n_bins_pad=n_bins_pad, offset=offset, mel_precision=mel_precision,
+        rows_per_clip=rows, tiles_per_clip=tiles,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),    # macro-row signal
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # m_big
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mt
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, _SIG_FRAMES_PER_TILE, n_mels_pad),
+            lambda bb, tt: (bb, tt, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, tiles, _SIG_FRAMES_PER_TILE, n_mels_pad), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, _SIG_ROWS_PER_TILE + 8, _SIG_ROW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * tiles * _SIG_FRAMES_PER_TILE
+            * (m_big.shape[0] * m_big.shape[1]
+               + n_bins_pad * n_mels_pad),
+            bytes_accessed=(b * rows * _SIG_ROW
+                            + b * tiles * _SIG_FRAMES_PER_TILE * n_mels_pad)
+            * 4,
+            transcendentals=b * tiles * _SIG_FRAMES_PER_TILE * n_mels_pad,
+        ),
+        interpret=interpret,
+    )(sig, m_big, mt)
+
+    # phase-major rows -> natural frame order: row g*ROWS+j is frame 4j+g
+    out = out.reshape(b, tiles, 4, _SIG_ROWS_PER_TILE, n_mels_pad)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(
+        b, tiles * _SIG_FRAMES_PER_TILE, n_mels_pad
+    )
+    return out[:, :n_frames]
+
+
+def whisper_mel_sig(
+    samples,
+    fft_size: int = 400,
+    hop_size: int = 160,
+    n_mels: int = 80,
+    sampling_rate: float = 16000.0,
+    streaming: bool = False,
+    interpret: bool = False,
+    ks: int = 3,
+    cutoff: int = 2,
+    mel_precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Whisper log-mel via the signal-input fused kernel (bf3 numerics +
+    in-kernel framing). Requires ``hop_size == 160`` and
+    ``fft_size <= 2*640 - 3*160 - offset`` (the whisper and golden
+    configs qualify); other configs should use ``whisper_mel_pallas``.
+    Same output contract as ``whisper_mel_pallas``."""
+    x = jnp.asarray(samples, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    offset = 0
+    if streaming:
+        offset = framing.streaming_frame_offset(fft_size, hop_size)
+        n_frames = framing.num_frames_streaming(x.shape[-1], fft_size,
+                                                hop_size)
+    else:
+        n_frames = framing.num_frames_batch(x.shape[-1], fft_size, hop_size)
+    if hop_size * 4 != _SIG_ROW:
+        raise ValueError("whisper_mel_sig requires hop_size == 160")
+    k_pad = -(-fft_size // LANES) * LANES
+    if k_pad + 3 * hop_size + offset > 2 * _SIG_ROW:
+        raise ValueError("fft_size too large for the macro-row window")
+    if n_frames <= 0:
+        out = jnp.zeros((x.shape[0], 0, n_mels), jnp.float32)
+        return out[0] if squeeze else out
+
+    m_big, pair_i, mt, mt_bf2, _, _, _ = _sig_device_matrices(
+        fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
+    )
+    if mel_precision == "bf2":
+        mt = mt_bf2
+    out = _pallas_sig_mel(
+        x, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
+        n_frames=n_frames, offset=offset, mel_precision=mel_precision,
+    )[..., :n_mels]
+    return out[0] if squeeze else out
+
+
 @functools.lru_cache(maxsize=8)
 def _hp_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
                         n_slices: int):
@@ -645,9 +935,30 @@ def whisper_mel_pallas(
       comparison).
     """
     if impl is None:
-        impl = "hp_bf16" if hp else "bf3"
-    if impl not in ("bf3", "hp8", "hp_bf16", "f32"):
-        raise ValueError("impl must be 'bf3', 'hp8', 'hp_bf16' or 'f32'")
+        if hp:
+            impl = "hp_bf16"
+        else:
+            # the signal-input kernel (in-kernel framing) is the fast path
+            # wherever its macro-row geometry applies
+            k_pad_ = -(-fft_size // LANES) * LANES
+            off_ = (framing.streaming_frame_offset(fft_size, hop_size)
+                    if streaming else 0)
+            if (hop_size * 4 == _SIG_ROW
+                    and k_pad_ + 3 * hop_size + off_ <= 2 * _SIG_ROW):
+                impl = "sig"
+            else:
+                impl = "bf3"
+    if impl not in ("sig", "bf3", "hp8", "hp_bf16", "f32"):
+        raise ValueError(
+            "impl must be 'sig', 'bf3', 'hp8', 'hp_bf16' or 'f32'"
+        )
+    if impl == "sig":
+        return whisper_mel_sig(
+            samples, fft_size, hop_size, n_mels, sampling_rate,
+            streaming=streaming, interpret=interpret,
+            ks=3 if hp_n_slices is None else hp_n_slices,
+            cutoff=2 if hp_max_pair_sum is None else hp_max_pair_sum,
+        )
     x = jnp.asarray(samples, jnp.float32)
     squeeze = x.ndim == 1
     if squeeze:
