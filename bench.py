@@ -91,8 +91,17 @@ def main() -> None:
     # golden gates in test_mel_kernel.py). The headline metric must satisfy
     # the throughput AND accuracy bars simultaneously; xla_f32 (1.3e-5) is
     # reported as a diagnostic but can never be the headline.
-    configs = [("256x10s", 256, 10 * SR), ("64x10s", 64, 10 * SR),
-               ("16x60s", 16, 60 * SR), ("8x300s", 8, 300 * SR)]
+    # the last entry is the huge-batch memory-budget config (4.9 GB of
+    # signal; exercises the HBM-budget chunking of src/cuda.rs:150-155's
+    # analogue) — restricted to the two fast eligible backends
+    configs = [("256x10s", 256, 10 * SR, None),
+               ("64x10s", 64, 10 * SR, None),
+               ("16x60s", 16, 60 * SR, None),
+               ("8x300s", 8, 300 * SR, None),
+               # pallas_sig only: the bench's carry-chain keeps TWO copies
+               # of the 4.9 GB input alive, which only the signal-input
+               # kernel's footprint leaves room for
+               ("256x300s", 256, 300 * SR, {"pallas_sig"})]
     backends = [
         # pallas_sig: the flagship fused kernel (in-kernel framing,
         # K-concatenated bf16 slice pairs); 3.3e-6 JFK parity on chip
@@ -109,13 +118,16 @@ def main() -> None:
                                                    hp=True), True),  # 3e-7
     ]
 
-    for name, batch, t in configs:
-        keys = jax.random.split(key, 3)
+    for name, batch, t, only in configs:
+        n_inputs = 1 if batch * t > 10**9 // 4 else 3
+        keys = jax.random.split(key, n_inputs)
         xs = [jax.random.normal(k, (batch, t), dtype=jnp.float32) * 0.1
               for k in keys]
         jax.block_until_ready(xs)
         audio_s = batch * t / SR
         for backend, fn, eligible in backends:
+            if only is not None and backend not in only:
+                continue
             if time.perf_counter() - started > BUDGET_S and best[0]:
                 print("bench budget exhausted; reporting best so far",
                       file=sys.stderr)
@@ -136,6 +148,49 @@ def main() -> None:
         del xs
         if time.perf_counter() - started > BUDGET_S and best[0]:
             break
+
+    # ---- per-frontend TPU RTFx (NeMo batch log-mel, Kaldi fbank, VAD
+    # decision fields) — diagnostics beyond the whisper-mel headline; the
+    # reference publishes mel AND fbank/NeMo numbers (README.md:117-158)
+    if time.perf_counter() - started < BUDGET_S:
+        try:
+            from melspec_tpu.config import DetectionSettings
+            from melspec_tpu.ops.batch_logmel import (BatchLogMel,
+                                                      BatchLogMelConfig)
+            from melspec_tpu.ops.fbank import Fbank, FbankConfig
+            from melspec_tpu.ops.vad import streaming_decision_fields_batched
+
+            nemo = BatchLogMel(BatchLogMelConfig())
+            kaldi = Fbank(FbankConfig(apply_cmn=True))
+            settings = DetectionSettings()
+
+            @jax.jit
+            def vad_fields(x):
+                mel = pipe_bf3._mel_batch_jit(x)
+                img = jnp.swapaxes(mel, -1, -2)
+                return streaming_decision_fields_batched(img, settings)
+
+            batch, t = 64, 10 * SR
+            xs = [jax.random.normal(k, (batch, t), dtype=jnp.float32) * 0.1
+                  for k in jax.random.split(key, 3)]
+            jax.block_until_ready(xs)
+            audio_s = batch * t / SR
+            for fname, ffn in [
+                ("nemo_logmel", nemo.compute),
+                ("kaldi_fbank", kaldi.compute),
+                ("vad_fields", lambda x: vad_fields(x)["confidence"]),
+            ]:
+                try:
+                    wall = _bench(ffn, xs, iters=8)
+                    rtfx = audio_s / wall
+                    results[f"{fname}_64x10s"] = round(rtfx, 1)
+                    print(f"{fname} 64x10s: {wall*1e3:.2f} ms -> "
+                          f"{rtfx:,.0f}x RT", file=sys.stderr)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"frontend bench setup failed: {e!r}"[:300],
+                  file=sys.stderr)
 
     if best[0] is None:
         print(json.dumps({"metric": "whisper_mel_rtfx", "value": 0,

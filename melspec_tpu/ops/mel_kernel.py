@@ -764,10 +764,32 @@ def whisper_mel_sig(
     )
     if mel_precision == "bf2":
         mt = mt_bf2
-    out = _pallas_sig_mel(
-        x, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
-        n_frames=n_frames, offset=offset, mel_precision=mel_precision,
-    )[..., :n_mels]
+
+    # HBM budget: the padded-out tensor + its reindex copy are the big
+    # intermediates (~1 KiB/frame); chunk huge batches over clips, the
+    # analogue of the reference's device-batch cap (src/cuda.rs:150-155)
+    from melspec_tpu.ops.spectrogram import _frames_budget_bytes
+
+    tiles = -(-n_frames // _SIG_FRAMES_PER_TILE)
+    per_clip = tiles * _SIG_FRAMES_PER_TILE * 128 * 4 * 2
+    b = x.shape[0]
+    cb = b if b * per_clip <= _frames_budget_bytes() else max(
+        1, int(_frames_budget_bytes() // per_clip)
+    )
+
+    def run(xc):
+        return _pallas_sig_mel(
+            xc, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
+            n_frames=n_frames, offset=offset, mel_precision=mel_precision,
+        )[..., :n_mels]
+
+    if cb >= b:
+        out = run(x)
+    else:
+        from melspec_tpu.ops.spectrogram import chunked_over_batch
+
+        out = chunked_over_batch(run, x, cb, (n_frames, n_mels),
+                                 jnp.float32)
     return out[0] if squeeze else out
 
 

@@ -34,6 +34,36 @@ from melspec_tpu.ops.windows import hann_periodic
 LOG10_FLOOR = 1e-10
 
 
+def _frames_budget_bytes() -> int:
+    """HBM budget for the materialized frames tensor (see mel_batch)."""
+    import os
+
+    return int(os.environ.get("MELSPEC_FRAMES_BUDGET_BYTES", 1 << 30))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _acc_update(acc: jnp.ndarray, chunk: jnp.ndarray, i0) -> jnp.ndarray:
+    """In-place (donated) write of a batch chunk into the accumulator —
+    chunked huge-batch runs must not double their output footprint the way
+    a final concatenate would."""
+    return jax.lax.dynamic_update_slice(
+        acc, chunk.astype(acc.dtype),
+        (i0,) + (jnp.zeros((), jnp.int32),) * (acc.ndim - 1),
+    )
+
+
+def chunked_over_batch(run, x: jnp.ndarray, chunk_b: int,
+                       out_tail: tuple, dtype) -> jnp.ndarray:
+    """Run ``run`` over batch chunks of ``x``, accumulating into one
+    donated output buffer (constant memory overhead per chunk)."""
+    b = x.shape[0]
+    acc = jnp.zeros((b,) + out_tail, dtype=dtype)
+    for i in range(0, b, chunk_b):
+        acc = _acc_update(acc, run(x[i : i + chunk_b]),
+                          jnp.asarray(i, jnp.int32))
+    return acc
+
+
 def whisper_norm(log_mel: jnp.ndarray, axis=None) -> jnp.ndarray:
     """Whisper dynamic-range normalization ``(max(x, max-8)+4)/4``.
 
@@ -221,11 +251,46 @@ class WhisperMelPipeline:
 
     def mel_batch(self, samples) -> jnp.ndarray:
         """Whisper log-mel, batch framing. ``samples`` ``[T]`` or ``[B, T]`` ->
-        ``[n_frames, n_mels]`` / ``[B, n_frames, n_mels]``."""
+        ``[n_frames, n_mels]`` / ``[B, n_frames, n_mels]``.
+
+        Large batches are processed in HBM-budget-sized chunks so the
+        materialized ``[frames, fft]`` tensor stays bounded — the TPU
+        analogue of the reference's 64 MiB device-batch policy capped at
+        8192 frames (``src/cuda.rs:150-155``). Budget:
+        ``MELSPEC_FRAMES_BUDGET_BYTES`` (default 2 GiB of frame tensor).
+        """
         samples = jnp.asarray(samples)
-        if framing.num_frames_batch(samples.shape[-1], self.fft_size, self.hop_size) == 0:
+        nf = framing.num_frames_batch(samples.shape[-1], self.fft_size,
+                                      self.hop_size)
+        if nf == 0:
             return jnp.zeros(samples.shape[:-1] + (0, self.n_mels), dtype=self.dtype)
-        return self._mel_batch_jit(samples)
+        budget = _frames_budget_bytes()
+        k_pad = -(-self.fft_size // 128) * 128
+        per_clip = nf * k_pad * 4
+        b = samples.shape[0] if samples.ndim > 1 else 1
+        if b * per_clip <= budget:
+            return self._mel_batch_jit(samples)
+        if samples.ndim > 1 and per_clip <= budget:
+            # chunk over the batch axis (clips are independent)
+            cb = max(1, int(budget // per_clip))
+            return chunked_over_batch(
+                self._mel_batch_jit, samples, cb, (nf, self.n_mels),
+                self.dtype,
+            )
+        # single clip too large: chunk over time at frame boundaries
+        # (frame k covers samples [k*hop, k*hop + fft) — chunks overlap by
+        # fft - hop samples, outputs concatenate exactly)
+        cf = max(1, int(budget // (k_pad * 4)))
+        squeeze = samples.ndim == 1
+        x = samples[None] if squeeze else samples
+        outs = []
+        for f0 in range(0, nf, cf):
+            f1 = min(f0 + cf, nf)
+            s0 = f0 * self.hop_size
+            s1 = (f1 - 1) * self.hop_size + self.fft_size
+            outs.append(self._mel_batch_jit(x[:, s0:s1]))
+        out = jnp.concatenate(outs, axis=-2)
+        return out[0] if squeeze else out
 
     def mel_streaming_equivalent(self, samples) -> jnp.ndarray:
         """Whisper log-mel matching the streaming RingBuffer path exactly;

@@ -184,3 +184,40 @@ def test_whisper_norm_global_vs_frame():
 def test_too_short_input_yields_zero_frames():
     out = compute_mel_spectrogram(np.zeros(100, dtype=np.float32), 400, 160, 80, 16000.0)
     assert out.shape == (0, 80)
+
+
+def test_mel_batch_hbm_budget_chunking(monkeypatch, jfk_samples):
+    """Budget-bounded chunking (batch axis + time axis) must reproduce the
+    unchunked output exactly — the reference sizes device batches from a
+    64 MiB budget capped at 8192 frames (src/cuda.rs:150-155); here the
+    budget bounds the materialized [frames, fft] tensor."""
+    from melspec_tpu.ops.spectrogram import WhisperMelPipeline
+
+    pipe = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32)
+    batch = np.stack([jfk_samples[:64000], jfk_samples[16000:80000],
+                      jfk_samples[32000:96000]])
+    want = np.asarray(pipe.mel_batch(batch))
+
+    # batch-axis chunking: budget fits one clip at a time
+    k_pad = 512
+    nf = (64000 - 400) // 160 + 1
+    monkeypatch.setenv("MELSPEC_FRAMES_BUDGET_BYTES", str(nf * k_pad * 4))
+    got = np.asarray(pipe.mel_batch(batch))
+    np.testing.assert_array_equal(got, want)
+
+    # time-axis chunking: budget below a single clip
+    monkeypatch.setenv("MELSPEC_FRAMES_BUDGET_BYTES",
+                       str(100 * k_pad * 4))
+    got_t = np.asarray(pipe.mel_batch(batch))
+    np.testing.assert_array_equal(got_t, want)
+
+    # the sig kernel chunks too (interpret mode)
+    from melspec_tpu.ops.mel_kernel import whisper_mel_sig
+
+    monkeypatch.delenv("MELSPEC_FRAMES_BUDGET_BYTES")
+    want_k = np.asarray(whisper_mel_sig(batch, 400, 160, 80, 16000.0,
+                                        interpret=True))
+    monkeypatch.setenv("MELSPEC_FRAMES_BUDGET_BYTES", str(1 << 20))
+    got_k = np.asarray(whisper_mel_sig(batch, 400, 160, 80, 16000.0,
+                                       interpret=True))
+    np.testing.assert_array_equal(got_k, want_k)
