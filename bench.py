@@ -188,6 +188,31 @@ def main() -> None:
                           f"{rtfx:,.0f}x RT", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
                     print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
+            # multistream serving: bulk (batched-framing, one framed
+            # matmul pipeline) vs per-hop lax.scan, 64 streams x 125 hops
+            from melspec_tpu.config import MelConfig
+            from melspec_tpu.streaming.multistream import MultiStreamMel
+
+            multi = MultiStreamMel(MelConfig(400, 160, 80, 16000.0), 64)
+            active = jnp.ones(64, dtype=bool)
+            ms_xs = [jax.random.normal(k, (64, 125, 160), jnp.float32) * 0.1
+                     for k in jax.random.split(key, 3)]
+            jax.block_until_ready(ms_xs)
+            ms_audio = 64 * 125 * 160 / SR
+            for fname, ffn in [
+                ("multistream_bulk",
+                 lambda x: multi._push_many_jit(multi.init(), x, active)[1]),
+                ("multistream_scan",
+                 lambda x: multi._push_many_scan(multi.init(), x, active)[1]),
+            ]:
+                try:
+                    wall = _bench(ffn, ms_xs, iters=8)
+                    rtfx = ms_audio / wall
+                    results[f"{fname}_64sx125h"] = round(rtfx, 1)
+                    print(f"{fname} 64sx125h: {wall*1e3:.2f} ms -> "
+                          f"{rtfx:,.0f}x RT", file=sys.stderr)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"frontend bench setup failed: {e!r}"[:300],
                   file=sys.stderr)

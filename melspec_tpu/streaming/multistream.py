@@ -101,6 +101,79 @@ class MultiStreamMel:
                   active: jnp.ndarray):
         return self.step(state, chunks, active)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _push_many_jit(self, state: MultiStreamState, chunks: jnp.ndarray,
+                       active: jnp.ndarray):
+        """Bulk push: ``H`` hops for every stream in ONE framed matmul
+        pipeline — H hops of overlap-and-save are exactly batch framing
+        over ``concat(hop_buf, chunks)`` at offset ``hop`` (see
+        ``StreamingMel._bulk``), so the MXU sees ``[S, H, fft]`` frames at
+        once instead of H sequential [S, fft] steps."""
+        from melspec_tpu.ops import framing as _framing
+
+        hop = self.config.hop_size
+        fft = self.config.fft_size
+        s, h = chunks.shape[:2]
+        signal = jnp.concatenate(
+            [state.hop_buf, chunks.reshape(s, h * hop).astype(self.dtype)],
+            axis=1,
+        )
+        frames = _framing.frame_signal(signal, fft, hop, h, offset=hop)
+        xw = frames * self.window
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.matmul(xw, self.cos_m, precision=hp)
+        im = jnp.matmul(xw, self.msin_m, precision=hp)
+        power = re * re + im * im
+        energy = jnp.matmul(power, self.filters_t, precision=hp)
+        log_mel = log10_best(
+            jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)),
+            self.dtype,
+        )
+        mmax = jnp.max(log_mel, axis=-1, keepdims=True) - 8.0
+        mels = (jnp.maximum(log_mel, mmax) + 4.0) / 4.0
+
+        hops = (jnp.arange(1, h + 1) * hop).astype(state.idx.dtype)
+        valid = active[:, None] & ((state.idx[:, None] + hops[None, :])
+                                   >= fft)
+        new_buf = jnp.where(active[:, None],
+                            signal[:, h * hop : h * hop + fft],
+                            state.hop_buf)
+        new_idx = jnp.where(
+            active, jnp.minimum(state.idx + h * hop, fft), state.idx
+        )
+        return MultiStreamState(new_buf, new_idx), mels, valid
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _push_many_scan(self, state: MultiStreamState, chunks: jnp.ndarray,
+                        active: jnp.ndarray):
+        """Per-hop lax.scan reference path (differential testing + the
+        bench baseline the bulk path is measured against)."""
+        def body(carry, chunk):
+            carry, mels, valid = self.step(carry, chunk, active)
+            return carry, (mels, valid)
+
+        state, (mels, valid) = jax.lax.scan(
+            body, state, jnp.swapaxes(chunks, 0, 1)
+        )
+        return state, jnp.swapaxes(mels, 0, 1), jnp.swapaxes(valid, 0, 1)
+
+    def push_many(self, state: MultiStreamState, chunks, active=None,
+                  scan: bool = False
+                  ) -> Tuple[MultiStreamState, np.ndarray, np.ndarray]:
+        """Push ``[S, H, hop]`` chunks (H hops per stream) in one dispatch;
+        returns ``(state, mels [S, H, n_mels], valid [S, H])``. ``active``
+        is per-stream: inactive streams keep their state and emit only
+        invalid frames."""
+        chunks = jnp.asarray(chunks, self.dtype)
+        if chunks.ndim != 3 or chunks.shape[0] != self.n_streams \
+                or chunks.shape[2] != self.config.hop_size:
+            raise ValueError("chunks must be [n_streams, n_hops, hop_size]")
+        if active is None:
+            active = jnp.ones(self.n_streams, dtype=bool)
+        fn = self._push_many_scan if scan else self._push_many_jit
+        state, mels, valid = fn(state, chunks, jnp.asarray(active, bool))
+        return state, np.asarray(mels), np.asarray(valid)
+
     def push(self, state: MultiStreamState, chunks, active=None
              ) -> Tuple[MultiStreamState, np.ndarray, np.ndarray]:
         chunks = jnp.asarray(chunks, self.dtype)

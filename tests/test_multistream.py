@@ -62,3 +62,52 @@ def test_reset_reuses_slot(jfk_samples):
     assert int(np.asarray(state.idx)[1]) == 0
     assert float(np.abs(np.asarray(state.hop_buf)[1]).sum()) == 0.0
     assert int(np.asarray(state.idx)[0]) == min(4 * 160, 400)
+
+
+def test_push_many_bulk_matches_scan(jfk_samples):
+    """The bulk (batched-framing) multi-hop push must match the per-hop
+    scan path decision-for-decision and mel-for-mel."""
+    config = MelConfig(400, 160, 80, 16000.0)
+    multi = MultiStreamMel(config, 4, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    h = 25
+    chunks = np.stack([
+        jfk_samples[i * 4000 : i * 4000 + h * 160].reshape(h, 160)
+        for i in range(4)
+    ])
+    active = np.array([True, True, False, True])
+
+    s_bulk = multi.init()
+    s_bulk, mels_b, valid_b = multi.push_many(s_bulk, chunks, active)
+    s_scan = multi.init()
+    s_scan, mels_s, valid_s = multi.push_many(s_scan, chunks, active,
+                                              scan=True)
+    np.testing.assert_array_equal(valid_b, valid_s)
+    np.testing.assert_allclose(
+        mels_b[valid_b], mels_s[valid_s], atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(s_bulk.hop_buf[active]),
+                               np.asarray(s_scan.hop_buf[active]))
+    np.testing.assert_array_equal(np.asarray(s_bulk.idx),
+                                  np.asarray(s_scan.idx))
+    # inactive stream untouched
+    assert np.asarray(s_bulk.hop_buf)[2].sum() == 0.0
+
+
+def test_push_many_bulk_continues_across_calls(jfk_samples):
+    """State carried across bulk calls equals one long bulk call."""
+    config = MelConfig(400, 160, 80, 16000.0)
+    multi = MultiStreamMel(config, 2, dtype=jnp.float64)
+    chunks = np.stack([jfk_samples[:40 * 160].reshape(40, 160),
+                       jfk_samples[8000:8000 + 40 * 160].reshape(40, 160)])
+    s1 = multi.init()
+    s1, mels_all, valid_all = multi.push_many(s1, chunks)
+    s2 = multi.init()
+    s2, m1, v1 = multi.push_many(s2, chunks[:, :15])
+    s2, m2, v2 = multi.push_many(s2, chunks[:, 15:])
+    np.testing.assert_allclose(
+        np.concatenate([m1, m2], axis=1), mels_all, atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([v1, v2], axis=1), valid_all
+    )

@@ -141,3 +141,19 @@ def test_state_is_serializable():
     assert (out2 is None) == (out3 is None)
     np.testing.assert_array_equal(np.asarray(state2.hop_buf),
                                   np.asarray(state3.hop_buf))
+
+
+def test_push_many_bulk_matches_scan(jfk_samples):
+    """StreamingMel.push_many's batched-framing fast path vs the per-hop
+    lax.scan reference path: identical mels, valids, and carried state."""
+    config = MelConfig(fft_size=400, hop_size=160, n_mels=80,
+                       sampling_rate=16000.0)
+    mel = StreamingMel(config, dtype=jnp.float64)
+    chunks = jfk_samples[: 50 * 160].reshape(50, 160)
+    s_b, m_b, v_b = mel.push_many(mel.init(), chunks)
+    s_s, m_s, v_s = mel.push_many(mel.init(), chunks, scan=True)
+    np.testing.assert_array_equal(v_b, v_s)
+    np.testing.assert_allclose(m_b[v_b], m_s[v_s], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_b.hop_buf),
+                               np.asarray(s_s.hop_buf))
+    assert int(s_b.idx) == int(s_s.idx)
