@@ -1,0 +1,281 @@
+"""Socket serving loop: many concurrent PCM streams -> quantized mel + VAD.
+
+The completion of the reference's browser pipeline (SURVEY.md §3.5) as a
+server: where the browser feeds one WASM ``SpeechToMel`` from a
+SharedArrayBuffer ring (``examples/browser/worker.js:42-61``), this serves
+N concurrent TCP clients from one batched device pipeline:
+
+    client PCM -> per-stream native SPSC ring -> [S, H, hop] bulk push
+    (MultiStreamMel.push_many: every hop of every stream in ONE device
+    dispatch) -> per-stream VAD (reference protocol, src/vad.rs:156-205)
+    -> 8-bit quantize (src/quant.rs:140-152) -> framed reply
+
+Wire protocol (little-endian), mirroring the browser worker's mel-ring
+record (80 quantized bytes + min/max f32 + VAD bit, worker.js:52-58):
+  client -> server: raw f32le PCM bytes, then TCP half-close (shutdown).
+  server -> client: per emitted mel frame
+      u32 frame_idx | u8 va | f32 min | f32 max | u8[n_mels] quantized
+
+Usage:
+    python examples/serve_streams.py --port 9377 &
+    # then connect with examples/serve_streams.py --client path.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import struct
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from melspec_tpu.config import DetectionSettings, MelConfig
+from melspec_tpu.ops.quant import quantize
+from melspec_tpu.runtime.ringbuffer import SampleRing
+from melspec_tpu.streaming.multistream import MultiStreamMel
+from melspec_tpu.streaming.vad import VoiceActivityDetector
+
+HEADER = struct.Struct("<IBff")  # frame_idx, va, min, max
+
+
+class _Slot:
+    """One client stream: PCM ring in, framed mel records out."""
+
+    def __init__(self, conn: socket.socket, capacity: int,
+                 settings: DetectionSettings):
+        self.conn = conn
+        self.ring = SampleRing(capacity)
+        self.vad = VoiceActivityDetector(settings)
+        self.frame_idx = 0
+        self.eof = False      # client finished sending
+        self.closed = False   # slot fully drained and replied
+        self.lock = threading.Lock()
+
+
+class StreamServer:
+    """Batched mel/VAD/quant serving over TCP.
+
+    ``n_streams`` slots are advanced together by one ``push_many`` bulk
+    dispatch per tick; slots without a full ``hops_per_tick`` of audio sit
+    out that tick via the active mask (the reference's drop-free ring
+    semantics: nothing is consumed until a full hop exists,
+    ``src/rb.rs:86-110``)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 config: MelConfig = MelConfig(), n_streams: int = 16,
+                 hops_per_tick: int = 4,
+                 settings: DetectionSettings = DetectionSettings()):
+        self.config = config
+        self.n_streams = n_streams
+        self.hops = hops_per_tick
+        self.settings = settings
+        self.mel = MultiStreamMel(config, n_streams)
+        self.state = self.mel.init()
+        self.slots: list[_Slot | None] = [None] * n_streams
+        self._pending_reset = np.zeros(n_streams, dtype=bool)
+        self._slots_lock = threading.Lock()
+        self._stop = threading.Event()
+        self.sock = socket.create_server((host, port))
+        self.port = self.sock.getsockname()[1]
+        self._threads: list[threading.Thread] = []
+
+    # ---------------- client side ----------------
+
+    def _recv_loop(self, slot: _Slot) -> None:
+        """Reader thread: client PCM -> the slot's ring."""
+        leftover = b""
+        while not self._stop.is_set():
+            try:
+                data = slot.conn.recv(65536)
+            except OSError:
+                break
+            if not data:
+                break
+            data = leftover + data
+            n = len(data) // 4 * 4
+            samples = np.frombuffer(data[:n], dtype=np.float32)
+            leftover = data[n:]
+            while samples.size and not self._stop.is_set():
+                pushed = slot.ring.push(samples)
+                samples = samples[pushed:]
+                if samples.size:
+                    time.sleep(0.001)  # ring full: apply backpressure
+        slot.eof = True
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                break
+            slot = _Slot(conn, capacity=self.config.hop_size * 1024,
+                         settings=self.settings)
+            placed = False
+            with self._slots_lock:
+                for i in range(self.n_streams):
+                    if self.slots[i] is None:
+                        self.slots[i] = slot
+                        # the state reset happens on the compute thread
+                        # (see _tick) — only it touches self.state
+                        self._pending_reset[i] = True
+                        placed = True
+                        break
+            if not placed:
+                conn.close()  # at capacity
+                continue
+            t = threading.Thread(target=self._recv_loop, args=(slot,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    # ---------------- compute side ----------------
+
+    def _tick(self) -> int:
+        """One serving tick: drain ready slots, bulk-push, reply."""
+        hop, hops = self.config.hop_size, self.hops
+        need = hop * hops
+        chunks = np.zeros((self.n_streams, hops, hop), dtype=np.float32)
+        active = np.zeros(self.n_streams, dtype=bool)
+        ticked: list[tuple[int, _Slot, int]] = []  # (slot idx, slot, hops)
+        with self._slots_lock:
+            if self._pending_reset.any():
+                self.state = self.mel.reset(self.state, self._pending_reset)
+                self._pending_reset[:] = False
+            for i, slot in enumerate(self.slots):
+                if slot is None or slot.closed:
+                    continue
+                avail = len(slot.ring)
+                if avail >= need:
+                    chunks[i] = slot.ring.pop(need).reshape(hops, hop)
+                    active[i] = True
+                    ticked.append((i, slot, hops))
+                elif slot.eof:
+                    if avail >= hop:
+                        # drain remaining full hops; the < hop leftover is
+                        # never processed (reference src/rb.rs:108-110)
+                        k = min(hops, avail // hop)
+                        got = slot.ring.pop(k * hop).reshape(k, hop)
+                        chunks[i, :k] = got
+                        active[i] = True
+                        ticked.append((i, slot, k))
+                    else:
+                        slot.closed = True
+                        try:
+                            slot.conn.shutdown(socket.SHUT_WR)
+                        except OSError:
+                            pass
+                        self.slots[i] = None
+        if not ticked:
+            return 0
+
+        self.state, mels, valid = self.mel.push_many(
+            self.state, chunks, active
+        )
+        sent = 0
+        for i, slot, k in ticked:
+            out = bytearray()
+            for h in range(k):
+                if not valid[i, h]:
+                    continue
+                frame = mels[i, h]
+                q, rng = quantize(frame)
+                va = slot.vad.add(frame[:, None])
+                out += HEADER.pack(slot.frame_idx, 1 if va else 0,
+                                   rng.min, rng.max)
+                out += q.tobytes()
+                slot.frame_idx += 1
+                sent += 1
+            if out:
+                try:
+                    slot.conn.sendall(bytes(out))
+                except OSError:
+                    slot.closed = True
+        return sent
+
+    def _serve_loop(self) -> None:
+        while not self._stop.is_set():
+            if self._tick() == 0:
+                time.sleep(0.002)
+
+    # ---------------- lifecycle ----------------
+
+    def start(self) -> None:
+        for target in (self._accept_loop, self._serve_loop):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.sock.close()
+
+
+def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
+                  host: str = "127.0.0.1", timeout: float = 600.0):
+    """Send PCM to the server; return the parsed framed records."""
+    conn = socket.create_connection((host, port))
+    recs = []
+    buf = b""
+
+    def reader():
+        nonlocal buf
+        while True:
+            try:
+                data = conn.recv(65536)
+            except OSError:
+                return
+            if not data:
+                return
+            buf += data
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    pcm = np.asarray(pcm, np.float32)
+    for i in range(0, len(pcm), chunk):
+        conn.sendall(pcm[i : i + chunk].tobytes())
+    conn.shutdown(socket.SHUT_WR)
+    t.join(timeout=timeout)
+    conn.close()
+    rec_size = HEADER.size + 80
+    for off in range(0, len(buf) - rec_size + 1, rec_size):
+        idx, va, lo, hi = HEADER.unpack(buf[off : off + HEADER.size])
+        q = np.frombuffer(buf[off + HEADER.size : off + rec_size],
+                          dtype=np.uint8)
+        recs.append((idx, bool(va), lo, hi, q))
+    return recs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--port", type=int, default=9377)
+    ap.add_argument("--n-streams", type=int, default=16)
+    ap.add_argument("--client", type=Path, default=None,
+                    help="act as a client: stream this wav, print stats")
+    args = ap.parse_args()
+    if args.client is not None:
+        from melspec_tpu.io.wav import read_wav_f32le
+
+        pcm = read_wav_f32le(args.client)
+        recs = stream_client(args.port, pcm)
+        va = sum(1 for r in recs if r[1])
+        print(f"{len(recs)} frames, {va} voice-active")
+        return
+    server = StreamServer(port=args.port, n_streams=args.n_streams)
+    server.start()
+    print(f"serving on port {server.port} ({args.n_streams} streams)",
+          flush=True)
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()
