@@ -27,6 +27,31 @@ from melspec_tpu.io.tga import load_tga_8bit, to_array2
 from melspec_tpu.ops.batch_logmel import mel_tensor
 
 
+def whisper_features(mel: np.ndarray, width: int = 3000) -> np.ndarray:
+    """Pack a ``[n_mels, T]`` whisper-normalized mel into the
+    ``input_features`` tensor a Whisper checkpoint consumes
+    (``[1, n_mels, 3000]``, silence-padded) — the ``set_mel`` contract of
+    the reference's ``examples/tga_whisper/src/main.rs:40-41``."""
+    feats = np.full((1, mel.shape[0], width), mel.min(), dtype=np.float32)
+    feats[0, :, : min(width, mel.shape[1])] = mel[:, :width]
+    return feats
+
+
+def transcribe(mel: np.ndarray, model, processor=None, max_new_tokens=64):
+    """Run a transformers Whisper model from mel features alone. Returns
+    the decoded text when a processor is available, else the raw ids."""
+    import torch
+
+    max_new_tokens = min(max_new_tokens,
+                         model.config.max_target_positions - 8)
+    feats = torch.from_numpy(whisper_features(mel))
+    with torch.no_grad():
+        ids = model.generate(feats, max_new_tokens=max_new_tokens)
+    if processor is None:
+        return ids.numpy()
+    return processor.batch_decode(ids, skip_special_tokens=True)[0]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("tga", type=Path)
@@ -47,19 +72,20 @@ def main() -> None:
         print(f"wrote {args.out}")
 
     if args.whisper_model is not None:
-        import torch
         from transformers import WhisperForConditionalGeneration, WhisperProcessor
 
         model = WhisperForConditionalGeneration.from_pretrained(
-            args.whisper_model
+            args.whisper_model, local_files_only=True
         )
-        processor = WhisperProcessor.from_pretrained(args.whisper_model)
-        width = 3000
-        feats = np.full((1, mel.shape[0], width), mel.min(), dtype=np.float32)
-        feats[0, :, : min(width, mel.shape[1])] = mel[:, :width]
-        with torch.no_grad():
-            ids = model.generate(torch.from_numpy(feats))
-        print(processor.batch_decode(ids, skip_special_tokens=True)[0])
+        try:
+            # local_files_only: a missing tokenizer must fail fast, not
+            # stall on a hub fetch in an offline environment
+            processor = WhisperProcessor.from_pretrained(
+                args.whisper_model, local_files_only=True
+            )
+        except Exception:  # noqa: BLE001 — tokenizer files absent
+            processor = None
+        print(transcribe(mel, model, processor))
 
 
 if __name__ == "__main__":
