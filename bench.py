@@ -188,28 +188,37 @@ def main() -> None:
                           f"{rtfx:,.0f}x RT", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
                     print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
-            # multistream serving: bulk (batched-framing, one framed
-            # matmul pipeline) vs per-hop lax.scan, 64 streams x 125 hops
+            # multistream serving at production scale (256 streams x 500
+            # hops = 1,280 s of audio per dispatch — small configs are
+            # dispatch-floor-bound through the tunnel and say nothing):
+            # bulk (batched framing, one framed matmul pipeline) vs
+            # per-hop lax.scan, plus the bf3-numerics accuracy variant
             from melspec_tpu.config import MelConfig
             from melspec_tpu.streaming.multistream import MultiStreamMel
 
-            multi = MultiStreamMel(MelConfig(400, 160, 80, 16000.0), 64)
-            active = jnp.ones(64, dtype=bool)
-            ms_xs = [jax.random.normal(k, (64, 125, 160), jnp.float32) * 0.1
+            n_s, n_h = 256, 500
+            multi = MultiStreamMel(MelConfig(400, 160, 80, 16000.0), n_s)
+            multi_bf3 = MultiStreamMel(MelConfig(400, 160, 80, 16000.0),
+                                       n_s, fft_impl="bf3")
+            active = jnp.ones(n_s, dtype=bool)
+            ms_xs = [jax.random.normal(k, (n_s, n_h, 160), jnp.float32) * 0.1
                      for k in jax.random.split(key, 3)]
             jax.block_until_ready(ms_xs)
-            ms_audio = 64 * 125 * 160 / SR
+            ms_audio = n_s * n_h * 160 / SR
             for fname, ffn in [
                 ("multistream_bulk",
                  lambda x: multi._push_many_jit(multi.init(), x, active)[1]),
                 ("multistream_scan",
                  lambda x: multi._push_many_scan(multi.init(), x, active)[1]),
+                ("multistream_bulk_bf3",
+                 lambda x: multi_bf3._push_many_jit(multi_bf3.init(), x,
+                                                    active)[1]),
             ]:
                 try:
                     wall = _bench(ffn, ms_xs, iters=8)
                     rtfx = ms_audio / wall
-                    results[f"{fname}_64sx125h"] = round(rtfx, 1)
-                    print(f"{fname} 64sx125h: {wall*1e3:.2f} ms -> "
+                    results[f"{fname}_{n_s}sx{n_h}h"] = round(rtfx, 1)
+                    print(f"{fname} {n_s}sx{n_h}h: {wall*1e3:.2f} ms -> "
                           f"{rtfx:,.0f}x RT", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
                     print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)

@@ -43,18 +43,45 @@ class MultiStreamMel:
     """
 
     def __init__(self, config: MelConfig = MelConfig(), n_streams: int = 64,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, fft_impl: str = "rdft"):
+        if fft_impl not in ("rdft", "bf3"):
+            raise ValueError("fft_impl must be 'rdft' or 'bf3'")
         self.config = config
         self.n_streams = n_streams
         self.dtype = dtype
+        # "rdft": HIGHEST-precision f32 DFT matmuls (default — bit-parity
+        # with StreamingMel; fastest on chip: the fft=400 DFT is small
+        # enough that HIGHEST's extra MXU passes are cheaper than bf3's
+        # extra elementwise slicing traffic). "bf3": rounded-bf16 slice
+        # pairs with the window folded exactly — the batch pipeline's
+        # headline numerics; picks when accuracy belongs to the bf3 error
+        # class (~3e-6 JFK parity) rather than plain-f32's ~1e-5.
+        self.fft_impl = fft_impl
         fft, n_mels = config.fft_size, config.n_mels
         half = fft // 2
+        self.half = half
         filters = mel_filterbank(config.sampling_rate, fft, n_mels)
         self.filters_t = jnp.asarray(filters[:, :half].T, dtype=dtype)
         self.window = jnp.asarray(hann_periodic(fft), dtype=dtype)
         cos_m, msin_m = dft.rdft_matrices(fft, half)
         self.cos_m = jnp.asarray(cos_m, dtype=dtype)
         self.msin_m = jnp.asarray(msin_m, dtype=dtype)
+
+    def _power(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """``|rfft|^2`` of RAW (unwindowed) frames ``[..., fft]`` over the
+        first ``fft//2`` bins, per the configured implementation."""
+        if self.fft_impl == "bf3":
+            from melspec_tpu.ops.hp_dft import bf3_rdft_power
+
+            return bf3_rdft_power(
+                frames.astype(jnp.float32), self.config.fft_size, self.half,
+                hann_windowed=True,
+            )
+        hp = jax.lax.Precision.HIGHEST
+        xw = frames * self.window
+        re = jnp.matmul(xw, self.cos_m, precision=hp)
+        im = jnp.matmul(xw, self.msin_m, precision=hp)
+        return re * re + im * im
 
     def init(self) -> MultiStreamState:
         return MultiStreamState(
@@ -82,10 +109,7 @@ class MultiStreamMel:
             state.idx + jnp.where(active, hop, 0).astype(state.idx.dtype), fft
         )
 
-        xw = buf * self.window
-        re = jnp.matmul(xw, self.cos_m, precision=hp)
-        im = jnp.matmul(xw, self.msin_m, precision=hp)
-        power = re * re + im * im
+        power = self._power(buf)
         energy = jnp.matmul(power, self.filters_t, precision=hp)
         log_mel = log10_best(
             jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)),
@@ -119,11 +143,8 @@ class MultiStreamMel:
             axis=1,
         )
         frames = _framing.frame_signal(signal, fft, hop, h, offset=hop)
-        xw = frames * self.window
         hp = jax.lax.Precision.HIGHEST
-        re = jnp.matmul(xw, self.cos_m, precision=hp)
-        im = jnp.matmul(xw, self.msin_m, precision=hp)
-        power = re * re + im * im
+        power = self._power(frames)
         energy = jnp.matmul(power, self.filters_t, precision=hp)
         log_mel = log10_best(
             jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)),

@@ -111,3 +111,29 @@ def test_push_many_bulk_continues_across_calls(jfk_samples):
     np.testing.assert_array_equal(
         np.concatenate([v1, v2], axis=1), valid_all
     )
+
+def test_bf3_mode_bulk_matches_scan_and_reference(jfk_samples):
+    """fft_impl='bf3' (3-pass rounded-bf16 slices, the batch headline
+    backend's scheme) must keep bulk==scan differential parity and stay
+    within ~1e-5 of the HIGHEST-precision rdft path in normalized mel
+    units — the same accuracy class the driver's headline gate demands."""
+    config = MelConfig(400, 160, 80, 16000.0)
+    bf3 = MultiStreamMel(config, 2, fft_impl="bf3")
+    ref = MultiStreamMel(config, 2, dtype=jnp.float64)
+    h = 30
+    chunks = np.stack([jfk_samples[: h * 160].reshape(h, 160),
+                       jfk_samples[6400 : 6400 + h * 160].reshape(h, 160)])
+
+    sb = bf3.init()
+    sb, mels_b, valid_b = bf3.push_many(sb, chunks)
+    ss = bf3.init()
+    ss, mels_s, valid_s = bf3.push_many(ss, chunks, scan=True)
+    np.testing.assert_array_equal(valid_b, valid_s)
+    # bf16 matmul accumulation order may differ between the [S, fft] and
+    # [S*H, fft] contraction shapes; the paths agree to ~bf16-slice ulp
+    np.testing.assert_allclose(mels_b[valid_b], mels_s[valid_s], atol=1e-5)
+
+    sr = ref.init()
+    sr, mels_r, valid_r = ref.push_many(sr, chunks)
+    np.testing.assert_array_equal(valid_b, valid_r)
+    np.testing.assert_allclose(mels_b[valid_b], mels_r[valid_r], atol=1e-5)
