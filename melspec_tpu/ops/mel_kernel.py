@@ -558,39 +558,96 @@ def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
             n_bins_pad, n_mels_pad, k_pad)
 
 
-def _sig_mel_tile_kernel(sig_ref, m_big_ref, mt_ref, out_ref, s_scratch,
-                         dma_sems, *, ks: int, pair_i, k_pad: int,
-                         n_bins_pad: int, offset: int, mel_precision,
-                         rows_per_clip: int, tiles_per_clip: int):
+def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
+                         s_scratch, dma_sems, tail_sems, *, ks: int, pair_i,
+                         k_pad: int, n_bins_pad: int, offset: int,
+                         mel_precision, rows_per_clip: int,
+                         tiles_per_clip: int, tail_rows: int):
     rows = _SIG_ROWS_PER_TILE
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_b = pl.num_programs(0)
     n_t = pl.num_programs(1)
     slot = (b * n_t + t) % 2
+    full = rows + 8
+    # zero-copy input mode (tail_rows < full): the clip's macro-rows end
+    # mid-tile. Mosaic DMAs need 8-aligned row starts AND sizes, so the
+    # last tile fetches the aligned prefix from sig and the ragged
+    # remainder (< 8 rows, pre-padded on host) from tailpad_ref.
+    rem8 = (tail_rows // 8) * 8
+    ragged = tail_rows - rem8  # 0..7 real rows living in tailpad_ref
+    fetched = rem8 + (8 if ragged else 0)
 
-    def dma_for(bb, tt, sl):
-        row0 = bb * rows_per_clip + tt * rows
+    def dma_full(bb, tt, sl):
+        # sig is [b, rows_per_clip, 640]: the clip index rides dim 0 so
+        # every row-dim slice starts at tt*rows — provably 8-aligned
+        # regardless of rows_per_clip
         return pltpu.make_async_copy(
-            sig_ref.at[pl.ds(row0, rows + 8), :],
+            sig_ref.at[bb, pl.ds(tt * rows, full), :],
             s_scratch.at[sl], dma_sems.at[sl],
         )
+
+    def dma_tail_main(bb, sl):
+        return pltpu.make_async_copy(
+            sig_ref.at[bb, pl.ds((n_t - 1) * rows, rem8), :],
+            s_scratch.at[sl, pl.ds(0, rem8)], dma_sems.at[sl],
+        )
+
+    def dma_tail_pad(bb, sl):
+        return pltpu.make_async_copy(
+            tailpad_ref.at[bb],
+            s_scratch.at[sl, pl.ds(rem8, 8)], tail_sems.at[sl],
+        )
+
+    def dma_op(bb, tt, sl, start):
+        op = (lambda d: d.start()) if start else (lambda d: d.wait())
+
+        def tail(bb_, sl_):
+            op(dma_tail_main(bb_, sl_))
+            if ragged:
+                op(dma_tail_pad(bb_, sl_))
+
+        if tail_rows == full:
+            op(dma_full(bb, tt, sl))
+            return
+        if n_t == 1:
+            # every tile is a tail tile; the full-window slice may not
+            # even fit the operand, so it must not be traced at all
+            tail(bb, sl)
+            return
+        if isinstance(tt, int):  # static tile index (the warm-up start)
+            tail(bb, sl) if tt == n_t - 1 else op(dma_full(bb, tt, sl))
+            return
+
+        @pl.when(tt < n_t - 1)
+        def _():
+            op(dma_full(bb, tt, sl))
+
+        @pl.when(tt == n_t - 1)
+        def _():
+            tail(bb, sl)
 
     # double-buffered window DMA: tile (b, t) waits on its own slot and
     # prefetches the next tile's window into the other one
     @pl.when((b == 0) & (t == 0))
     def _():
-        dma_for(0, 0, 0).start()
+        dma_op(0, 0, 0, start=True)
 
     nxt = b * n_t + t + 1
     nb, nt = nxt // n_t, nxt % n_t
 
     @pl.when(nxt < n_b * n_t)
     def _():
-        dma_for(nb, nt, (slot + 1) % 2).start()
+        dma_op(nb, nt, (slot + 1) % 2, start=True)
 
-    dma_for(b, t, slot).wait()
+    dma_op(b, t, slot, start=False)
     s = s_scratch[slot]  # [rows + 8, 640]
+    if tail_rows < full:
+        # rows past the clip end were not fetched; zero them so stale or
+        # uninitialized VMEM (possibly NaN) cannot reach the dot even in
+        # the zero-matrix-row positions (0 * NaN would poison real frames)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (full, 1), 0)
+        s = jnp.where((t == n_t - 1) & (ridx >= fetched), 0.0, s)
 
     # lo = macro-rows r, hi = rows r+1: the one-row shift comes from a
     # sublane roll of the DMA'd window (DMA slices are 8-row granular, so
@@ -670,23 +727,51 @@ def _pallas_sig_mel(
     # rows per clip padded to 8-row DMA granularity past the last tile
     rows = _SIG_ROWS_PER_TILE * tiles + 8
     need = rows * _SIG_ROW
-    if t < need:
-        # one pad copy; callers wanting zero-copy provide T == need
-        samples = jnp.pad(samples, ((0, 0), (0, need - t)))
+    rows_real = t // _SIG_ROW
+    tail = rows_real - (tiles - 1) * _SIG_ROWS_PER_TILE
+    if t % _SIG_ROW == 0 and tail >= 8:
+        # ZERO-COPY input: T is a whole number of macro-rows and every
+        # non-final tile's full window fits inside the clip, so the input
+        # reshapes straight into macro-rows and the kernel clamps the last
+        # tile's DMA to the rows that exist (all standard clip lengths —
+        # multiples of 0.04 s — take this path; it removes a whole-input
+        # pad copy, ~5% of runtime at the bench configs). The < 8 ragged
+        # remainder rows ride a tiny second input (Mosaic DMAs need
+        # 8-aligned sizes).
+        rows_clip = rows_real
+        tail_rows = min(tail, _SIG_ROWS_PER_TILE + 8)
+        ragged = tail_rows - (tail_rows // 8) * 8
+        if ragged:
+            start = ((tiles - 1) * _SIG_ROWS_PER_TILE
+                     + tail_rows - ragged) * _SIG_ROW
+            tailpad = jnp.pad(
+                samples[:, start : start + ragged * _SIG_ROW],
+                ((0, 0), (0, (8 - ragged) * _SIG_ROW)),
+            )
+        else:
+            tailpad = jnp.zeros((b, 8 * _SIG_ROW), samples.dtype)
     else:
-        samples = samples[:, :need]
-    sig = samples.reshape(b * rows, _SIG_ROW)
+        rows_clip = rows
+        tail_rows = _SIG_ROWS_PER_TILE + 8
+        tailpad = jnp.zeros((b, 8 * _SIG_ROW), samples.dtype)
+        if t < need:
+            samples = jnp.pad(samples, ((0, 0), (0, need - t)))
+        else:
+            samples = samples[:, :need]
+    sig = samples.reshape(b, rows_clip, _SIG_ROW)
+    tailpad = tailpad.reshape(b, 8, _SIG_ROW)
 
     kernel = functools.partial(
         _sig_mel_tile_kernel, ks=ks, pair_i=pair_i, k_pad=k_pad,
         n_bins_pad=n_bins_pad, offset=offset, mel_precision=mel_precision,
-        rows_per_clip=rows, tiles_per_clip=tiles,
+        rows_per_clip=rows_clip, tiles_per_clip=tiles, tail_rows=tail_rows,
     )
     out = pl.pallas_call(
         kernel,
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),    # macro-row signal
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ragged tail rows
             pl.BlockSpec(memory_space=pltpu.VMEM),   # m_big
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mt
         ],
@@ -701,6 +786,7 @@ def _pallas_sig_mel(
         scratch_shapes=[
             pltpu.VMEM((2, _SIG_ROWS_PER_TILE + 8, _SIG_ROW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * tiles * _SIG_FRAMES_PER_TILE
@@ -712,7 +798,7 @@ def _pallas_sig_mel(
             transcendentals=b * tiles * _SIG_FRAMES_PER_TILE * n_mels_pad,
         ),
         interpret=interpret,
-    )(sig, m_big, mt)
+    )(sig, tailpad, m_big, mt)
 
     # phase-major rows -> natural frame order: row g*ROWS+j is frame 4j+g
     out = out.reshape(b, tiles, 4, _SIG_ROWS_PER_TILE, n_mels_pad)
