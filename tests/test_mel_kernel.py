@@ -100,3 +100,47 @@ def test_kernel_short_input():
     out = whisper_mel_pallas(np.zeros(100, np.float32), 400, 160, 80,
                              16000.0, interpret=True)
     assert out.shape == (0, 80)
+
+
+@pytest.mark.parametrize("n_samples", [
+    640 * 250,        # zero-copy, ragged tail (250 % 8 == 2)
+    640 * 264,        # zero-copy, aligned tail (264 % 8 == 0)
+    640 * 280,        # zero-copy, tail larger than one tile window
+    640 * 137,        # zero-copy, single tile (n_t == 1)
+    640 * 250 + 321,  # not a macro-row multiple: padded fallback
+    640 * 129 + 160,  # fallback with tail < 8 rows after the last tile
+])
+def test_sig_kernel_input_geometry_edges(n_samples):
+    """The zero-copy input path (clamped tail DMA + ragged side input) must
+    agree with the padded fallback across every tail-geometry class."""
+    from melspec_tpu.ops.mel_kernel import whisper_mel_sig
+
+    rng = np.random.default_rng(n_samples)
+    x = (rng.normal(size=n_samples) * 0.2).astype(np.float32)
+    got = np.asarray(
+        whisper_mel_sig(x, 400, 160, 80, 16000.0, interpret=True))
+    pipe = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
+                              fft_impl="bf3")
+    want = np.asarray(pipe.mel_batch(jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sig_kernel_last_frame_uses_ragged_tail_rows():
+    """Real audio content in the <8-row ragged remainder must reach the
+    final frames (a silent zero-fill there would pass shape checks but
+    corrupt the tail of every standard-length clip)."""
+    from melspec_tpu.ops.mel_kernel import whisper_mel_sig
+
+    rng = np.random.default_rng(7)
+    n = 640 * 250  # tail = 122 rows -> rem8 = 120, ragged = 2
+    x = (rng.normal(size=n) * 0.2).astype(np.float32)
+    x_zeroed = x.copy()
+    x_zeroed[640 * 248:] = 0.0  # wipe exactly the ragged rows
+    a = np.asarray(whisper_mel_sig(x, 400, 160, 80, 16000.0,
+                                   interpret=True))
+    b = np.asarray(whisper_mel_sig(x_zeroed, 400, 160, 80, 16000.0,
+                                   interpret=True))
+    assert np.abs(a[-1] - b[-1]).max() > 1e-3  # the content mattered
+    np.testing.assert_allclose(a[: a.shape[0] - 10], b[: a.shape[0] - 10],
+                               atol=1e-6)  # earlier frames untouched
