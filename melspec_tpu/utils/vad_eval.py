@@ -187,6 +187,60 @@ def postprocess_decisions(
     ]
 
 
+def _postprocess_mask(
+    speech: np.ndarray, times_s: np.ndarray, frame_period_s: float,
+    opts: EvalOptions,
+) -> np.ndarray:
+    """Vectorized ``postprocess_decisions`` over a whole file's decisions.
+
+    Bit-identical to the sequential helper (run-length segments -> merge ->
+    min-length filter -> point-in-segment test) but numpy end-to-end — the
+    per-decision Python objects were the dominant cost of the batched
+    evaluator once the device pass became one dispatch.
+    """
+    n = speech.shape[0]
+    if n == 0 or (opts.min_speech_ms == 0 and opts.merge_gap_ms == 0):
+        return speech
+    h2 = frame_period_s / 2.0
+    s8 = speech.astype(np.int8)
+    rise = np.flatnonzero(np.diff(s8) == 1) + 1      # False -> True
+    fall = np.flatnonzero(np.diff(s8) == -1) + 1     # True -> False
+    if speech[0]:
+        rise = np.concatenate([[0], rise])
+    starts = np.maximum(times_s[rise] - h2, 0.0)
+    ends = np.empty_like(starts)
+    n_closed = len(fall)
+    ends[:n_closed] = np.maximum(times_s[fall] - h2, starts[:n_closed])
+    if len(starts) > n_closed:  # trailing open segment
+        ends[-1] = times_s[-1] + h2
+    segments = [LabelSegment(float(a), float(b), True)
+                for a, b in zip(starts, ends)]
+    if opts.merge_gap_ms > 0:
+        segments = merge_close_segments(segments, opts.merge_gap_ms / 1000.0)
+    if opts.min_speech_ms > 0:
+        min_s = opts.min_speech_ms / 1000.0
+        segments = [s for s in segments if s.end - s.start >= min_s]
+    if not segments:
+        return np.zeros(n, dtype=bool)
+    seg_start = np.asarray([s.start for s in segments])
+    seg_end = np.asarray([s.end for s in segments])
+    # merged segments are sorted and disjoint: point-in-segment by bisect
+    k = np.searchsorted(seg_start, times_s, side="right") - 1
+    return (k >= 0) & (times_s < seg_end[np.maximum(k, 0)])
+
+
+def _labels_mask(labels: Sequence[LabelSegment],
+                 times_s: np.ndarray) -> np.ndarray:
+    """Vectorized ``label_at`` (first-matching-segment semantics)."""
+    expected = np.zeros(times_s.shape[0], dtype=bool)
+    assigned = np.zeros_like(expected)
+    for seg in labels:
+        m = ~assigned & (times_s >= seg.start) & (times_s < seg.end)
+        expected[m] = seg.speech
+        assigned |= m
+    return expected
+
+
 def _bucket_pad(samples: np.ndarray, sample_rate: int) -> np.ndarray:
     """Zero-pad to the next power-of-two second count so jit caches hit
     across a testset of ragged clip lengths. Exact: padding only adds
@@ -401,14 +455,15 @@ def evaluate_testset_batched(
         times_s = np.floor(
             (frame_idx * opts.hop_size + sample_off) / rate * 1000.0 + 0.5
         ) / 1000.0
-        decisions = [TimedDecision(float(t), bool(s))
-                     for t, s in zip(times_s, speech)]
-        decisions = postprocess_decisions(
-            decisions, opts.hop_size / rate, opts
+        speech_pp = _postprocess_mask(np.asarray(speech, dtype=bool),
+                                      times_s, opts.hop_size / rate, opts)
+        expected = _labels_mask(labels_all[i], times_s)
+        metrics = Metrics(
+            tp=int(np.sum(speech_pp & expected)),
+            fp=int(np.sum(speech_pp & ~expected)),
+            tn=int(np.sum(~speech_pp & ~expected)),
+            fn=int(np.sum(~speech_pp & expected)),
         )
-        metrics = Metrics()
-        for d in decisions:
-            metrics.add(d.speech, label_at(labels_all[i], d.time_s))
         total.merge(metrics)
         host_wall = time.perf_counter() - t0
         attributed = wall_total * durations[i] / dur_sum + host_wall

@@ -64,3 +64,43 @@ def test_postprocess_drops_short_segments():
     out = postprocess_decisions(decisions, period,
                                 EvalOptions(min_speech_ms=100, merge_gap_ms=0))
     assert not any(d.speech for d in out)
+
+
+def test_vectorized_postprocess_matches_sequential_fuzz():
+    """_postprocess_mask (the batched evaluator's numpy fast path) must be
+    decision-for-decision identical to postprocess_decisions across random
+    decision streams and every post-processing knob combination."""
+    import numpy as np
+
+    from melspec_tpu.utils.vad_eval import (EvalOptions, TimedDecision,
+                                            _labels_mask, _postprocess_mask,
+                                            label_at, postprocess_decisions,
+                                            LabelSegment)
+
+    rng = np.random.default_rng(11)
+    hop_s = 160 / 16000.0
+    for trial in range(40):
+        n = int(rng.integers(1, 400))
+        speech = rng.random(n) < rng.uniform(0.05, 0.9)
+        times = np.round((np.arange(n) * hop_s + 0.0125) * 1000) / 1000.0
+        opts = EvalOptions(
+            min_speech_ms=int(rng.choice([0, 50, 150, 400])),
+            merge_gap_ms=int(rng.choice([0, 50, 150, 400])),
+        )
+        want = postprocess_decisions(
+            [TimedDecision(float(t), bool(s))
+             for t, s in zip(times, speech)], hop_s, opts)
+        got = _postprocess_mask(speech, times, hop_s, opts)
+        assert [bool(g) for g in got] == [d.speech for d in want], (
+            trial, opts)
+
+        # label mask vs scalar label_at, with overlapping segments to pin
+        # first-match semantics
+        segs = []
+        for _ in range(int(rng.integers(0, 6))):
+            a = float(rng.uniform(0, times[-1] + 0.1))
+            b = a + float(rng.uniform(0, 1.5))
+            segs.append(LabelSegment(a, b, bool(rng.random() < 0.7)))
+        got_l = _labels_mask(segs, times)
+        want_l = [label_at(segs, float(t)) for t in times]
+        assert [bool(g) for g in got_l] == want_l, trial
