@@ -62,6 +62,7 @@ from melspec_tpu.ops.vad import (
     vad_on,
 )
 from melspec_tpu.runtime import SampleRing
+from melspec_tpu.streaming.multistream import MultiStreamMel, MultiStreamState
 from melspec_tpu.streaming.pipeline import RingBuffer
 from melspec_tpu.streaming.speech_to_mel import SpeechToMel
 from melspec_tpu.streaming.stft import StftState, StreamingMel, StreamingStft
@@ -81,6 +82,8 @@ __all__ = [
     "FbankConfig",
     "MelConfig",
     "MelProjection",
+    "MultiStreamMel",
+    "MultiStreamState",
     "QuantizationRange",
     "RingBuffer",
     "SampleRing",
