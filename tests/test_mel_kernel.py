@@ -144,3 +144,19 @@ def test_sig_kernel_last_frame_uses_ragged_tail_rows():
     assert np.abs(a[-1] - b[-1]).max() > 1e-3  # the content mattered
     np.testing.assert_allclose(a[: a.shape[0] - 10], b[: a.shape[0] - 10],
                                atol=1e-6)  # earlier frames untouched
+
+
+def test_sig_kernel_streaming_zero_copy_geometry():
+    """Streaming mode (nonzero frame offset) through the zero-copy input
+    path must match the XLA streaming-equivalent pipeline."""
+    from melspec_tpu.ops.mel_kernel import whisper_mel_sig
+
+    rng = np.random.default_rng(5)
+    x = (rng.normal(size=640 * 100) * 0.2).astype(np.float32)  # T % 640 == 0
+    got = np.asarray(whisper_mel_sig(x, 512, 160, 80, 16000.0,
+                                     streaming=True, interpret=True))
+    pipe = WhisperMelPipeline(512, 160, 80, 16000.0, dtype=jnp.float32,
+                              fft_impl="bf3")
+    want = np.asarray(pipe.mel_streaming_equivalent(jnp.asarray(x))).T
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
