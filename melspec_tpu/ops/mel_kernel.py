@@ -703,7 +703,7 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
-                     "mel_precision"),
+                     "mel_precision", "n_mels_out"),
 )
 def _pallas_sig_mel(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
@@ -715,9 +715,14 @@ def _pallas_sig_mel(
     n_frames: int,
     offset: int = 0,
     mel_precision=jax.lax.Precision.HIGHEST,
+    n_mels_out: int = 0,
 ) -> jnp.ndarray:
     """Whisper log-mel from the raw signal, framing fused into the kernel.
-    Returns ``[B, n_frames, n_mels_pad]`` in natural frame order."""
+    Returns ``[B, n_frames, n_mels_out or n_mels_pad]`` in natural frame
+    order. The mel trim must happen INSIDE this jit so it fuses with the
+    phase reindex — as an eager getitem it was a whole extra device
+    dispatch copying the padded output (visible in profiles as
+    jit_dynamic_slice after every kernel launch)."""
     b, t = samples.shape
     n_bins_pad = m_big.shape[1] // 2  # mt rows differ in bf2 mode
     n_mels_pad = mt.shape[1]
@@ -805,7 +810,7 @@ def _pallas_sig_mel(
     out = out.transpose(0, 1, 3, 2, 4).reshape(
         b, tiles * _SIG_FRAMES_PER_TILE, n_mels_pad
     )
-    return out[:, :n_frames]
+    return out[:, :n_frames, : (n_mels_out or n_mels_pad)]
 
 
 def whisper_mel_sig(
@@ -867,7 +872,8 @@ def whisper_mel_sig(
         return _pallas_sig_mel(
             xc, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
             n_frames=n_frames, offset=offset, mel_precision=mel_precision,
-        )[..., :n_mels]
+            n_mels_out=n_mels,
+        )
 
     if cb >= b:
         out = run(x)
