@@ -1090,10 +1090,56 @@ def whisper_mel_pallas(
         out = jnp.zeros((x.shape[0], 0, n_mels), jnp.float32)
         return out[0] if squeeze else out
 
-    batch = x.shape[0]
-    total = batch * n_frames
     # measured-best tile sizes (v5e)
     tile = 512 if impl == "hp_bf16" else TILE_FRAMES
+    if impl == "bf3":
+        ks = 3 if hp_n_slices is None else hp_n_slices
+        cutoff = 2 if hp_max_pair_sum is None else hp_max_pair_sum
+        slice_mats, mt, _, _, _ = _bf3_device_matrices(
+            fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
+        )
+        mats = (mt,) + tuple(slice_mats)
+    elif impl == "hp8":
+        ks = 4 if hp_n_slices is None else hp_n_slices
+        cutoff = 4 if hp_max_pair_sum is None else hp_max_pair_sum
+        slice_mats, mt, _, _, _ = _hp8_device_matrices(
+            fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
+        )
+        mats = (mt,) + tuple(slice_mats)
+    elif impl == "hp_bf16":
+        ks = 5 if hp_n_slices is None else hp_n_slices
+        cutoff = 5 if hp_max_pair_sum is None else hp_max_pair_sum
+        cs, ss, mt, _, _, _ = _hp_device_matrices(
+            fft_size, n_mels, float(sampling_rate), ks
+        )
+        mats = (cs, ss, mt)
+    else:
+        ks = cutoff = 0
+        cw, sw, mt, _, _, _ = _f32_device_matrices(
+            fft_size, n_mels, float(sampling_rate)
+        )
+        mats = (cw, sw, mt)
+    out = _framed_pallas_mel(
+        x, mats, impl=impl, fft_size=fft_size, hop_size=hop_size,
+        n_frames=n_frames, n_mels=n_mels, tile=tile, interpret=interpret,
+        ks=ks, cutoff=cutoff,
+    )
+    return out[0] if squeeze else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("impl", "fft_size", "hop_size", "n_frames", "n_mels",
+                     "tile", "interpret", "ks", "cutoff"),
+)
+def _framed_pallas_mel(x, mats, *, impl, fft_size, hop_size, n_frames,
+                       n_mels, tile, interpret, ks, cutoff):
+    """Framing + padding + kernel + trim as ONE device program. Eager
+    framing used to cost several extra full-tensor dispatches per call
+    (gather, reshape, two pads, the final slice) — the same disease the
+    sig kernel's eager n_mels trim had."""
+    batch = x.shape[0]
+    total = batch * n_frames
     total_pad = -(-total // tile) * tile
     # pad the signal so framing stays in bounds, then pad the frame count
     needed = (n_frames - 1) * hop_size + fft_size
@@ -1105,41 +1151,22 @@ def whisper_mel_pallas(
     frames = jnp.pad(
         frames, ((0, total_pad - total), (0, k_pad - fft_size))
     )
-
     if impl == "bf3":
-        ks = 3 if hp_n_slices is None else hp_n_slices
-        cutoff = 2 if hp_max_pair_sum is None else hp_max_pair_sum
-        slice_mats, mt, _, _, _ = _bf3_device_matrices(
-            fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
-        )
         out = _pallas_bf3_mel_frames(
-            frames, mt, *slice_mats, interpret=interpret,
+            frames, mats[0], *mats[1:], interpret=interpret,
             ks=ks, km=ks, cutoff=cutoff, tile_frames=tile,
         )
     elif impl == "hp8":
-        ks = 4 if hp_n_slices is None else hp_n_slices
-        cutoff = 4 if hp_max_pair_sum is None else hp_max_pair_sum
-        slice_mats, mt, _, _, _ = _hp8_device_matrices(
-            fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
-        )
         out = _pallas_hp8_mel_frames(
-            frames, mt, *slice_mats, interpret=interpret,
+            frames, mats[0], *mats[1:], interpret=interpret,
             ks=ks, km=ks, cutoff=cutoff, tile_frames=tile,
         )
     elif impl == "hp_bf16":
-        n_slices = 5 if hp_n_slices is None else hp_n_slices
-        pair_sum = 5 if hp_max_pair_sum is None else hp_max_pair_sum
-        cs, ss, mt, _, _, _ = _hp_device_matrices(
-            fft_size, n_mels, float(sampling_rate), n_slices
-        )
         out = _pallas_hp_mel_frames(
-            frames, cs, ss, mt, interpret=interpret, tile_frames=tile,
-            n_slices=n_slices, max_pair_sum=pair_sum,
+            frames, mats[0], mats[1], mats[2], interpret=interpret,
+            tile_frames=tile, n_slices=ks, max_pair_sum=cutoff,
         )
     else:
-        cw, sw, mt, _, _, _ = _f32_device_matrices(
-            fft_size, n_mels, float(sampling_rate)
-        )
-        out = _pallas_mel_frames(frames, cw, sw, mt, interpret=interpret)
-    out = out[:total, :n_mels].reshape(batch, n_frames, n_mels)
-    return out[0] if squeeze else out
+        out = _pallas_mel_frames(frames, mats[0], mats[1], mats[2],
+                                 interpret=interpret)
+    return out[:total, :n_mels].reshape(batch, n_frames, n_mels)
