@@ -107,6 +107,7 @@ def test_kernel_short_input():
     640 * 264,        # zero-copy, aligned tail (264 % 8 == 0)
     640 * 280,        # zero-copy, tail larger than one tile window
     640 * 137,        # zero-copy, single tile (n_t == 1)
+    640 * 8,          # zero-copy, tiny single tile (tail == exactly 8)
     640 * 250 + 321,  # not a macro-row multiple: padded fallback
     640 * 129 + 160,  # fallback with tail < 8 rows after the last tile
 ])
