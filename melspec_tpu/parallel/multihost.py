@@ -33,7 +33,6 @@ from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
