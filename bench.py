@@ -161,6 +161,7 @@ def main() -> None:
             from melspec_tpu.ops.vad import streaming_decision_fields_batched
 
             nemo = BatchLogMel(BatchLogMelConfig())
+            nemo_sig = BatchLogMel(BatchLogMelConfig(), fft_impl="sig")
             kaldi = Fbank(FbankConfig(apply_cmn=True))
             settings = DetectionSettings()
 
@@ -177,6 +178,7 @@ def main() -> None:
             audio_s = batch * t / SR
             for fname, ffn in [
                 ("nemo_logmel", nemo.compute),
+                ("nemo_logmel_sig", nemo_sig.compute),
                 ("kaldi_fbank", kaldi.compute),
                 ("vad_fields", lambda x: vad_fields(x)["confidence"]),
             ]:

@@ -51,8 +51,20 @@ class BatchLogMel:
 
     def __init__(self, config: BatchLogMelConfig = BatchLogMelConfig(),
                  dtype=jnp.float32, fft_impl: str = "rdft"):
-        if fft_impl not in ("rdft", "fft", "hp"):
-            raise ValueError("fft_impl must be 'rdft', 'fft' or 'hp'")
+        if fft_impl not in ("rdft", "fft", "hp", "sig"):
+            raise ValueError("fft_impl must be 'rdft', 'fft', 'hp' or 'sig'")
+        if fft_impl == "sig":
+            # the fused signal-input Pallas kernel's macro-row geometry
+            # (see ops/mel_kernel.whisper_mel_sig): 4 hops per 640-sample
+            # row, window + frame must fit the rolled row pair
+            k_pad = -(-config.n_fft // 128) * 128
+            if config.hop_length * 4 != 640 or k_pad + 480 > 1280:
+                raise ValueError(
+                    "fft_impl='sig' needs hop_length == 160 and "
+                    "n_fft <= 800 (the NeMo/Parakeet defaults qualify)"
+                )
+            if jnp.dtype(dtype) != jnp.float32:
+                raise ValueError("fft_impl='sig' is float32-only")
         self.config = config
         self.dtype = dtype
         self.fft_impl = fft_impl
@@ -71,6 +83,16 @@ class BatchLogMel:
         self.filters_t = jnp.asarray(filters.T, dtype=dtype)  # [bins, n_mels]
         self._window_np = hann_centered(config.n_fft, config.win_length)
         self.window = jnp.asarray(self._window_np, dtype=dtype)
+        if fft_impl == "sig":
+            from melspec_tpu.ops.mel_kernel import _sig_frontend_matrices
+
+            m_big, pair_i, mt, _, _, _ = _sig_frontend_matrices(
+                config.n_fft, self.fft_bins, self._window_np, filters,
+                ks=3, km=3, cutoff=2,
+            )
+            self._sig_m_big = m_big
+            self._sig_pair_i = pair_i
+            self._sig_mt = jnp.asarray(mt, jnp.float32)
 
     @property
     def filters(self) -> np.ndarray:
@@ -104,6 +126,28 @@ class BatchLogMel:
         if x.shape[-1] < needed:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, needed - x.shape[-1])])
 
+        if self.fft_impl == "sig":
+            # fused signal-input Pallas kernel: framing + windowed rDFT +
+            # power + filterbank + ln(x+guard) in ONE kernel over VMEM
+            # tiles (in-kernel framing — the [frames, n_fft] tensor is
+            # never materialized). Preemphasis/center-pad above are plain
+            # XLA; the norm/pad_to below fuse behind the kernel output.
+            from melspec_tpu.ops.mel_kernel import _pallas_sig_mel
+
+            lead = x.shape[:-1]
+            x2 = x.reshape((-1, x.shape[-1])).astype(jnp.float32)
+            mel = _pallas_sig_mel(
+                x2, self._sig_m_big, self._sig_mt,
+                interpret=jax.default_backend() not in ("tpu", "gpu"),
+                ks=3, pair_i=self._sig_pair_i, n_frames=valid,
+                out_mode="ln_guard", guard=float(cfg.log_zero_guard),
+                n_mels_out=cfg.n_mels,
+            )  # [B, valid, n_mels]
+            feats = jnp.swapaxes(mel, -1, -2).reshape(
+                lead + (cfg.n_mels, valid)
+            ).astype(self.dtype)
+            return self._norm_and_pad(feats, valid)
+
         frames = framing.frame_signal(x, cfg.n_fft, cfg.hop_length, valid)
         if self.fft_impl == "hp":
             from melspec_tpu.ops.hp_dft import hp_rdft_power_windowed
@@ -129,7 +173,10 @@ class BatchLogMel:
         feats = ln_best(energy + jnp.asarray(cfg.log_zero_guard, self.dtype),
                         self.dtype)
         feats = jnp.swapaxes(feats, -1, -2)  # [..., n_mels, valid]
+        return self._norm_and_pad(feats, valid)
 
+    def _norm_and_pad(self, feats: jnp.ndarray, valid: int) -> jnp.ndarray:
+        cfg = self.config
         if cfg.normalize_per_feature:
             mean = jnp.mean(feats, axis=-1, keepdims=True)
             denom = max(valid - 1, 1)

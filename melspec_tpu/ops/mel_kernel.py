@@ -511,23 +511,28 @@ _SIG_FRAMES_PER_TILE = 512
 _SIG_ROWS_PER_TILE = 128  # 512 frames * 160 hop / 640 (measured-best, v5e)
 
 
-@functools.lru_cache(maxsize=8)
-def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
-                         ks: int, km: int, cutoff: int):
-    """K-stacked bf16 plane matrix [n_pairs*k_pad, 512] with re in cols
-    [0, n_bins_pad) and im in [n_bins_pad, 2*n_bins_pad), plus the pair
-    order for the matching signal-slice concatenation."""
-    half = fft_size // 2
-    n_bins_pad = -(-half // LANES) * LANES
+def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
+                           filters: np.ndarray, ks: int, km: int,
+                           cutoff: int):
+    """General builder for the signal-input kernel's device matrices:
+    K-stacked bf16 plane matrix ``[n_pairs*k_pad, 2*n_bins_pad]`` (re in
+    cols [0, n_bins_pad), im in [n_bins_pad, 2*n_bins_pad)) with the
+    given ``window`` folded in, the pair order for the matching
+    signal-slice concatenation, and the padded projection
+    ``[n_bins_pad, n_mels_pad]`` from ``filters [n_mels, >= n_bins]``.
+    Any frontend whose spectral stage is windowed-rDFT -> power ->
+    filterbank fits (whisper mel, NeMo log-mel, Kaldi fbank)."""
+    n_mels = filters.shape[0]
+    n_bins_pad = -(-n_bins // LANES) * LANES
     n_mels_pad = -(-n_mels // LANES) * LANES
     k_pad = -(-fft_size // LANES) * LANES
 
-    cos_m, msin_m = dft.rdft_matrices(fft_size, half)
-    w = hann_periodic(fft_size)[:, None]
+    cos_m, msin_m = dft.rdft_matrices(fft_size, n_bins)
+    w = np.asarray(window, np.float64)[:, None]
     cw = np.zeros((k_pad, n_bins_pad))
     sw = np.zeros((k_pad, n_bins_pad))
-    cw[:fft_size, :half] = w * cos_m
-    sw[:fft_size, :half] = w * msin_m
+    cw[:fft_size, :n_bins] = w * cos_m
+    sw[:fft_size, :n_bins] = w * msin_m
     cos_planes = _bf16_round_slices(cw, km)
     sin_planes = _bf16_round_slices(sw, km)
 
@@ -542,9 +547,22 @@ def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
             ))
     m_big = jnp.asarray(np.concatenate(blocks, axis=0), jnp.bfloat16)
 
-    filters = mel_filterbank(sampling_rate, fft_size, n_mels)
     mt = np.zeros((n_bins_pad, n_mels_pad))
-    mt[:half, :n_mels] = filters[:, :half].T
+    mt[:n_bins, :n_mels] = np.asarray(filters, np.float64)[:, :n_bins].T
+    return m_big, tuple(pair_i), mt, n_bins_pad, n_mels_pad, k_pad
+
+
+@functools.lru_cache(maxsize=8)
+def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
+                         ks: int, km: int, cutoff: int):
+    """Whisper-mel instantiation of ``_sig_frontend_matrices`` (projection
+    zeroes bins >= fft/2 like ``src/mel.rs:148-168``), plus the bf2 mel
+    variant."""
+    half = fft_size // 2
+    filters = mel_filterbank(sampling_rate, fft_size, n_mels)
+    m_big, pair_i, mt, n_bins_pad, n_mels_pad, k_pad = \
+        _sig_frontend_matrices(fft_size, half, hann_periodic(fft_size),
+                               filters, ks, km, cutoff)
     # bf2 variant: 2 rounded-bf16 filter slices K-stacked [F0; F1; F0] to
     # pair with the power slices [p0 | p0 | p1]
     f0, f1 = _bf16_round_slices(mt, 2)
@@ -554,7 +572,7 @@ def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
                         np.asarray(f0, np.float32)], axis=0),
         jnp.bfloat16,
     )
-    return (m_big, tuple(pair_i), jnp.asarray(mt, jnp.float32), mt_bf2,
+    return (m_big, pair_i, jnp.asarray(mt, jnp.float32), mt_bf2,
             n_bins_pad, n_mels_pad, k_pad)
 
 
@@ -562,7 +580,8 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
                          s_scratch, dma_sems, tail_sems, *, ks: int, pair_i,
                          k_pad: int, n_bins_pad: int, offset: int,
                          mel_precision, rows_per_clip: int,
-                         tiles_per_clip: int, tail_rows: int):
+                         tiles_per_clip: int, tail_rows: int,
+                         out_mode: str = "whisper", guard: float = 0.0):
     rows = _SIG_ROWS_PER_TILE
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -695,15 +714,23 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
         energy = jnp.dot(power, mt_ref[:],
                          preferred_element_type=jnp.float32,
                          precision=mel_precision)
-    log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
-    mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
-    out_ref[0, 0] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
+    if out_mode == "ln_guard":
+        # NeMo-style output: ln(energy + guard), no whisper norm
+        # (src/mel.rs:321-385 semantics). energy >= 0 by construction
+        # (squares times nonnegative filters), so the argument >= guard.
+        from melspec_tpu.ops.fastmath import ln_accurate
+
+        out_ref[0, 0] = ln_accurate(energy + guard)
+    else:
+        log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
+        mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
+        out_ref[0, 0] = (jnp.maximum(log_mel, mmax) + 4.0) * 0.25
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
-                     "mel_precision", "n_mels_out"),
+                     "mel_precision", "n_mels_out", "out_mode", "guard"),
 )
 def _pallas_sig_mel(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
@@ -716,6 +743,8 @@ def _pallas_sig_mel(
     offset: int = 0,
     mel_precision=jax.lax.Precision.HIGHEST,
     n_mels_out: int = 0,
+    out_mode: str = "whisper",
+    guard: float = 0.0,
 ) -> jnp.ndarray:
     """Whisper log-mel from the raw signal, framing fused into the kernel.
     Returns ``[B, n_frames, n_mels_out or n_mels_pad]`` in natural frame
@@ -770,6 +799,7 @@ def _pallas_sig_mel(
         _sig_mel_tile_kernel, ks=ks, pair_i=pair_i, k_pad=k_pad,
         n_bins_pad=n_bins_pad, offset=offset, mel_precision=mel_precision,
         rows_per_clip=rows_clip, tiles_per_clip=tiles, tail_rows=tail_rows,
+        out_mode=out_mode, guard=guard,
     )
     out = pl.pallas_call(
         kernel,

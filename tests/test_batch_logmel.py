@@ -135,3 +135,32 @@ def test_mel_tensor_packaging():
     assert audio.shape == (1, 80, 3)
     assert lengths.tolist() == [3]
     assert audio.dtype == np.float32 and lengths.dtype == np.int64
+
+
+def test_sig_impl_matches_reference_class():
+    """fft_impl='sig' (fused signal-input Pallas kernel: in-kernel framing
+    + bf3 rDFT + ln(x+guard)) must land in the same accuracy class as the
+    rdft/hp paths vs a float64 reference, through every post-processing
+    knob (norm, pad_to, batch dims)."""
+    for cfg in [
+        BatchLogMelConfig(),
+        BatchLogMelConfig(n_mels=128, preemphasis=0.97,
+                          normalize_per_feature=True, pad_to=16),
+        BatchLogMelConfig(center=False),
+    ]:
+        rng = np.random.default_rng(cfg.n_mels)
+        x = (rng.normal(size=(2, 24000)) * 0.2).astype(np.float32)
+        f64 = np.asarray(BatchLogMel(cfg, dtype=jnp.float64).compute(x))
+        sig = np.asarray(BatchLogMel(cfg, fft_impl="sig").compute(x))
+        rd = np.asarray(BatchLogMel(cfg).compute(x))
+        assert sig.shape == f64.shape
+        # residual error is the f32 preprocessing both share, not the DFT
+        assert np.abs(sig - f64).max() < 3.5e-3  # normalized cfg amplifies
+        assert np.abs(sig - f64).max() < np.abs(rd - f64).max() * 3 + 1e-5
+
+
+def test_sig_impl_geometry_validation():
+    with pytest.raises(ValueError):
+        BatchLogMel(BatchLogMelConfig(hop_length=256), fft_impl="sig")
+    with pytest.raises(ValueError):
+        BatchLogMel(BatchLogMelConfig(), dtype=jnp.float64, fft_impl="sig")
