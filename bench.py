@@ -163,6 +163,7 @@ def main() -> None:
             nemo = BatchLogMel(BatchLogMelConfig())
             nemo_sig = BatchLogMel(BatchLogMelConfig(), fft_impl="sig")
             kaldi = Fbank(FbankConfig(apply_cmn=True))
+            kaldi_sig = Fbank(FbankConfig(apply_cmn=True), fft_impl="sig")
             settings = DetectionSettings()
 
             @jax.jit
@@ -180,6 +181,7 @@ def main() -> None:
                 ("nemo_logmel", nemo.compute),
                 ("nemo_logmel_sig", nemo_sig.compute),
                 ("kaldi_fbank", kaldi.compute),
+                ("kaldi_fbank_sig", kaldi_sig.compute),
                 ("vad_fields", lambda x: vad_fields(x)["confidence"]),
             ]:
                 try:

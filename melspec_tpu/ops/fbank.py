@@ -51,8 +51,23 @@ class Fbank:
 
     def __init__(self, config: FbankConfig = FbankConfig(), dtype=jnp.float32,
                  fft_impl: str = "rdft"):
-        if fft_impl not in ("rdft", "fft", "hp"):
-            raise ValueError("fft_impl must be 'rdft', 'fft' or 'hp'")
+        if fft_impl not in ("rdft", "fft", "hp", "sig"):
+            raise ValueError("fft_impl must be 'rdft', 'fft', 'hp' or 'sig'")
+        if fft_impl == "sig":
+            if config.frame_shift_samples * 4 != 640:
+                raise ValueError(
+                    "fft_impl='sig' needs frame_shift == 160 samples "
+                    "(the Kaldi 16 kHz defaults qualify)"
+                )
+            if not config.use_power:
+                raise ValueError(
+                    "fft_impl='sig' computes power spectra only "
+                    "(use_power=False needs a per-bin sqrt)"
+                )
+            if not config.use_log_fbank:
+                raise ValueError("fft_impl='sig' emits log-fbank only")
+            if jnp.dtype(dtype) != jnp.float32:
+                raise ValueError("fft_impl='sig' is float32-only")
         self.config = config
         self.dtype = dtype
         self.fft_impl = fft_impl
@@ -73,6 +88,40 @@ class Fbank:
         self.filters_t = jnp.asarray(filters.T, dtype=dtype)
         self._window_np = povey(self.frame_len)
         self.window = jnp.asarray(self._window_np, dtype=dtype)
+        if fft_impl == "sig":
+            # Fold the ENTIRE per-frame preprocessing into the spectral
+            # matrices — all of it is linear in the frame: DC removal is
+            # (I - 11^T/L), in-frame preemphasis is the bidiagonal
+            # (I - p*S), and the window is a diagonal. The cross-frame
+            # first-sample term (src/fbank.rs:174-180) is spectrally
+            # irrelevant because the Povey window has w[0] == 0 exactly,
+            # so the fold is exact, not an approximation.
+            from melspec_tpu.ops import dft as _dft
+            from melspec_tpu.ops.mel_kernel import LANES, _sig_stack_planes
+
+            L = self.frame_len
+            p = float(config.preemphasis)
+            P = np.eye(L)
+            if p > 0.0:
+                P[np.arange(1, L), np.arange(L - 1)] = -p
+            B = P @ (np.eye(L) - np.full((L, L), 1.0 / L))
+            w = self._window_np[:, None]
+            cos_m, msin_m = _dft.rdft_matrices(self.fft_size, self.fft_bins)
+            k_pad = -(-L // LANES) * LANES
+            n_bins_pad = -(-self.fft_bins // LANES) * LANES
+            n_mels_pad = -(-config.num_mel_bins // LANES) * LANES
+            if k_pad + 3 * config.frame_shift_samples > 1280:
+                raise ValueError("frame too long for the macro-row window")
+            cw = np.zeros((k_pad, n_bins_pad))
+            sw = np.zeros((k_pad, n_bins_pad))
+            cw[:L, : self.fft_bins] = B.T @ (w * cos_m[:L])
+            sw[:L, : self.fft_bins] = B.T @ (w * msin_m[:L])
+            self._sig_m_big, self._sig_pair_i = _sig_stack_planes(
+                cw, sw, ks=3, km=3, cutoff=2
+            )
+            mt = np.zeros((n_bins_pad, n_mels_pad))
+            mt[: self.fft_bins, : config.num_mel_bins] = filters.T
+            self._sig_mt = jnp.asarray(mt, jnp.float32)
 
     @property
     def dense_filterbank(self) -> np.ndarray:
@@ -88,6 +137,28 @@ class Fbank:
         x = samples.astype(self.dtype)
         n = x.shape[-1]
         nf = self.num_frames(n)
+
+        if self.fft_impl == "sig":
+            # fused signal-input Pallas kernel: the [nf, frame_len] tensor
+            # is never materialized; DC removal + preemphasis + Povey
+            # window are pre-folded into the kernel's spectral matrices
+            # (exactly — see __init__), ln(max(., floor)) in-kernel, CMN
+            # fuses behind the output.
+            from melspec_tpu.ops.mel_kernel import _pallas_sig_mel
+
+            floor = cfg.energy_floor if cfg.energy_floor > 0.0 else F32_EPSILON
+            lead = x.shape[:-1]
+            x2 = x.reshape((-1, n)).astype(jnp.float32)
+            feats = _pallas_sig_mel(
+                x2, self._sig_m_big, self._sig_mt,
+                interpret=jax.default_backend() not in ("tpu", "gpu"),
+                ks=3, pair_i=self._sig_pair_i, n_frames=nf,
+                out_mode="ln_floor", guard=float(floor),
+                n_mels_out=cfg.num_mel_bins,
+            ).reshape(lead + (nf, cfg.num_mel_bins)).astype(self.dtype)
+            if cfg.apply_cmn:
+                feats = feats - jnp.mean(feats, axis=-2, keepdims=True)
+            return feats
 
         frames = framing.frame_signal(x, self.frame_len, self.frame_shift, nf)
         mean = jnp.mean(frames, axis=-1, keepdims=True)

@@ -533,9 +533,22 @@ def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
     sw = np.zeros((k_pad, n_bins_pad))
     cw[:fft_size, :n_bins] = w * cos_m
     sw[:fft_size, :n_bins] = w * msin_m
+    m_big, pair_i = _sig_stack_planes(cw, sw, ks, km, cutoff)
+
+    mt = np.zeros((n_bins_pad, n_mels_pad))
+    mt[:n_bins, :n_mels] = np.asarray(filters, np.float64)[:, :n_bins].T
+    return m_big, pair_i, mt, n_bins_pad, n_mels_pad, k_pad
+
+
+def _sig_stack_planes(cw: np.ndarray, sw: np.ndarray, ks: int, km: int,
+                      cutoff: int):
+    """Slice the (already padded, [k_pad, n_bins_pad] float64) re/im
+    spectral matrices into rounded-bf16 planes and K-stack the kept
+    pairs; returns ``(m_big bf16 [n_pairs*k_pad, 2*n_bins_pad], pair_i)``.
+    Any per-frame LINEAR preprocessing (window, DC removal, preemphasis)
+    can be pre-folded into ``cw``/``sw`` by the caller."""
     cos_planes = _bf16_round_slices(cw, km)
     sin_planes = _bf16_round_slices(sw, km)
-
     pair_i = []  # signal-slice index per K block, i-major
     blocks = []
     for i in range(ks):
@@ -546,10 +559,7 @@ def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
                  np.asarray(sin_planes[j], np.float32)], axis=1
             ))
     m_big = jnp.asarray(np.concatenate(blocks, axis=0), jnp.bfloat16)
-
-    mt = np.zeros((n_bins_pad, n_mels_pad))
-    mt[:n_bins, :n_mels] = np.asarray(filters, np.float64)[:, :n_bins].T
-    return m_big, tuple(pair_i), mt, n_bins_pad, n_mels_pad, k_pad
+    return m_big, tuple(pair_i)
 
 
 @functools.lru_cache(maxsize=8)
@@ -721,6 +731,12 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
         from melspec_tpu.ops.fastmath import ln_accurate
 
         out_ref[0, 0] = ln_accurate(energy + guard)
+    elif out_mode == "ln_floor":
+        # Kaldi fbank output: ln(max(energy, floor))
+        # (src/fbank.rs:205-221 semantics); guard carries the floor.
+        from melspec_tpu.ops.fastmath import ln_accurate
+
+        out_ref[0, 0] = ln_accurate(jnp.maximum(energy, guard))
     else:
         log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
         mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0

@@ -133,3 +133,45 @@ def test_batched_matches_loop():
     got = np.asarray(fb.compute(batch))
     for i in range(2):
         np.testing.assert_allclose(got[i], np.asarray(fb.compute(batch[i])), atol=0)
+
+
+def test_sig_impl_matches_reference_class(testdata):
+    """fft_impl='sig' (fused kernel; DC removal + preemphasis + Povey
+    window folded EXACTLY into the spectral matrices — exact because the
+    Povey window zeroes the first sample, killing the only nonlinear-ish
+    term, the cross-frame first sample) must match the rdft path's
+    accuracy class vs float64, and hold the JFK golden gate."""
+    import jax.numpy as jnp
+
+    for cfg in [FbankConfig(), FbankConfig(apply_cmn=True),
+                FbankConfig(preemphasis=0.0)]:
+        rng = np.random.default_rng(7)
+        x = (rng.normal(size=(2, 24000)) * 0.2).astype(np.float32)
+        f64 = np.asarray(Fbank(cfg, dtype=jnp.float64).compute(x))
+        sig = np.asarray(Fbank(cfg, fft_impl="sig").compute(x))
+        rd = np.asarray(Fbank(cfg).compute(x))
+        assert sig.shape == f64.shape
+        assert np.abs(sig - f64).max() < np.abs(rd - f64).max() * 3 + 2e-5
+
+    # the reference's own golden (hard-gated for the rdft path at
+    # max 0.0152): the fused kernel must hold the same gate
+    with np.load(testdata / "kaldi_native_fbank_jfk.npz") as npz:
+        golden = npz["features"].T  # [frames, 80]
+    from melspec_tpu.io.wav import read_wav_f32le
+
+    samples = read_wav_f32le(testdata / "jfk_f32le.wav")
+    feats = np.asarray(Fbank(FbankConfig(), fft_impl="sig").compute(samples))
+    assert feats.shape == golden.shape
+    assert np.abs(feats - golden).max() < 0.016
+
+
+def test_sig_impl_validation():
+    import jax.numpy as jnp
+    import pytest
+
+    with pytest.raises(ValueError):
+        Fbank(FbankConfig(frame_shift_ms=20.0), fft_impl="sig")
+    with pytest.raises(ValueError):
+        Fbank(FbankConfig(use_power=False), fft_impl="sig")
+    with pytest.raises(ValueError):
+        Fbank(FbankConfig(), dtype=jnp.float64, fft_impl="sig")
