@@ -160,9 +160,9 @@ def main() -> None:
             from melspec_tpu.ops.fbank import Fbank, FbankConfig
             from melspec_tpu.ops.vad import streaming_decision_fields_batched
 
-            nemo = BatchLogMel(BatchLogMelConfig())
+            nemo = BatchLogMel(BatchLogMelConfig(), fft_impl="rdft")
             nemo_sig = BatchLogMel(BatchLogMelConfig(), fft_impl="sig")
-            kaldi = Fbank(FbankConfig(apply_cmn=True))
+            kaldi = Fbank(FbankConfig(apply_cmn=True), fft_impl="rdft")
             kaldi_sig = Fbank(FbankConfig(apply_cmn=True), fft_impl="sig")
             settings = DetectionSettings()
 

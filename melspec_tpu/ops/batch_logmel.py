@@ -50,9 +50,22 @@ class BatchLogMel:
     """
 
     def __init__(self, config: BatchLogMelConfig = BatchLogMelConfig(),
-                 dtype=jnp.float32, fft_impl: str = "rdft"):
+                 dtype=jnp.float32, fft_impl: str = "auto"):
+        if fft_impl == "auto":
+            # fused sig kernel on MXU backends when the geometry and dtype
+            # qualify; the CPU default stays the HIGHEST-precision rdft
+            k_pad = -(-config.n_fft // 128) * 128
+            eligible = (
+                jax.default_backend() in ("tpu", "gpu")
+                and config.hop_length * 4 == 640
+                and k_pad + 480 <= 1280
+                and jnp.dtype(dtype) == jnp.float32
+            )
+            fft_impl = "sig" if eligible else "rdft"
         if fft_impl not in ("rdft", "fft", "hp", "sig"):
-            raise ValueError("fft_impl must be 'rdft', 'fft', 'hp' or 'sig'")
+            raise ValueError(
+                "fft_impl must be 'auto', 'rdft', 'fft', 'hp' or 'sig'"
+            )
         if fft_impl == "sig":
             # the fused signal-input Pallas kernel's macro-row geometry
             # (see ops/mel_kernel.whisper_mel_sig): 4 hops per 640-sample

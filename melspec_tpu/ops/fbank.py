@@ -50,9 +50,21 @@ class Fbank:
     """
 
     def __init__(self, config: FbankConfig = FbankConfig(), dtype=jnp.float32,
-                 fft_impl: str = "rdft"):
+                 fft_impl: str = "auto"):
+        if fft_impl == "auto":
+            # fused sig kernel on MXU backends when the geometry, dtype
+            # and output mode qualify; CPU keeps the rdft default
+            eligible = (
+                jax.default_backend() in ("tpu", "gpu")
+                and config.frame_shift_samples * 4 == 640
+                and config.use_power and config.use_log_fbank
+                and jnp.dtype(dtype) == jnp.float32
+            )
+            fft_impl = "sig" if eligible else "rdft"
         if fft_impl not in ("rdft", "fft", "hp", "sig"):
-            raise ValueError("fft_impl must be 'rdft', 'fft', 'hp' or 'sig'")
+            raise ValueError(
+                "fft_impl must be 'auto', 'rdft', 'fft', 'hp' or 'sig'"
+            )
         if fft_impl == "sig":
             if config.frame_shift_samples * 4 != 640:
                 raise ValueError(
