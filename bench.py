@@ -168,7 +168,8 @@ def main() -> None:
 
             @jax.jit
             def vad_fields(x):
-                mel = pipe_bf3._mel_batch_jit(x)
+                # mel via the fused sig kernel, Sobel fields fused behind it
+                mel = whisper_mel_pallas(x, 400, 160, 80, 16000.0)
                 img = jnp.swapaxes(mel, -1, -2)
                 return streaming_decision_fields_batched(img, settings)
 
