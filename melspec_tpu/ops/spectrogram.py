@@ -173,14 +173,37 @@ class WhisperMelPipeline:
         if fft_impl == "auto":
             # the DFT-matmul feeds the MXU; scalar backends are faster with
             # a real FFT (measured: 6.5k x RT vs 1.9k x RT on one CPU core).
-            # On MXU backends "bf3" (rounded-bf16 slice pairs, window folded
-            # exactly) runs at the plain-f32 pipeline's speed with 4x better
-            # accuracy (3.2e-6 vs 1.3e-5 on the JFK golden).
-            fft_impl = "bf3" if jax.default_backend() in ("tpu", "gpu") else "fft"
-        if fft_impl not in ("rdft", "fft", "hp", "bf3"):
+            # On MXU backends the fused signal-input Pallas kernel ("sig",
+            # in-kernel framing + bf3 numerics) is the fastest path where
+            # its macro-row geometry applies; "bf3" XLA otherwise.
+            if jax.default_backend() in ("tpu", "gpu"):
+                k_pad = -(-fft_size // 128) * 128
+                from melspec_tpu.ops.framing import streaming_frame_offset
+
+                off = streaming_frame_offset(fft_size, hop_size)
+                sig_ok = (hop_size * 4 == 640
+                          and k_pad + 3 * hop_size + off <= 1280
+                          and jnp.dtype(dtype) == jnp.float32)
+                fft_impl = "sig" if sig_ok else "bf3"
+            else:
+                fft_impl = "fft"
+        if fft_impl not in ("rdft", "fft", "hp", "bf3", "sig"):
             raise ValueError(
-                "fft_impl must be 'auto', 'rdft', 'fft', 'hp' or 'bf3'"
+                "fft_impl must be 'auto', 'rdft', 'fft', 'hp', 'bf3' or 'sig'"
             )
+        if fft_impl == "sig":
+            from melspec_tpu.ops.framing import streaming_frame_offset
+
+            k_pad = -(-fft_size // 128) * 128
+            off = streaming_frame_offset(fft_size, hop_size)
+            if hop_size * 4 != 640 or k_pad + 3 * hop_size + off > 1280:
+                raise ValueError(
+                    "fft_impl='sig' needs hop_size == 160 and the frame to "
+                    "fit the macro-row window (whisper 400/160 and the "
+                    "512/160 golden config qualify)"
+                )
+            if jnp.dtype(dtype) != jnp.float32:
+                raise ValueError("fft_impl='sig' is float32-only")
         self.hp_n_slices = hp_n_slices
         self.hp_max_pair_sum = hp_max_pair_sum
         self.fft_size = fft_size
@@ -230,14 +253,33 @@ class WhisperMelPipeline:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _mel_batch_jit(self, samples: jnp.ndarray) -> jnp.ndarray:
+        if self.fft_impl == "sig":
+            return self._sig_mel(samples, streaming=False)
         n = samples.shape[-1]
         nf = framing.num_frames_batch(n, self.fft_size, self.hop_size)
         frames = framing.frame_signal(samples, self.fft_size, self.hop_size, nf)
         log_mel = self._log_mel_frames(frames)
         return whisper_norm(log_mel, axis=-1)
 
+    def _sig_mel(self, samples: jnp.ndarray, streaming: bool) -> jnp.ndarray:
+        """Route through the fused signal-input Pallas kernel (interpret
+        mode off-MXU so the same instance still works on CPU)."""
+        from melspec_tpu.ops.mel_kernel import whisper_mel_sig
+
+        lead = samples.shape[:-1]
+        x2 = samples.reshape((-1, samples.shape[-1])).astype(jnp.float32)
+        out = whisper_mel_sig(
+            x2, self.fft_size, self.hop_size, self.n_mels,
+            self.sampling_rate, streaming=streaming,
+            interpret=jax.default_backend() not in ("tpu", "gpu"),
+        )
+        return out.reshape(lead + out.shape[1:])
+
     @functools.partial(jax.jit, static_argnums=0)
     def _mel_streaming_jit(self, samples: jnp.ndarray) -> jnp.ndarray:
+        if self.fft_impl == "sig":
+            normed = self._sig_mel(samples, streaming=True)
+            return jnp.swapaxes(normed, -1, -2)
         n = samples.shape[-1]
         nf = framing.num_frames_streaming(n, self.fft_size, self.hop_size)
         offset = framing.streaming_frame_offset(self.fft_size, self.hop_size)

@@ -395,8 +395,12 @@ def evaluate_testset_batched(
     for i, c in enumerate(clips):
         batch[i, : len(c)] = c
 
+    # bf3 on MXU backends: the eval pass is one dispatch and fetch-bound,
+    # so the sig kernel's composed-program compile time (~2 min with the
+    # Sobel stage fused behind it) buys nothing here
+    impl = "bf3" if jax.default_backend() in ("tpu", "gpu") else "auto"
     pipe = WhisperMelPipeline(opts.fft_size, opts.hop_size, opts.n_mels,
-                              float(rate))
+                              float(rate), fft_impl=impl)
 
     from melspec_tpu.ops.vad import streaming_decision_fields_batched
 
@@ -420,7 +424,12 @@ def evaluate_testset_batched(
         )
 
     if warmup:
-        jax.block_until_ready(device_pass(jnp.asarray(batch)))
+        # a real host FETCH, not block_until_ready: through a remote
+        # runtime the latter can return optimistically before the actual
+        # compile, which would then land inside the timed region
+        w = device_pass(jnp.asarray(batch))
+        for v in w.values():
+            np.asarray(v)
 
     started = time.perf_counter()
     fields_all = device_pass(jnp.asarray(batch))
