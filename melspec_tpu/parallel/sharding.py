@@ -152,6 +152,10 @@ def sharded_frontend_step(
     step = shard_map(
         local_step,
         mesh=mesh,
+        # pallas_call (the fused sig kernels inside the frontends) does
+        # not yet annotate varying-mesh-axes metadata; the specs below
+        # state the sharding explicitly, so skip the vma check
+        check_vma=False,
         in_specs=(spec,),
         out_specs={
             "mel": spec,
