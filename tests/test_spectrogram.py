@@ -221,3 +221,21 @@ def test_mel_batch_hbm_budget_chunking(monkeypatch, jfk_samples):
     got_k = np.asarray(whisper_mel_sig(batch, 400, 160, 80, 16000.0,
                                        interpret=True))
     np.testing.assert_array_equal(got_k, want_k)
+
+
+def test_pipeline_sig_impl_routes_through_fused_kernel(jfk_samples):
+    """WhisperMelPipeline(fft_impl='sig') must match the bf3 XLA pipeline
+    through both entry points (the class-level route to the fused kernel
+    that 'auto' picks on MXU backends)."""
+    sig = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
+                             fft_impl="sig")
+    bf3 = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
+                             fft_impl="bf3")
+    x = jnp.asarray(jfk_samples[:64000])
+    np.testing.assert_allclose(np.asarray(sig.mel_batch(x)),
+                               np.asarray(bf3.mel_batch(x)), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(sig.mel_streaming_equivalent(x)),
+        np.asarray(bf3.mel_streaming_equivalent(x)), atol=2e-5)
+    with pytest.raises(ValueError):
+        WhisperMelPipeline(400, 256, 80, 16000.0, fft_impl="sig")
