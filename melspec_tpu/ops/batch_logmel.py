@@ -54,11 +54,11 @@ class BatchLogMel:
         if fft_impl == "auto":
             # fused sig kernel on MXU backends when the geometry and dtype
             # qualify; the CPU default stays the HIGHEST-precision rdft
-            k_pad = -(-config.n_fft // 128) * 128
+            from melspec_tpu.ops.mel_kernel import sig_geometry
+
             eligible = (
                 jax.default_backend() in ("tpu", "gpu")
-                and config.hop_length * 4 == 640
-                and k_pad + 480 <= 1280
+                and sig_geometry(config.n_fft, config.hop_length) is not None
                 and jnp.dtype(dtype) == jnp.float32
             )
             fft_impl = "sig" if eligible else "rdft"
@@ -67,14 +67,13 @@ class BatchLogMel:
                 "fft_impl must be 'auto', 'rdft', 'fft', 'hp' or 'sig'"
             )
         if fft_impl == "sig":
-            # the fused signal-input Pallas kernel's macro-row geometry
-            # (see ops/mel_kernel.whisper_mel_sig): 4 hops per 640-sample
-            # row, window + frame must fit the rolled row pair
-            k_pad = -(-config.n_fft // 128) * 128
-            if config.hop_length * 4 != 640 or k_pad + 480 > 1280:
+            from melspec_tpu.ops.mel_kernel import sig_geometry
+
+            self._sig_geom = sig_geometry(config.n_fft, config.hop_length)
+            if self._sig_geom is None:
                 raise ValueError(
-                    "fft_impl='sig' needs hop_length == 160 and "
-                    "n_fft <= 800 (the NeMo/Parakeet defaults qualify)"
+                    "fft_impl='sig': no macro-row geometry for this "
+                    "(n_fft, hop_length)"
                 )
             if jnp.dtype(dtype) != jnp.float32:
                 raise ValueError("fft_impl='sig' is float32-only")
@@ -149,12 +148,14 @@ class BatchLogMel:
 
             lead = x.shape[:-1]
             x2 = x.reshape((-1, x.shape[-1])).astype(jnp.float32)
+            row_w, phases, rows_tile = self._sig_geom
             mel = _pallas_sig_mel(
                 x2, self._sig_m_big, self._sig_mt,
                 interpret=jax.default_backend() not in ("tpu", "gpu"),
                 ks=3, pair_i=self._sig_pair_i, n_frames=valid,
                 out_mode="ln_guard", guard=float(cfg.log_zero_guard),
-                n_mels_out=cfg.n_mels,
+                n_mels_out=cfg.n_mels, row_w=row_w, phases=phases,
+                rows_tile=rows_tile,
             )  # [B, valid, n_mels]
             feats = jnp.swapaxes(mel, -1, -2).reshape(
                 lead + (cfg.n_mels, valid)

@@ -54,9 +54,12 @@ class Fbank:
         if fft_impl == "auto":
             # fused sig kernel on MXU backends when the geometry, dtype
             # and output mode qualify; CPU keeps the rdft default
+            from melspec_tpu.ops.mel_kernel import sig_geometry
+
             eligible = (
                 jax.default_backend() in ("tpu", "gpu")
-                and config.frame_shift_samples * 4 == 640
+                and sig_geometry(config.frame_length_samples,
+                                 config.frame_shift_samples) is not None
                 and config.use_power and config.use_log_fbank
                 and jnp.dtype(dtype) == jnp.float32
             )
@@ -66,10 +69,14 @@ class Fbank:
                 "fft_impl must be 'auto', 'rdft', 'fft', 'hp' or 'sig'"
             )
         if fft_impl == "sig":
-            if config.frame_shift_samples * 4 != 640:
+            from melspec_tpu.ops.mel_kernel import sig_geometry
+
+            self._sig_geom = sig_geometry(config.frame_length_samples,
+                                          config.frame_shift_samples)
+            if self._sig_geom is None:
                 raise ValueError(
-                    "fft_impl='sig' needs frame_shift == 160 samples "
-                    "(the Kaldi 16 kHz defaults qualify)"
+                    "fft_impl='sig': no macro-row geometry for this "
+                    "(frame_length, frame_shift)"
                 )
             if not config.use_power:
                 raise ValueError(
@@ -122,8 +129,6 @@ class Fbank:
             k_pad = -(-L // LANES) * LANES
             n_bins_pad = -(-self.fft_bins // LANES) * LANES
             n_mels_pad = -(-config.num_mel_bins // LANES) * LANES
-            if k_pad + 3 * config.frame_shift_samples > 1280:
-                raise ValueError("frame too long for the macro-row window")
             cw = np.zeros((k_pad, n_bins_pad))
             sw = np.zeros((k_pad, n_bins_pad))
             cw[:L, : self.fft_bins] = B.T @ (w * cos_m[:L])
@@ -161,12 +166,14 @@ class Fbank:
             floor = cfg.energy_floor if cfg.energy_floor > 0.0 else F32_EPSILON
             lead = x.shape[:-1]
             x2 = x.reshape((-1, n)).astype(jnp.float32)
+            row_w, phases, rows_tile = self._sig_geom
             feats = _pallas_sig_mel(
                 x2, self._sig_m_big, self._sig_mt,
                 interpret=jax.default_backend() not in ("tpu", "gpu"),
                 ks=3, pair_i=self._sig_pair_i, n_frames=nf,
                 out_mode="ln_floor", guard=float(floor),
-                n_mels_out=cfg.num_mel_bins,
+                n_mels_out=cfg.num_mel_bins, row_w=row_w, phases=phases,
+                rows_tile=rows_tile,
             ).reshape(lead + (nf, cfg.num_mel_bins)).astype(self.dtype)
             if cfg.apply_cmn:
                 feats = feats - jnp.mean(feats, axis=-2, keepdims=True)

@@ -506,9 +506,37 @@ def _pallas_bf3_mel_frames(
 # reindexes with a cheap XLA reshape/transpose on [*, n_mels].
 # --------------------------------------------------------------------------
 
-_SIG_ROW = 640            # macro-row samples: lcm(hop=160, lanes=128)
+_SIG_ROW = 640            # whisper default macro-row: lcm(hop=160, lanes=128)
 _SIG_FRAMES_PER_TILE = 512
 _SIG_ROWS_PER_TILE = 128  # 512 frames * 160 hop / 640 (measured-best, v5e)
+
+
+def sig_geometry(fft_size: int, hop_size: int, offset: int = 0):
+    """Macro-row geometry for the signal-input kernel, or ``None`` when
+    the config cannot ride it.
+
+    A macro-row is ``row_w`` samples — a common multiple of ``hop`` (so a
+    whole number of frames starts in every row) and of the 128-lane vreg
+    width (so the signal reshapes zero-copy and rolls stay lane-aligned).
+    Every frame must fit the rolled two-row window:
+    ``(phases-1)*hop + k_pad + offset <= 2*row_w``, i.e.
+    ``k_pad + offset <= row_w + hop``. Returns
+    ``(row_w, phases, rows_tile)`` with ``rows_tile`` a multiple of the
+    8-row DMA granule targeting ~512 frames per tile (measured-best)."""
+    import math
+
+    if hop_size < 8:
+        return None
+    k_pad = -(-fft_size // LANES) * LANES
+    base = hop_size * LANES // math.gcd(hop_size, LANES)
+    row_w = base
+    while row_w + hop_size < k_pad + offset:
+        row_w += base
+    if row_w > 4096:  # scratch pair [rows+8, row_w] must stay VMEM-sane
+        return None
+    phases = row_w // hop_size
+    rows_tile = max(8, ((512 // phases) // 8) * 8)
+    return row_w, phases, rows_tile
 
 
 def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
@@ -591,8 +619,11 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
                          k_pad: int, n_bins_pad: int, offset: int,
                          mel_precision, rows_per_clip: int,
                          tiles_per_clip: int, tail_rows: int,
+                         row_w: int = _SIG_ROW,
+                         phases: int = 4,
+                         rows_tile: int = _SIG_ROWS_PER_TILE,
                          out_mode: str = "whisper", guard: float = 0.0):
-    rows = _SIG_ROWS_PER_TILE
+    rows = rows_tile
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -683,17 +714,17 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
     # a +1-row source view cannot be fetched directly)
     lo = s[:rows]
     hi = pltpu.roll(s, shift=rows + 8 - 1, axis=0)[:rows]
-    pair = jnp.concatenate([lo, hi], axis=1)  # [rows, 1280]
-    hop_g = _SIG_ROW // 4  # 160
-    width = 2 * _SIG_ROW
+    pair = jnp.concatenate([lo, hi], axis=1)  # [rows, 2*row_w]
+    hop_g = row_w // phases  # the hop size
+    width = 2 * row_w
     frames = jnp.concatenate(
         [pltpu.roll(pair,
                     shift=(width - hop_g * g - offset) % width,
                     axis=1)[:, :k_pad]
-         for g in range(4)],
+         for g in range(phases)],
         axis=0,
-    )  # [256, k_pad], phase-major rows (pltpu.roll matches np.roll: a
-       # positive shift of width-d left-rotates by d)
+    )  # [phases*rows, k_pad], phase-major rows (pltpu.roll matches
+       # np.roll: a positive shift of width-d left-rotates by d)
 
     # bf3 slices, concatenated along K in pair order
     residual = frames
@@ -746,7 +777,8 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
-                     "mel_precision", "n_mels_out", "out_mode", "guard"),
+                     "mel_precision", "n_mels_out", "out_mode", "guard",
+                     "row_w", "phases", "rows_tile"),
 )
 def _pallas_sig_mel(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
@@ -761,6 +793,9 @@ def _pallas_sig_mel(
     n_mels_out: int = 0,
     out_mode: str = "whisper",
     guard: float = 0.0,
+    row_w: int = _SIG_ROW,
+    phases: int = 4,
+    rows_tile: int = _SIG_ROWS_PER_TILE,
 ) -> jnp.ndarray:
     """Whisper log-mel from the raw signal, framing fused into the kernel.
     Returns ``[B, n_frames, n_mels_out or n_mels_pad]`` in natural frame
@@ -772,14 +807,15 @@ def _pallas_sig_mel(
     n_bins_pad = m_big.shape[1] // 2  # mt rows differ in bf2 mode
     n_mels_pad = mt.shape[1]
     k_pad = m_big.shape[0] // len(pair_i)
+    frames_tile = phases * rows_tile
 
-    tiles = -(-n_frames // _SIG_FRAMES_PER_TILE)
+    tiles = -(-n_frames // frames_tile)
     # rows per clip padded to 8-row DMA granularity past the last tile
-    rows = _SIG_ROWS_PER_TILE * tiles + 8
-    need = rows * _SIG_ROW
-    rows_real = t // _SIG_ROW
-    tail = rows_real - (tiles - 1) * _SIG_ROWS_PER_TILE
-    if t % _SIG_ROW == 0 and tail >= 8:
+    rows = rows_tile * tiles + 8
+    need = rows * row_w
+    rows_real = t // row_w
+    tail = rows_real - (tiles - 1) * rows_tile
+    if t % row_w == 0 and tail >= 8:
         # ZERO-COPY input: T is a whole number of macro-rows and every
         # non-final tile's full window fits inside the clip, so the input
         # reshapes straight into macro-rows and the kernel clamps the last
@@ -789,32 +825,33 @@ def _pallas_sig_mel(
         # remainder rows ride a tiny second input (Mosaic DMAs need
         # 8-aligned sizes).
         rows_clip = rows_real
-        tail_rows = min(tail, _SIG_ROWS_PER_TILE + 8)
+        tail_rows = min(tail, rows_tile + 8)
         ragged = tail_rows - (tail_rows // 8) * 8
         if ragged:
-            start = ((tiles - 1) * _SIG_ROWS_PER_TILE
-                     + tail_rows - ragged) * _SIG_ROW
+            start = ((tiles - 1) * rows_tile
+                     + tail_rows - ragged) * row_w
             tailpad = jnp.pad(
-                samples[:, start : start + ragged * _SIG_ROW],
-                ((0, 0), (0, (8 - ragged) * _SIG_ROW)),
+                samples[:, start : start + ragged * row_w],
+                ((0, 0), (0, (8 - ragged) * row_w)),
             )
         else:
-            tailpad = jnp.zeros((b, 8 * _SIG_ROW), samples.dtype)
+            tailpad = jnp.zeros((b, 8 * row_w), samples.dtype)
     else:
         rows_clip = rows
-        tail_rows = _SIG_ROWS_PER_TILE + 8
-        tailpad = jnp.zeros((b, 8 * _SIG_ROW), samples.dtype)
+        tail_rows = rows_tile + 8
+        tailpad = jnp.zeros((b, 8 * row_w), samples.dtype)
         if t < need:
             samples = jnp.pad(samples, ((0, 0), (0, need - t)))
         else:
             samples = samples[:, :need]
-    sig = samples.reshape(b, rows_clip, _SIG_ROW)
-    tailpad = tailpad.reshape(b, 8, _SIG_ROW)
+    sig = samples.reshape(b, rows_clip, row_w)
+    tailpad = tailpad.reshape(b, 8, row_w)
 
     kernel = functools.partial(
         _sig_mel_tile_kernel, ks=ks, pair_i=pair_i, k_pad=k_pad,
         n_bins_pad=n_bins_pad, offset=offset, mel_precision=mel_precision,
         rows_per_clip=rows_clip, tiles_per_clip=tiles, tail_rows=tail_rows,
+        row_w=row_w, phases=phases, rows_tile=rows_tile,
         out_mode=out_mode, guard=guard,
     )
     out = pl.pallas_call(
@@ -827,34 +864,35 @@ def _pallas_sig_mel(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mt
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, _SIG_FRAMES_PER_TILE, n_mels_pad),
+            (1, 1, frames_tile, n_mels_pad),
             lambda bb, tt: (bb, tt, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, tiles, _SIG_FRAMES_PER_TILE, n_mels_pad), jnp.float32
+            (b, tiles, frames_tile, n_mels_pad), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, _SIG_ROWS_PER_TILE + 8, _SIG_ROW), jnp.float32),
+            pltpu.VMEM((2, rows_tile + 8, row_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * tiles * _SIG_FRAMES_PER_TILE
+            flops=2 * b * tiles * frames_tile
             * (m_big.shape[0] * m_big.shape[1]
                + n_bins_pad * n_mels_pad),
-            bytes_accessed=(b * rows * _SIG_ROW
-                            + b * tiles * _SIG_FRAMES_PER_TILE * n_mels_pad)
+            bytes_accessed=(b * rows * row_w
+                            + b * tiles * frames_tile * n_mels_pad)
             * 4,
-            transcendentals=b * tiles * _SIG_FRAMES_PER_TILE * n_mels_pad,
+            transcendentals=b * tiles * frames_tile * n_mels_pad,
         ),
         interpret=interpret,
     )(sig, tailpad, m_big, mt)
 
-    # phase-major rows -> natural frame order: row g*ROWS+j is frame 4j+g
-    out = out.reshape(b, tiles, 4, _SIG_ROWS_PER_TILE, n_mels_pad)
+    # phase-major rows -> natural frame order: row g*ROWS+j is frame
+    # phases*j + g
+    out = out.reshape(b, tiles, phases, rows_tile, n_mels_pad)
     out = out.transpose(0, 1, 3, 2, 4).reshape(
-        b, tiles * _SIG_FRAMES_PER_TILE, n_mels_pad
+        b, tiles * frames_tile, n_mels_pad
     )
     return out[:, :n_frames, : (n_mels_out or n_mels_pad)]
 
@@ -872,10 +910,11 @@ def whisper_mel_sig(
     mel_precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Whisper log-mel via the signal-input fused kernel (bf3 numerics +
-    in-kernel framing). Requires ``hop_size == 160`` and
-    ``fft_size <= 2*640 - 3*160 - offset`` (the whisper and golden
-    configs qualify); other configs should use ``whisper_mel_pallas``.
-    Same output contract as ``whisper_mel_pallas``."""
+    in-kernel framing). Works for any config ``sig_geometry`` accepts
+    (hop >= 8 samples and the frame fitting a reasonable macro-row
+    window — every standard speech-frontend config qualifies); others
+    should use ``whisper_mel_pallas``. Same output contract as
+    ``whisper_mel_pallas``."""
     x = jnp.asarray(samples, jnp.float32)
     squeeze = x.ndim == 1
     if squeeze:
@@ -887,11 +926,13 @@ def whisper_mel_sig(
                                                 hop_size)
     else:
         n_frames = framing.num_frames_batch(x.shape[-1], fft_size, hop_size)
-    if hop_size * 4 != _SIG_ROW:
-        raise ValueError("whisper_mel_sig requires hop_size == 160")
-    k_pad = -(-fft_size // LANES) * LANES
-    if k_pad + 3 * hop_size + offset > 2 * _SIG_ROW:
-        raise ValueError("fft_size too large for the macro-row window")
+    geom = sig_geometry(fft_size, hop_size, offset)
+    if geom is None:
+        raise ValueError(
+            "no macro-row geometry for this (fft, hop) — use "
+            "whisper_mel_pallas(impl='bf3')"
+        )
+    row_w, phases, rows_tile = geom
     if n_frames <= 0:
         out = jnp.zeros((x.shape[0], 0, n_mels), jnp.float32)
         return out[0] if squeeze else out
@@ -907,8 +948,9 @@ def whisper_mel_sig(
     # analogue of the reference's device-batch cap (src/cuda.rs:150-155)
     from melspec_tpu.ops.spectrogram import _frames_budget_bytes
 
-    tiles = -(-n_frames // _SIG_FRAMES_PER_TILE)
-    per_clip = tiles * _SIG_FRAMES_PER_TILE * 128 * 4 * 2
+    frames_tile = phases * rows_tile
+    tiles = -(-n_frames // frames_tile)
+    per_clip = tiles * frames_tile * 128 * 4 * 2
     b = x.shape[0]
     cb = b if b * per_clip <= _frames_budget_bytes() else max(
         1, int(_frames_budget_bytes() // per_clip)
@@ -918,7 +960,8 @@ def whisper_mel_sig(
         return _pallas_sig_mel(
             xc, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
             n_frames=n_frames, offset=offset, mel_precision=mel_precision,
-            n_mels_out=n_mels,
+            n_mels_out=n_mels, row_w=row_w, phases=phases,
+            rows_tile=rows_tile,
         )
 
     if cb >= b:
@@ -1100,14 +1143,10 @@ def whisper_mel_pallas(
         else:
             # the signal-input kernel (in-kernel framing) is the fast path
             # wherever its macro-row geometry applies
-            k_pad_ = -(-fft_size // LANES) * LANES
             off_ = (framing.streaming_frame_offset(fft_size, hop_size)
                     if streaming else 0)
-            if (hop_size * 4 == _SIG_ROW
-                    and k_pad_ + 3 * hop_size + off_ <= 2 * _SIG_ROW):
-                impl = "sig"
-            else:
-                impl = "bf3"
+            impl = "sig" if sig_geometry(fft_size, hop_size,
+                                         off_) is not None else "bf3"
     if impl not in ("sig", "bf3", "hp8", "hp_bf16", "f32"):
         raise ValueError(
             "impl must be 'sig', 'bf3', 'hp8', 'hp_bf16' or 'f32'"

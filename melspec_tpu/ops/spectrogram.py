@@ -177,12 +177,11 @@ class WhisperMelPipeline:
             # in-kernel framing + bf3 numerics) is the fastest path where
             # its macro-row geometry applies; "bf3" XLA otherwise.
             if jax.default_backend() in ("tpu", "gpu"):
-                k_pad = -(-fft_size // 128) * 128
                 from melspec_tpu.ops.framing import streaming_frame_offset
+                from melspec_tpu.ops.mel_kernel import sig_geometry
 
                 off = streaming_frame_offset(fft_size, hop_size)
-                sig_ok = (hop_size * 4 == 640
-                          and k_pad + 3 * hop_size + off <= 1280
+                sig_ok = (sig_geometry(fft_size, hop_size, off) is not None
                           and jnp.dtype(dtype) == jnp.float32)
                 fft_impl = "sig" if sig_ok else "bf3"
             else:
@@ -193,14 +192,13 @@ class WhisperMelPipeline:
             )
         if fft_impl == "sig":
             from melspec_tpu.ops.framing import streaming_frame_offset
+            from melspec_tpu.ops.mel_kernel import sig_geometry
 
-            k_pad = -(-fft_size // 128) * 128
             off = streaming_frame_offset(fft_size, hop_size)
-            if hop_size * 4 != 640 or k_pad + 3 * hop_size + off > 1280:
+            if sig_geometry(fft_size, hop_size, off) is None:
                 raise ValueError(
-                    "fft_impl='sig' needs hop_size == 160 and the frame to "
-                    "fit the macro-row window (whisper 400/160 and the "
-                    "512/160 golden config qualify)"
+                    "fft_impl='sig': no macro-row geometry for this "
+                    "(fft, hop) — every standard speech config qualifies"
                 )
             if jnp.dtype(dtype) != jnp.float32:
                 raise ValueError("fft_impl='sig' is float32-only")

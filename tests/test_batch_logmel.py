@@ -160,7 +160,13 @@ def test_sig_impl_matches_reference_class():
 
 
 def test_sig_impl_geometry_validation():
-    with pytest.raises(ValueError):
-        BatchLogMel(BatchLogMelConfig(hop_length=256), fft_impl="sig")
+    # generalized geometry: hop 256 now rides the kernel; parity check
+    cfg = BatchLogMelConfig(hop_length=256)
+    rng = np.random.default_rng(5)
+    x = (rng.normal(size=20000) * 0.2).astype(np.float32)
+    a = np.asarray(BatchLogMel(cfg, fft_impl="sig").compute(x))
+    b = np.asarray(BatchLogMel(cfg, fft_impl="rdft").compute(x))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-4)
     with pytest.raises(ValueError):
         BatchLogMel(BatchLogMelConfig(), dtype=jnp.float64, fft_impl="sig")

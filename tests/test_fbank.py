@@ -169,8 +169,15 @@ def test_sig_impl_validation():
     import jax.numpy as jnp
     import pytest
 
-    with pytest.raises(ValueError):
-        Fbank(FbankConfig(frame_shift_ms=20.0), fft_impl="sig")
+    # generalized geometry: a 20 ms shift (320 samples) now rides the
+    # kernel; parity vs the rdft path
+    cfg20 = FbankConfig(frame_shift_ms=20.0)
+    rng = np.random.default_rng(3)
+    x = (rng.normal(size=20000) * 0.2).astype(np.float32)
+    a = np.asarray(Fbank(cfg20, fft_impl="sig").compute(x))
+    b = np.asarray(Fbank(cfg20, fft_impl="rdft").compute(x))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-4)
     with pytest.raises(ValueError):
         Fbank(FbankConfig(use_power=False), fft_impl="sig")
     with pytest.raises(ValueError):

@@ -237,5 +237,13 @@ def test_pipeline_sig_impl_routes_through_fused_kernel(jfk_samples):
     np.testing.assert_allclose(
         np.asarray(sig.mel_streaming_equivalent(x)),
         np.asarray(bf3.mel_streaming_equivalent(x)), atol=2e-5)
-    with pytest.raises(ValueError):
-        WhisperMelPipeline(400, 256, 80, 16000.0, fft_impl="sig")
+    # generalized macro-row geometry: non-whisper hops work too
+    sig2 = WhisperMelPipeline(400, 256, 80, 16000.0, dtype=jnp.float32,
+                              fft_impl="sig")
+    bf32 = WhisperMelPipeline(400, 256, 80, 16000.0, dtype=jnp.float32,
+                              fft_impl="bf3")
+    np.testing.assert_allclose(np.asarray(sig2.mel_batch(x)),
+                               np.asarray(bf32.mel_batch(x)), atol=2e-5)
+    with pytest.raises(ValueError):  # f64 stays rejected
+        WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float64,
+                           fft_impl="sig")
