@@ -161,3 +161,29 @@ def test_sig_kernel_streaming_zero_copy_geometry():
     want = np.asarray(pipe.mel_streaming_equivalent(jnp.asarray(x))).T
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("fft,hop", [
+    (512, 128), (256, 64), (1024, 320), (400, 100), (640, 640),
+])
+def test_sig_kernel_generalized_geometry_configs(fft, hop):
+    """The generalized macro-row geometry must agree with the bf3 XLA
+    pipeline at non-whisper (fft, hop) combinations (interpret mode)."""
+    from melspec_tpu.ops.mel_kernel import sig_geometry, whisper_mel_sig
+
+    geom = sig_geometry(fft, hop, 0)
+    assert geom is not None, (fft, hop)
+    row_w, phases, rows_tile = geom
+    assert row_w % 128 == 0 and row_w % hop == 0
+    assert phases == row_w // hop and rows_tile % 8 == 0
+
+    rng = np.random.default_rng(fft + hop)
+    x = (rng.normal(size=5 * row_w * max(1, 4096 // row_w)) * 0.2
+         ).astype(np.float32)
+    got = np.asarray(whisper_mel_sig(x, fft, hop, 80, 16000.0,
+                                     interpret=True))
+    pipe = WhisperMelPipeline(fft, hop, 80, 16000.0, dtype=jnp.float32,
+                              fft_impl="bf3")
+    want = np.asarray(pipe.mel_batch(jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
