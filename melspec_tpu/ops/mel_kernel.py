@@ -536,6 +536,10 @@ def sig_geometry(fft_size: int, hop_size: int, offset: int = 0):
         return None
     phases = row_w // hop_size
     rows_tile = max(8, ((512 // phases) // 8) * 8)
+    # double-buffered scratch is 2*(rows+8)*row_w f32: shrink the tile
+    # until it fits a sane VMEM slice (large-hop configs with phases==1)
+    while rows_tile > 8 and 2 * (rows_tile + 8) * row_w * 4 > (4 << 20):
+        rows_tile -= 8
     return row_w, phases, rows_tile
 
 
