@@ -261,7 +261,7 @@ def _hp_power_from_slices(
     row_max = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     bits = jax.lax.bitcast_convert_type(jnp.maximum(row_max, 1e-38), jnp.int32)
     sigma = jax.lax.bitcast_convert_type(
-        (((bits >> 23) & 0xFF) + 1) << 23, jnp.float32
+        (jnp.minimum((bits >> 23) & 0xFF, 0xFD) + 1) << 23, jnp.float32
     )
     xn = x / sigma
     x_slices = _signal_slices(xn, n_slices)

@@ -45,7 +45,7 @@ TILE_FRAMES = 256
 
 def _build_matrices(
     fft_size: int, n_mels: int, sampling_rate: float
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int, int]:
     """Window-folded DFT matrices ``[fft, n_bins_pad]`` and the padded mel
     projection ``[n_bins_pad, n_mels_pad]`` (float64 host build, cast by
     the caller)."""
@@ -100,7 +100,10 @@ def _hp_mel_tile_kernel(*refs, n_slices: int, max_pair_sum: int):
     bits = jax.lax.bitcast_convert_type(
         jnp.maximum(row_max, 1e-38), jnp.int32
     )
-    exp = (bits >> 23) & 0xFF
+    # clamp so exp+1 stays a finite exponent: |x| >= 2^127 (or inf/NaN
+    # garbage input) would otherwise make sigma inf (or the -0.0 bit
+    # pattern) and silently zero the whole row
+    exp = jnp.minimum((bits >> 23) & 0xFF, 0xFD)
     sigma = jax.lax.bitcast_convert_type((exp + 1) << 23, jnp.float32)
     residual = fr / sigma
 
@@ -170,8 +173,12 @@ def _matrix_slices_i8(mat: np.ndarray, n_slices: int) -> list:
 
 
 def _hp8_plane_widths(ks: int, km: int, cutoff: int) -> list:
-    """Number of matrix planes signal slice ``i`` is paired with."""
-    return [min(cutoff - i, km - 1) + 1 for i in range(ks)]
+    """Number of matrix planes signal slice ``i`` is paired with. Signal
+    slices beyond ``cutoff`` pair with nothing (their contribution is
+    dropped by the pair-sum budget), so ``ks`` is clamped — callers
+    passing ks > cutoff+1 used to produce empty plane concatenations and
+    crash in numpy."""
+    return [min(cutoff - i, km - 1) + 1 for i in range(min(ks, cutoff + 1))]
 
 
 @functools.lru_cache(maxsize=8)
@@ -233,7 +240,7 @@ def _hp8_mel_tile_kernel(*refs, ks: int, km: int, cutoff: int,
         jnp.maximum(row_max, 1e-38), jnp.int32
     )
     sigma = jax.lax.bitcast_convert_type(
-        ((((bits >> 23) & 0xFF) + 1) << 23), jnp.float32
+        ((jnp.minimum((bits >> 23) & 0xFF, 0xFD) + 1) << 23), jnp.float32
     )
     residual = fr / sigma
 
@@ -326,17 +333,14 @@ def _pallas_hp8_mel_frames(
 
 
 def _bf16_round_slices(mat: np.ndarray, n_slices: int) -> list:
-    """Rounded bfloat16 slices: ``mat = sum_j M_j + tail`` with
-    ``|M_j| <= 2^-8j |mat|`` elementwise. Unlike the integer Ozaki slices
-    these are scale-free (no row normalization needed) — each level is the
-    bf16 rounding of the previous residual, so 3 slices carry ~24+ bits."""
-    out = []
-    residual = np.asarray(mat, np.float64).copy()
-    for _ in range(n_slices):
-        t = residual.astype(jnp.bfloat16).astype(np.float64)
-        residual = residual - t
-        out.append(t.astype(jnp.bfloat16))
-    return out
+    """Rounded bfloat16 slices (one shared implementation — the bf3
+    kernels' correctness argument depends on the exact rounding scheme, so
+    there must be exactly one copy of it): ``mat = sum_j M_j + tail`` with
+    ``|M_j| <= 2^-8j |mat|`` elementwise; scale-free, 3 slices carry
+    ~24+ bits."""
+    from melspec_tpu.ops.hp_dft import bf16_round_slices
+
+    return list(bf16_round_slices(mat, n_slices))
 
 
 @functools.lru_cache(maxsize=8)
@@ -621,8 +625,7 @@ def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
 def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
                          s_scratch, dma_sems, tail_sems, *, ks: int, pair_i,
                          k_pad: int, n_bins_pad: int, offset: int,
-                         mel_precision, rows_per_clip: int,
-                         tiles_per_clip: int, tail_rows: int,
+                         mel_precision, tail_rows: int,
                          row_w: int = _SIG_ROW,
                          phases: int = 4,
                          rows_tile: int = _SIG_ROWS_PER_TILE,
@@ -765,13 +768,18 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, out_ref,
         # (squares times nonnegative filters), so the argument >= guard.
         from melspec_tpu.ops.fastmath import ln_accurate
 
-        out_ref[0, 0] = ln_accurate(energy + guard)
+        # guard clamped to the smallest NORMAL f32: ln_accurate's bit
+        # decomposition is documented normal-only, and a subnormal guard
+        # with silent input would otherwise produce a wrong log silently
+        out_ref[0, 0] = ln_accurate(energy + max(guard, 1.1754944e-38))
     elif out_mode == "ln_floor":
         # Kaldi fbank output: ln(max(energy, floor))
         # (src/fbank.rs:205-221 semantics); guard carries the floor.
         from melspec_tpu.ops.fastmath import ln_accurate
 
-        out_ref[0, 0] = ln_accurate(jnp.maximum(energy, guard))
+        out_ref[0, 0] = ln_accurate(
+            jnp.maximum(energy, max(guard, 1.1754944e-38))
+        )
     else:
         log_mel = log10_accurate(jnp.maximum(energy, LOG10_FLOOR))
         mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
@@ -854,7 +862,7 @@ def _pallas_sig_mel(
     kernel = functools.partial(
         _sig_mel_tile_kernel, ks=ks, pair_i=pair_i, k_pad=k_pad,
         n_bins_pad=n_bins_pad, offset=offset, mel_precision=mel_precision,
-        rows_per_clip=rows_clip, tiles_per_clip=tiles, tail_rows=tail_rows,
+        tail_rows=tail_rows,
         row_w=row_w, phases=phases, rows_tile=rows_tile,
         out_mode=out_mode, guard=guard,
     )
@@ -954,7 +962,8 @@ def whisper_mel_sig(
 
     frames_tile = phases * rows_tile
     tiles = -(-n_frames // frames_tile)
-    per_clip = tiles * frames_tile * 128 * 4 * 2
+    n_mels_pad_ = -(-n_mels // LANES) * LANES
+    per_clip = tiles * frames_tile * n_mels_pad_ * 4 * 2
     b = x.shape[0]
     cb = b if b * per_clip <= _frames_budget_bytes() else max(
         1, int(_frames_budget_bytes() // per_clip)
@@ -1129,8 +1138,10 @@ def whisper_mel_pallas(
     same frame-major layout — transpose for the golden's feature-major
     view.
 
-    ``impl`` selects the kernel:
-    - ``"bf3"`` (the default): rounded-bf16 3-slice pair kernel — the
+    ``impl`` selects the kernel (default ``None`` resolves to ``"sig"``
+    wherever the macro-row geometry applies — every standard config —
+    and to ``"bf3"`` otherwise):
+    - ``"bf3"``: rounded-bf16 3-slice pair kernel — the
       MXU cost of ONE HIGHEST-precision f32 dot (6 bf16 passes) with the
       window folded exactly into the sliced matrices; ~1.5e-6 JFK parity.
       The shipped fast path.
@@ -1184,6 +1195,7 @@ def whisper_mel_pallas(
     if impl == "bf3":
         ks = 3 if hp_n_slices is None else hp_n_slices
         cutoff = 2 if hp_max_pair_sum is None else hp_max_pair_sum
+        ks = min(ks, cutoff + 1)  # slices past the pair-sum budget drop
         slice_mats, mt, _, _, _ = _bf3_device_matrices(
             fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
         )
@@ -1191,6 +1203,7 @@ def whisper_mel_pallas(
     elif impl == "hp8":
         ks = 4 if hp_n_slices is None else hp_n_slices
         cutoff = 4 if hp_max_pair_sum is None else hp_max_pair_sum
+        ks = min(ks, cutoff + 1)
         slice_mats, mt, _, _, _ = _hp8_device_matrices(
             fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
         )
