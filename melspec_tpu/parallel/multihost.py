@@ -102,16 +102,26 @@ def load_host_shard(
     paths: Sequence[Union[str, Path]],
     clip_samples: int,
     pad_to_batch: Optional[int] = None,
+    expected_rate: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode THIS host's WAV shard and chunk it (steps 1+2 composed).
 
     ``paths`` must already be the host-local shard (see
     ``shard_files_for_host``). Uses the repo's own RIFF readers — 16-bit
-    PCM and f32-LE mono both supported (``io/wav.py``).
+    PCM and f32-LE mono both supported (``io/wav.py``). A wrong-rate wav
+    would silently produce features with the wrong filterbank, so
+    ``expected_rate`` (when given) is validated per file.
     """
     from melspec_tpu.io.wav import read_wav_mono
 
-    clips = [read_wav_mono(p)[0] for p in paths]
+    clips = []
+    for p in paths:
+        samples, rate = read_wav_mono(p)
+        if expected_rate is not None and rate != expected_rate:
+            raise ValueError(
+                f"{p}: sample rate {rate} != expected {expected_rate}"
+            )
+        clips.append(samples)
     return chunk_audio(clips, clip_samples, pad_to_batch=pad_to_batch)
 
 
@@ -151,8 +161,11 @@ def multihost_frontend(
 
     my_paths = shard_files_for_host(paths)
     local, n_valid = load_host_shard(my_paths, clip_samples,
-                                     pad_to_batch=local_batch)
+                                     pad_to_batch=local_batch,
+                                     expected_rate=16000)
     global_batch = global_batch_from_local(mesh, local, axis=axis)
+    # pad rows (n_valid == 0) must not dilute the psum'd VAD aggregates
+    valid = global_batch_from_local(mesh, n_valid > 0, axis=axis)
     step = sharded_frontend_step(mesh, settings or DetectionSettings(),
                                  axis=axis)
-    return step(global_batch), n_valid
+    return step(global_batch, valid), n_valid

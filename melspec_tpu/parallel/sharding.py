@@ -110,14 +110,16 @@ def sharded_frontend_step(
     and total-column count — the fleet-level aggregate a serving deployment
     reports.
 
-    Returns a jitted fn ``samples [B, T] -> dict`` with ``B`` divisible by
-    the mesh size.
+    Returns a fn ``(samples [B, T], valid [B] bool = all) -> dict`` with
+    ``B`` divisible by the mesh size; rows with ``valid == False``
+    (padding appended so every host presents the same local batch) are
+    excluded from the psum'd VAD aggregates.
     """
     whisper = WhisperMelPipeline(400, 160, 80, 16000.0)
     nemo = BatchLogMel(BatchLogMelConfig())
     kaldi = Fbank(FbankConfig(apply_cmn=True))
 
-    def local_step(samples: jnp.ndarray):
+    def local_step(samples: jnp.ndarray, valid: jnp.ndarray):
         mel = whisper._mel_batch_jit(samples)          # [b, F, 80]
         nemo_feats = nemo._compute_jit(samples)        # [b, 80, F']
         fbank_feats = kaldi._compute_jit(samples)      # [b, F'', 80]
@@ -126,8 +128,10 @@ def sharded_frontend_step(
         raw = classify_columns(img, settings)          # [b, F-2]
         smoothed = smooth_mask(raw, 4)
 
-        active = jnp.sum(smoothed, dtype=jnp.int32)
-        total = jnp.asarray(smoothed.shape[-1] * smoothed.shape[0], jnp.int32)
+        active = jnp.sum(smoothed & valid[:, None], dtype=jnp.int32)
+        total = jnp.sum(
+            jnp.where(valid, smoothed.shape[-1], 0).astype(jnp.int32)
+        )
         active = jax.lax.psum(active, axis)
         total = jax.lax.psum(total, axis)
 
@@ -156,7 +160,7 @@ def sharded_frontend_step(
         # not yet annotate varying-mesh-axes metadata; the specs below
         # state the sharding explicitly, so skip the vma check
         check_vma=False,
-        in_specs=(spec,),
+        in_specs=(spec, spec),
         out_specs={
             "mel": spec,
             "nemo": spec,
@@ -168,4 +172,11 @@ def sharded_frontend_step(
             "mel_q8_range": spec,
         },
     )
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def call(samples, valid=None):
+        if valid is None:
+            valid = jnp.ones(samples.shape[0], dtype=bool)
+        return jitted(samples, valid)
+
+    return call

@@ -19,9 +19,7 @@ import jax.numpy as jnp
 
 from melspec_tpu.config import MelConfig
 from melspec_tpu.ops import dft
-from melspec_tpu.ops.fastmath import log10_best
 from melspec_tpu.ops.filterbank import mel_filterbank
-from melspec_tpu.ops.spectrogram import LOG10_FLOOR
 from melspec_tpu.ops.windows import hann_periodic
 
 
@@ -97,7 +95,6 @@ class MultiStreamMel:
         ``parallel.sharding.sharded_multistream``)."""
         hop = self.config.hop_size
         fft = self.config.fft_size
-        hp = jax.lax.Precision.HIGHEST
 
         shifted = jnp.concatenate(
             [state.hop_buf[:, hop:], chunks.astype(self.dtype)], axis=1
@@ -109,14 +106,12 @@ class MultiStreamMel:
             state.idx + jnp.where(active, hop, 0).astype(state.idx.dtype), fft
         )
 
-        power = self._power(buf)
-        energy = jnp.matmul(power, self.filters_t, precision=hp)
-        log_mel = log10_best(
-            jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)),
-            self.dtype,
-        )
-        mmax = jnp.max(log_mel, axis=1, keepdims=True) - 8.0
-        mels = (jnp.maximum(log_mel, mmax) + 4.0) / 4.0
+        from melspec_tpu.ops.spectrogram import (log_mel_from_power,
+                                                  whisper_norm)
+
+        log_mel = log_mel_from_power(self._power(buf), self.filters_t,
+                                     self.dtype)
+        mels = whisper_norm(log_mel, axis=-1)
         valid = active & (idx >= fft)
         return MultiStreamState(buf, idx), mels, valid
 
@@ -143,15 +138,12 @@ class MultiStreamMel:
             axis=1,
         )
         frames = _framing.frame_signal(signal, fft, hop, h, offset=hop)
-        hp = jax.lax.Precision.HIGHEST
-        power = self._power(frames)
-        energy = jnp.matmul(power, self.filters_t, precision=hp)
-        log_mel = log10_best(
-            jnp.maximum(energy, jnp.asarray(LOG10_FLOOR, self.dtype)),
-            self.dtype,
-        )
-        mmax = jnp.max(log_mel, axis=-1, keepdims=True) - 8.0
-        mels = (jnp.maximum(log_mel, mmax) + 4.0) / 4.0
+        from melspec_tpu.ops.spectrogram import (log_mel_from_power,
+                                                 whisper_norm)
+
+        log_mel = log_mel_from_power(self._power(frames), self.filters_t,
+                                     self.dtype)
+        mels = whisper_norm(log_mel, axis=-1)
 
         hops = (jnp.arange(1, h + 1) * hop).astype(state.idx.dtype)
         valid = active[:, None] & ((state.idx[:, None] + hops[None, :])

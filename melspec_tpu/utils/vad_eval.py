@@ -301,14 +301,7 @@ def evaluate_file(
     # vectorized label lookup: expected[i] = label_at(labels, time[i])
     times = np.asarray([d.time_s for d in decisions])
     predicted = np.asarray([d.speech for d in decisions])
-    expected = np.zeros(len(times), dtype=bool)
-    for seg in labels:
-        # first matching segment wins, like the reference's .find(): claimed
-        # times are NaN'd so later segments can't re-label them
-        mask = (times >= seg.start) & (times < seg.end)
-        if seg.speech:
-            expected |= mask
-        times = np.where(mask, np.nan, times)
+    expected = _labels_mask(labels, times)
     metrics = Metrics()
     metrics.tp = int(np.sum(predicted & expected))
     metrics.fp = int(np.sum(predicted & ~expected))
@@ -417,7 +410,10 @@ def evaluate_testset_batched(
 
     @jax.jit
     def device_pass(x):
-        mel = pipe._mel_batch_jit(x)              # [B, F, n_mels]
+        # mel_batch (not the private jit) so the HBM frames-budget
+        # chunking applies: a multi-hundred-clip testset must not
+        # materialize the full [B, F, fft_pad] frame tensor in one piece
+        mel = pipe.mel_batch(x)                   # [B, F, n_mels]
         img = jnp.swapaxes(mel, -1, -2)           # [B, n_mels, F]
         return streaming_decision_fields_batched(
             img.astype(classify_dtype), settings
@@ -441,7 +437,6 @@ def evaluate_testset_batched(
     durations = [len(c) / rate for c in clips]
     dur_sum = sum(durations)
     min_x = settings.min_x
-    win_cols = min_x - 2
 
     for i, wav in enumerate(wavs):
         t0 = time.perf_counter()
@@ -450,6 +445,14 @@ def evaluate_testset_batched(
         # decision fields were computed on-device for the padded width;
         # the first n_dec entries only read this file's real frames
         n_dec = n_frames - min_x + 1
+        if n_dec <= 0:
+            # clip shorter than the detector window: no decisions, like
+            # the sequential path (streaming_decision_fields -> None); a
+            # negative Python slice bound would otherwise keep garbage
+            # padded-region entries
+            rows.append(FileResult(wav, durations[i],
+                                   time.perf_counter() - t0, Metrics()))
+            continue
         speech = (
             fields_all["active"][i][:n_dec]
             & (fields_all["leading"][i][:n_dec]

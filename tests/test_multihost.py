@@ -134,3 +134,26 @@ def test_true_two_process_dispatch_over_gloo():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i}: OK" in out, out[-3000:]
+
+
+def test_pad_rows_do_not_dilute_vad_aggregates():
+    """Padding rows appended by pad_to_batch (all-zero, valid=False) must
+    not count toward the psum'd fleet-level VAD column totals."""
+    from melspec_tpu.config import DetectionSettings
+    from melspec_tpu.parallel.sharding import sharded_frontend_step
+
+    mesh = make_mesh()
+    step = sharded_frontend_step(
+        mesh, DetectionSettings(min_energy=0.5, min_y=2, min_x=5, min_mel=0))
+    rng = np.random.default_rng(0)
+    n = mesh.devices.size
+    x = np.zeros((2 * n, 4800), np.float32)
+    x[:n] = (rng.normal(size=(n, 4800)) * 0.3).astype(np.float32)
+    valid = np.arange(2 * n) < n
+
+    out_all = step(jnp.asarray(x))
+    out_masked = step(jnp.asarray(x), jnp.asarray(valid))
+    assert int(out_all["vad_total_columns"]) == 2 * n * 26
+    assert int(out_masked["vad_total_columns"]) == n * 26  # pads excluded
+    assert int(out_masked["vad_active_columns"]) <= int(
+        out_all["vad_active_columns"])

@@ -104,3 +104,33 @@ def test_vectorized_postprocess_matches_sequential_fuzz():
         got_l = _labels_mask(segs, times)
         want_l = [label_at(segs, float(t)) for t in times]
         assert [bool(g) for g in got_l] == want_l, trial
+
+
+def test_batched_eval_handles_clip_shorter_than_window(tmp_path, testdata):
+    """A clip shorter than the detector window (< (min_x-1)*hop + fft
+    samples) must produce an empty per-file result, like the sequential
+    path — not garbage decisions from a negative slice bound."""
+    import shutil
+    import struct
+
+    from melspec_tpu.config import DetectionSettings
+    from melspec_tpu.utils.vad_eval import EvalOptions, evaluate_testset_batched
+
+    src = sorted((testdata / "ten-vad").glob("*.wav"))[0]
+    shutil.copy(src, tmp_path / "long.wav")
+    shutil.copy(src.with_suffix(".scv"), tmp_path / "long.scv")
+    # a 600-sample 16-bit mono wav (~37 ms): 2 frames < min_x=5
+    n = 600
+    payload = struct.pack(f"<{n}h", *([0] * n))
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+           + b"data" + struct.pack("<I", len(payload)))
+    (tmp_path / "short.wav").write_bytes(hdr + payload)
+    (tmp_path / "short.scv").write_text("short.wav,0.0,0.05,0\n")
+
+    total, rows = evaluate_testset_batched(
+        tmp_path, EvalOptions(), DetectionSettings())
+    assert len(rows) == 2
+    short_row = [r for r in rows if r.path.name == "short.wav"][0]
+    assert short_row.metrics.total == 0  # no decisions, no crash
+    assert total.total > 0               # the long clip still evaluated
