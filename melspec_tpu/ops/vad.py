@@ -125,6 +125,10 @@ def vad_boundaries(
     smoothed = np.asarray(smooth_mask(raw, 4))
     intersected = [int(x) for x in np.nonzero(smoothed)[0]]
     non_intersected = [int(x) for x in np.nonzero(~smoothed)[0]]
+    # gradient_positions stays empty — exact parity with the reference,
+    # which also ships it empty ("We leave gradient_positions empty in
+    # this version", src/vad.rs:330-331); as_image renders the overlay
+    # when a caller fills it manually, like the reference's API allows.
     return EdgeInfo(non_intersected, intersected, set())
 
 
@@ -135,6 +139,8 @@ def vad_on(edge_info: EdgeInfo, n: int) -> bool:
     if not cols:
         return False
     contiguous = 1
+    if contiguous >= n:  # the first column is itself a run of one
+        return True
     prev = cols[0]
     for idx in cols[1:]:
         contiguous = contiguous + 1 if idx == prev + 1 else 1

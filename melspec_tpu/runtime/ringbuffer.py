@@ -32,9 +32,12 @@ def _load_library() -> Optional[ctypes.CDLL]:
             return _lib
         try:
             src = _NATIVE_DIR / "ringbuffer.cpp"
+            # a distribution may ship only the prebuilt .so: a missing
+            # source file must not poison the load when the library exists
             stale = (
                 not _LIB_PATH.exists()
-                or _LIB_PATH.stat().st_mtime < src.stat().st_mtime
+                or (src.exists()
+                    and _LIB_PATH.stat().st_mtime < src.stat().st_mtime)
             )
             if stale:
                 subprocess.run(

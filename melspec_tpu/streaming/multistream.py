@@ -181,6 +181,11 @@ class MultiStreamMel:
         if chunks.ndim != 3 or chunks.shape[0] != self.n_streams \
                 or chunks.shape[2] != self.config.hop_size:
             raise ValueError("chunks must be [n_streams, n_hops, hop_size]")
+        if chunks.shape[1] == 0:  # empty push is a no-op on both paths
+            return (state,
+                    np.zeros((self.n_streams, 0, self.config.n_mels),
+                             np.float32),
+                    np.zeros((self.n_streams, 0), bool))
         if active is None:
             active = jnp.ones(self.n_streams, dtype=bool)
         fn = self._push_many_scan if scan else self._push_many_jit

@@ -27,6 +27,14 @@ from melspec_tpu.streaming.stft import StreamingMel
 
 class RingBuffer:
     def __init__(self, config: MelConfig, capacity: int, dtype=jnp.float32):
+        if capacity < config.hop_size:
+            # SampleRing rounds capacity to a power of two; anything below
+            # one hop could never drain a frame — the pipeline would
+            # silently emit nothing forever
+            raise ValueError(
+                f"capacity {capacity} < hop_size {config.hop_size}: "
+                "the ring could never hold one hop"
+            )
         self.config = config
         self._ring = SampleRing(capacity)
         self._accumulated = np.zeros(0, dtype=np.float32)

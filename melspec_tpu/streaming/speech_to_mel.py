@@ -67,9 +67,9 @@ class SpeechToMel:
         self._accumulated = np.zeros(0, dtype=np.float32)
         self._idx = 0
 
-        self._step = jax.jit(self._step_impl)
+        self._step = jax.jit(self._step_impl, static_argnums=1)
 
-    def _step_impl(self, buf: jnp.ndarray):
+    def _step_impl(self, buf: jnp.ndarray, with_vad: bool):
         hp = jax.lax.Precision.HIGHEST
         xw = buf.astype(self.dtype) * self._window
         re = jnp.matmul(xw, self._cos, precision=hp)
@@ -86,6 +86,10 @@ class SpeechToMel:
                         floor),
             self.dtype,
         )
+        if not with_vad:
+            # the quarter-filterbank projection is dead work when the
+            # caller disabled VAD for this frame
+            return (log_mel,)
         log_vad = log10_best(
             jnp.maximum(
                 jnp.matmul(power, self._filters_vad_t, precision=hp), floor
@@ -95,9 +99,19 @@ class SpeechToMel:
         vad_norm = (jnp.maximum(log_vad, jnp.max(log_vad) - 8.0) + 4.0) / 4.0
         return log_mel, vad_norm
 
+    @property
+    def pending(self) -> int:
+        """Complete hops already buffered, each consumable by one
+        ``get()`` call. Like the reference's wasm binding, each call emits
+        at most ONE frame — services pushing blocks larger than hop_size
+        drain the backlog with ``while s.pending: s.get()``."""
+        return int(self._accumulated.size) // self.hop_size
+
     def add(self, samples: np.ndarray, vad: bool = True) -> Dict:
         """Push PCM samples; returns the reference's result-object shape
-        with ``ok=False`` until a full hop + window are available."""
+        with ``ok=False`` until a full hop + window are available. One hop
+        is consumed per call (the reference's cadence, src/wasm.rs:95-145)
+        — check ``pending`` and call ``get()`` to drain a backlog."""
         result: Dict = {"ok": False}
         self._accumulated = np.concatenate(
             [self._accumulated, np.asarray(samples, np.float32)]
@@ -112,8 +126,8 @@ class SpeechToMel:
         self._hop_buf = np.concatenate([self._hop_buf[self.hop_size :], chunk])
         self._seen += chunk.size
         if self._seen >= self.fft_size:
-            log_mel, vad_frame = self._step(jnp.asarray(self._hop_buf))
-            log_mel = np.asarray(log_mel, np.float32)
+            out = self._step(jnp.asarray(self._hop_buf), vad)
+            log_mel = np.asarray(out[0], np.float32)
             quantized, qr = quantize(log_mel)
             result.update(
                 ok=True,
@@ -126,12 +140,15 @@ class SpeechToMel:
                 ),
             )
             if vad:
-                decision = self._vad.add(np.asarray(vad_frame, np.float64))
+                decision = self._vad.add(np.asarray(out[1], np.float64))
                 if decision is not None:
                     result["va"] = decision
         self._idx += 1  # the reference advances idx per consumed hop
         return result
 
-    def get(self) -> Dict:
-        """Flush call with no new samples (reference ``src/wasm.rs:88-92``)."""
-        return self.add(np.zeros(0, dtype=np.float32), vad=False)
+    def get(self, vad: bool = True) -> Dict:
+        """Flush call with no new samples (reference ``src/wasm.rs:88-92``).
+        ``vad`` defaults to True so drained frames keep feeding the
+        detector — a vad=False drain would leave its sliding window
+        temporally discontinuous and its frame_index out of sync."""
+        return self.add(np.zeros(0, dtype=np.float32), vad=vad)

@@ -230,6 +230,11 @@ class StreamingMel:
         chunks = jnp.asarray(chunks, dtype=self.dtype)
         if chunks.ndim != 2 or chunks.shape[1] != self.config.hop_size:
             raise ValueError("chunks must be [n, hop_size]")
+        if chunks.shape[0] == 0:
+            # the bulk path's framed slice cannot express zero frames; an
+            # empty push is a no-op on both documented-equivalent paths
+            return (state, np.zeros((0, self.config.n_mels), np.float32),
+                    np.zeros((0,), bool))
         fn = self._steps if scan else self._bulk
         state, mels, valids = fn(state, chunks)
         return state, np.asarray(mels), np.asarray(valids)

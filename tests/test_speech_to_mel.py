@@ -57,3 +57,27 @@ def test_get_flush():
     stm = SpeechToMel()
     out = stm.get()
     assert out == {"ok": False}
+
+
+def test_pending_backlog_drains_with_vad_continuity():
+    """Large pushes buffer beyond one hop; pending exposes the backlog and
+    get() drains it while still feeding the VAD (a vad=False drain would
+    desynchronize the detector's sliding window)."""
+    import numpy as np
+
+    from melspec_tpu.streaming.speech_to_mel import SpeechToMel
+
+    s = SpeechToMel()
+    rng = np.random.default_rng(0)
+    s.add(rng.normal(size=4096).astype(np.float32) * 0.3)
+    assert s.pending == 4096 // 160 - 1
+    emitted = 1
+    while s.pending:
+        r = s.get()
+        emitted += 1
+    assert s.pending == 0
+    assert emitted == 4096 // 160
+    # the detector consumed every emitted frame (window stays contiguous):
+    # frames seen by the VAD == frames emitted past the window fill
+    emitted_ok = s._idx  # hops consumed
+    assert s._vad._frame_index == max(0, emitted_ok - 400 // 160)

@@ -157,3 +157,25 @@ def test_push_many_bulk_matches_scan(jfk_samples):
     np.testing.assert_allclose(np.asarray(s_b.hop_buf),
                                np.asarray(s_s.hop_buf))
     assert int(s_b.idx) == int(s_s.idx)
+
+
+def test_push_many_empty_batch_is_noop():
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.streaming.stft import StreamingMel
+
+    mel = StreamingMel(MelConfig(400, 160, 80, 16000.0))
+    state = mel.init()
+    state2, mels, valid = mel.push_many(state, np.zeros((0, 160), np.float32))
+    assert mels.shape == (0, 80) and valid.shape == (0,)
+    np.testing.assert_array_equal(np.asarray(state2.hop_buf),
+                                  np.asarray(state.hop_buf))
+
+
+def test_ring_buffer_rejects_capacity_below_hop():
+    import pytest
+
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.streaming.pipeline import RingBuffer
+
+    with pytest.raises(ValueError):
+        RingBuffer(MelConfig(400, 160, 80, 16000.0), capacity=100)

@@ -212,3 +212,16 @@ def test_timing_helpers():
     assert format_milliseconds(3_725_042) == "01:02:05.042"
     assert n_frames_for_duration(160, 16000.0, 1000) == 100
     assert duration_ms_for_n_frames(160, 16000.0, 100) == 1000
+
+
+def test_vad_on_single_column_runs():
+    """n=1 must be an 'any activity' test: one intersected column is a run
+    of one (the old loop only tested runs after a reset, so a single
+    column returned False while two NON-adjacent ones returned True)."""
+    from melspec_tpu.ops.vad import EdgeInfo, vad_on
+
+    assert vad_on(EdgeInfo([], [5], set()), 1)
+    assert vad_on(EdgeInfo([], [5, 9], set()), 1)
+    assert not vad_on(EdgeInfo([], [5, 9], set()), 2)   # non-adjacent
+    assert vad_on(EdgeInfo([], [5, 6], set()), 2)
+    assert not vad_on(EdgeInfo([], [], set()), 1)
