@@ -69,6 +69,13 @@ def interleave_frames(
 def tga_8bit_data(data: np.ndarray, n_mels: int) -> bytes:
     """Serialize interleaved row-major mel data to one TGA byte blob."""
     data = np.asarray(data, dtype=np.float32).reshape(-1)
+    if data.size % n_mels != 0:
+        # the header would declare width*n_mels pixels but the blob would
+        # carry data.size bytes — a malformed image parsers reject later
+        raise ValueError(
+            f"data size {data.size} is not a whole number of {n_mels}-mel "
+            "columns"
+        )
     quantized, rng = quantize(data)
     width = data.size // n_mels
     header = bytearray(TGA_HEADER_LEN)

@@ -81,6 +81,11 @@ def frame_signal(
     stack + reshape — pure data movement XLA lays out efficiently. Falls
     back to a gather when the block decomposition would be degenerate.
     """
+    if num_frames <= 0:
+        # num_frames_batch/num_frames_streaming legitimately return 0 for
+        # short inputs; the fast path's strided slices cannot express it
+        return jnp.zeros(samples.shape[:-1] + (0, fft_size),
+                         dtype=samples.dtype)
     needed = offset + (num_frames - 1) * hop_size + fft_size
     if samples.shape[-1] < needed:
         raise ValueError(

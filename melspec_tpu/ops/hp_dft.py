@@ -63,6 +63,12 @@ def _dft_matrix_slices(
     periodic Hann; for other windows use ``hp_rdft_power_windowed``.
     ``frame_len`` truncates the matrices for zero-padded framing (Kaldi's
     400-in-512)."""
+    if windowed and frame_len:
+        # a truncated full-fft Hann matches no real pipeline (Kaldi's
+        # 400-in-512 uses a 400-point Povey) — callers wanting a custom
+        # window with zero-padded framing use hp_rdft_power_windowed
+        raise ValueError("windowed=True cannot combine with frame_len; "
+                         "fold the real window via hp_rdft_power_windowed")
     cos_m, msin_m = dft.rdft_matrices(fft_size, n_bins)
     if frame_len:
         cos_m = cos_m[:frame_len]
@@ -70,7 +76,7 @@ def _dft_matrix_slices(
     if windowed:
         from melspec_tpu.ops.windows import hann_periodic
 
-        w = hann_periodic(fft_size)[: cos_m.shape[0], None]
+        w = hann_periodic(fft_size)[:, None]
         cos_m = w * cos_m
         msin_m = w * msin_m
     return matrix_slices(cos_m, n_slices), matrix_slices(msin_m, n_slices)
@@ -172,6 +178,8 @@ def bf3_rdft_power(
         fft_size, n_bins, km, hann_windowed
     )
     x = frames.astype(jnp.float32)
+    ks = min(ks, cutoff + 1)  # slices past the pair-sum budget pair with
+    # nothing; without the clamp the plane concatenation below is empty
     terms_re: dict = {}
     terms_im: dict = {}
     residual = x

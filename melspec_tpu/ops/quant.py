@@ -30,10 +30,14 @@ def quantize(frame: np.ndarray) -> Tuple[np.ndarray, QuantizationRange]:
     with np.errstate(divide="ignore", invalid="ignore"):
         scale = np.float32(255.0) / (np.float32(hi) - np.float32(lo))
         scaled = (frame - np.float32(lo)) * scale
-        # round half away from zero (values are >= 0 here), then clamp like
-        # the reference's .round().max(0.0).min(255.0); NaN (degenerate
-        # range, max == min) -> 0
-        rounded = np.floor(scaled + np.float32(0.5))
+        # round half away from zero EXACTLY like the reference's f32
+        # .round(): floor(x) + (frac >= 0.5), where x - floor(x) is exact
+        # in f32. The naive floor(x + 0.5) differs one ulp below a half
+        # (the f32 ADD rounds x+0.5 up to the next integer first). Clamp
+        # like .round().max(0.0).min(255.0); NaN (degenerate range,
+        # max == min) -> 0
+        fl = np.floor(scaled)
+        rounded = fl + (scaled - fl >= np.float32(0.5)).astype(np.float32)
     rounded = np.where(np.isnan(rounded), np.float32(0.0), rounded)
     out = np.clip(rounded, 0.0, 255.0).astype(np.uint8)
     return out, QuantizationRange(min=lo, max=hi)
@@ -55,7 +59,9 @@ def quantize_jnp(frame: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndar
     hi = jnp.max(frame)
     scale = 255.0 / (hi - lo)
     scaled = (frame - lo) * scale
-    rounded = jnp.floor(scaled + 0.5)
+    # same exact half-away-from-zero rounding as the host path
+    fl = jnp.floor(scaled)
+    rounded = fl + (scaled - fl >= 0.5).astype(jnp.float32)
     rounded = jnp.where(jnp.isnan(rounded), 0.0, rounded)
     return jnp.clip(rounded, 0.0, 255.0).astype(jnp.uint8), lo, hi
 

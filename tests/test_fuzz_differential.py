@@ -123,3 +123,17 @@ def test_stft_frames_matches_streaming_emission(jfk_samples):
         np.testing.assert_allclose(frame, want, atol=1e-9)
     assert batch.shape[0] == framing.num_frames_batch(len(samples), fft, hop)
     assert batch.shape[1] == fft
+
+def test_frame_signal_zero_frames_is_empty():
+    """num_frames==0 must return an empty frame tensor on both the fast
+    block path and the gather fallback (the fast path used to crash on a
+    negative-length slice)."""
+    import jax.numpy as jnp
+
+    from melspec_tpu.ops.framing import frame_signal
+
+    x = jnp.zeros(300, jnp.float32)
+    out = frame_signal(x, 400, 160, 0)
+    assert out.shape == (0, 400)
+    out2 = frame_signal(jnp.zeros((2, 300), jnp.float32), 400, 100, 0)
+    assert out2.shape == (2, 0, 400)

@@ -155,3 +155,27 @@ def test_tga_8bit_multi_chunk():
     assert total == data.size
     for blob in blobs:
         parse_tga_8bit(blob)  # must parse cleanly
+
+
+def test_quantize_rounds_half_away_from_zero_like_rust():
+    """The reference quantizes with f32 .round() (half away from zero).
+    floor(x + 0.5) differs one ulp below a half: the f32 ADD rounds
+    0.49999997 + 0.5 up to 1.0 first. Byte parity demands the exact rule."""
+    frame = np.array([0.0, 255.0, 0.49999997], dtype=np.float32)
+    q, rng = quantize(frame)
+    assert q.tolist() == [0, 255, 0]  # scaled 0.49999997 rounds DOWN
+    frame2 = np.array([0.0, 255.0, 0.5], dtype=np.float32)
+    q2, _ = quantize(frame2)
+    assert q2.tolist() == [0, 255, 1]  # an exact half rounds AWAY
+
+    import jax.numpy as jnp
+
+    qj, lo, hi = quantize_jnp(jnp.asarray(frame))
+    assert np.asarray(qj).tolist() == [0, 255, 0]
+
+
+def test_tga_8bit_data_rejects_ragged_columns():
+    from melspec_tpu.io.tga import tga_8bit_data
+
+    with pytest.raises(ValueError):
+        tga_8bit_data(np.zeros(81, np.float32), 80)
