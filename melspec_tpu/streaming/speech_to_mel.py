@@ -27,7 +27,6 @@ from melspec_tpu.config import DetectionSettings
 from melspec_tpu.ops import dft
 from melspec_tpu.ops.filterbank import mel_filterbank
 from melspec_tpu.ops.quant import quantize
-from melspec_tpu.ops.spectrogram import LOG10_FLOOR
 from melspec_tpu.ops.windows import hann_periodic
 from melspec_tpu.streaming.vad import VoiceActivityDetector
 from melspec_tpu.utils.timing import duration_ms_for_n_frames
@@ -70,34 +69,22 @@ class SpeechToMel:
         self._step = jax.jit(self._step_impl, static_argnums=1)
 
     def _step_impl(self, buf: jnp.ndarray, with_vad: bool):
+        from melspec_tpu.ops.spectrogram import (log_mel_from_power,
+                                                  whisper_norm)
+
         hp = jax.lax.Precision.HIGHEST
         xw = buf.astype(self.dtype) * self._window
         re = jnp.matmul(xw, self._cos, precision=hp)
         im = jnp.matmul(xw, self._msin, precision=hp)
         power = re * re + im * im
-        floor = jnp.asarray(LOG10_FLOOR, self.dtype)
 
-        # log10_best, like every other pipeline: native jnp.log10 has ~5e-5
-        # abs error on TPU for no throughput gain here.
-        from melspec_tpu.ops.fastmath import log10_best
-
-        log_mel = log10_best(
-            jnp.maximum(jnp.matmul(power, self._filters_t, precision=hp),
-                        floor),
-            self.dtype,
-        )
+        log_mel = log_mel_from_power(power, self._filters_t, self.dtype)
         if not with_vad:
             # the quarter-filterbank projection is dead work when the
             # caller disabled VAD for this frame
             return (log_mel,)
-        log_vad = log10_best(
-            jnp.maximum(
-                jnp.matmul(power, self._filters_vad_t, precision=hp), floor
-            ),
-            self.dtype,
-        )
-        vad_norm = (jnp.maximum(log_vad, jnp.max(log_vad) - 8.0) + 4.0) / 4.0
-        return log_mel, vad_norm
+        log_vad = log_mel_from_power(power, self._filters_vad_t, self.dtype)
+        return log_mel, whisper_norm(log_vad)
 
     @property
     def pending(self) -> int:

@@ -63,8 +63,6 @@ class StreamingStft:
     """
 
     def __init__(self, fft_size: int, hop_size: int):
-        from melspec_tpu.ops.windows import hann_periodic as _hann
-
         self.fft_size = fft_size
         self.hop_size = hop_size
         self._window = _hann(fft_size)
@@ -142,8 +140,7 @@ class StreamingMel:
         # after ~2^31 samples (~37 h at 16 kHz) and silently stop emission.
         idx = jnp.minimum(state.idx + true_len, fft)
         valid = idx >= fft
-        mel = self._mel_of_buf(buf)
-        return StftState(buf, idx), mel, valid
+        return StftState(buf, idx), self._mel_of_buf(buf), valid
 
     @functools.partial(jax.jit, static_argnums=0)
     def _steps(self, state: StftState, chunks: jnp.ndarray):
@@ -195,11 +192,8 @@ class StreamingMel:
         return new_state, mels, valids
 
     def _step_inner(self, state: StftState, chunk: jnp.ndarray):
-        hop = self.config.hop_size
-        fft = self.config.fft_size
-        buf = jnp.concatenate([state.hop_buf[hop:], chunk.astype(self.dtype)])
-        idx = jnp.minimum(state.idx + hop, fft)  # saturating, see _step
-        return StftState(buf, idx), self._mel_of_buf(buf), idx >= fft
+        # full-hop variant of _step (true_len == hop)
+        return self._step(state, chunk, self.config.hop_size)
 
     def push(
         self, state: StftState, chunk: np.ndarray
