@@ -65,7 +65,7 @@ class StreamingStft:
     def __init__(self, fft_size: int, hop_size: int):
         self.fft_size = fft_size
         self.hop_size = hop_size
-        self._window = _hann(fft_size)
+        self._window = hann_periodic(fft_size)
         self._hop_buf = np.zeros(fft_size, dtype=np.float64)
         self._idx = 0
 
