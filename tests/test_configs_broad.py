@@ -81,3 +81,31 @@ def test_sharded_multistream_runs():
     assert mels.shape == (16, 80)
     assert bool(np.asarray(valid).all())  # window filled after 3 hops
     assert len(state.hop_buf.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize(
+    "fft,hop,n_mels,sr",
+    [
+        (400, 160, 128, 16000.0),   # whisper large-v3 (128 mels)
+        (512, 128, 64, 8000.0),
+        (1024, 256, 80, 22050.0),
+        (960, 480, 40, 48000.0),
+        (256, 96, 32, 16000.0),     # hop not a divisor of fft
+    ],
+)
+def test_sig_kernel_any_config(fft, hop, n_mels, sr):
+    """The generalized-geometry fused kernel must cover the same broad
+    config space as the XLA pipelines (interpret mode; the bf3 pipeline
+    is the same-numerics reference)."""
+    from melspec_tpu.ops.mel_kernel import sig_geometry, whisper_mel_sig
+
+    assert sig_geometry(fft, hop, 0) is not None, (fft, hop)
+    rng = np.random.default_rng(fft)
+    samples = (rng.normal(size=int(sr)) * 0.2).astype(np.float32)
+    got = np.asarray(whisper_mel_sig(samples, fft, hop, n_mels, sr,
+                                     interpret=True))
+    pipe = WhisperMelPipeline(fft, hop, n_mels, sr, dtype=jnp.float32,
+                              fft_impl="bf3")
+    want = np.asarray(pipe.mel_batch(samples))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-5)
