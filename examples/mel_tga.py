@@ -17,10 +17,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-if "--platform" in sys.argv:
-    import jax
+from _platform import apply_platform_flag  # noqa: E402
 
-    jax.config.update("jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
+apply_platform_flag()
 
 import numpy as np
 

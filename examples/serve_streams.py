@@ -10,8 +10,13 @@ N concurrent TCP clients from one batched device pipeline:
     dispatch) -> per-stream VAD (reference protocol, src/vad.rs:156-205)
     -> 8-bit quantize (src/quant.rs:140-152) -> framed reply
 
-Wire protocol (little-endian), mirroring the browser worker's mel-ring
-record (80 quantized bytes + min/max f32 + VAD bit, worker.js:52-58):
+Wire protocol (little-endian), shaped like the browser worker's mel-ring
+record (n_mels quantized bytes + min/max f32 + VAD bit, worker.js:52-58).
+One deliberate difference: the payload is the whisper-NORMALIZED per-frame
+mel (what MultiStreamMel serves), not the raw log10 column the reference
+record carries — the min/max header makes the record self-describing
+either way, but a consumer expecting reference byte values must dequantize
+and denormalize:
   client -> server: raw f32le PCM bytes, then TCP half-close (shutdown).
   server -> client: per emitted mel frame
       u32 frame_idx | u8 va | f32 min | f32 max | u8[n_mels] quantized
@@ -55,7 +60,6 @@ class _Slot:
         self.frame_idx = 0
         self.eof = False      # client finished sending
         self.closed = False   # slot fully drained and replied
-        self.lock = threading.Lock()
 
 
 class StreamServer:
@@ -129,10 +133,8 @@ class StreamServer:
             if not placed:
                 conn.close()  # at capacity
                 continue
-            t = threading.Thread(target=self._recv_loop, args=(slot,),
-                                 daemon=True)
-            t.start()
-            self._threads.append(t)
+            threading.Thread(target=self._recv_loop, args=(slot,),
+                             daemon=True).start()
 
     # ---------------- compute side ----------------
 
@@ -150,12 +152,17 @@ class StreamServer:
             for i, slot in enumerate(self.slots):
                 if slot is None or slot.closed:
                     continue
+                # read eof BEFORE the ring length: the recv thread sets it
+                # only after its final push, so this order can never see
+                # eof without the tail audio (the reverse order could
+                # close the slot while >= 1 hop sits in the ring)
+                eof = slot.eof
                 avail = len(slot.ring)
                 if avail >= need:
                     chunks[i] = slot.ring.pop(need).reshape(hops, hop)
                     active[i] = True
                     ticked.append((i, slot, hops))
-                elif slot.eof:
+                elif eof:
                     if avail >= hop:
                         # drain remaining full hops; the < hop leftover is
                         # never processed (reference src/rb.rs:108-110)
@@ -195,7 +202,16 @@ class StreamServer:
                 try:
                     slot.conn.sendall(bytes(out))
                 except OSError:
+                    # client died mid-reply: free the slot so the index is
+                    # reusable (leaving it occupied would leak the slot,
+                    # the connection and the recv thread forever)
                     slot.closed = True
+                    try:
+                        slot.conn.close()
+                    except OSError:
+                        pass
+                    with self._slots_lock:
+                        self.slots[i] = None
         return sent
 
     def _serve_loop(self) -> None:
@@ -217,8 +233,11 @@ class StreamServer:
 
 
 def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
-                  host: str = "127.0.0.1", timeout: float = 600.0):
-    """Send PCM to the server; return the parsed framed records."""
+                  host: str = "127.0.0.1", timeout: float = 600.0,
+                  n_mels: int = 80):
+    """Send PCM to the server; return the parsed framed records.
+    ``n_mels`` must match the server's MelConfig — the record payload is
+    that many quantized bytes."""
     conn = socket.create_connection((host, port))
     recs = []
     buf = b""
@@ -242,7 +261,7 @@ def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
     conn.shutdown(socket.SHUT_WR)
     t.join(timeout=timeout)
     conn.close()
-    rec_size = HEADER.size + 80
+    rec_size = HEADER.size + n_mels
     for off in range(0, len(buf) - rec_size + 1, rec_size):
         idx, va, lo, hi = HEADER.unpack(buf[off : off + HEADER.size])
         q = np.frombuffer(buf[off + HEADER.size : off + rec_size],

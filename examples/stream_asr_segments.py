@@ -23,10 +23,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-if "--platform" in sys.argv:
-    import jax
+from _platform import apply_platform_flag  # noqa: E402
 
-    jax.config.update("jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
+apply_platform_flag()
 
 import numpy as np
 
@@ -95,12 +94,15 @@ def main() -> None:
         save_tga_8bit(interleaved, args.n_mels, str(path))
         text = ""
         if whisper is not None:
+            from tga_to_asr import whisper_features
+
             model, processor, torch = whisper
             mel = np.concatenate(frames, axis=1).astype(np.float32)
-            width = 3000  # whisper expects 30 s of frames
-            feats = np.full((1, mel.shape[0], width), mel.min(),
-                            dtype=np.float32)
-            feats[0, :, : min(width, mel.shape[1])] = mel[:, :width]
+            if mel.shape[1] > 3000:
+                print(f"warning: segment of {mel.shape[1]} frames exceeds "
+                      "whisper's 3000-frame window; transcribing the first "
+                      "30 s only", file=sys.stderr)
+            feats = whisper_features(mel)
             with torch.no_grad():
                 ids = model.generate(torch.from_numpy(feats))
             text = processor.batch_decode(ids, skip_special_tokens=True)[0]
