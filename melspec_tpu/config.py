@@ -71,6 +71,17 @@ class BatchLogMelConfig:
             raise ValueError("hop_length must be > 0")
         if self.n_mels <= 0:
             raise ValueError("n_mels must be > 0")
+        if self.f_min < 0:
+            raise ValueError("f_min must be >= 0")
+        eff_max = (self.sample_rate / 2.0 if self.f_max is None
+                   else self.f_max)
+        if not self.f_min < eff_max <= self.sample_rate / 2.0:
+            # a descending mel grid builds an all-garbage filterbank with
+            # no error otherwise
+            raise ValueError(
+                f"need f_min < f_max <= Nyquist (got f_min={self.f_min}, "
+                f"effective f_max={eff_max}, Nyquist={self.sample_rate / 2})"
+            )
         import math
 
         if not math.isfinite(self.log_zero_guard) or self.log_zero_guard <= 0:
@@ -101,7 +112,24 @@ class FbankConfig:
     preemphasis: float = 0.97
     apply_cmn: bool = True
     low_freq: float = 20.0
-    high_freq: float = 0.0  # 0 means Nyquist
+    high_freq: float = 0.0  # 0 means Nyquist (the reference's rule,
+    # src/fbank.rs:108-112 — NOT Kaldi's negative-offset idiom)
+
+    def __post_init__(self) -> None:
+        if self.sample_rate <= 0:
+            raise ValueError("sample_rate must be > 0")
+        if self.num_mel_bins <= 0:
+            raise ValueError("num_mel_bins must be > 0")
+        if self.frame_length_ms <= 0 or self.frame_shift_ms <= 0:
+            raise ValueError("frame lengths must be > 0 ms")
+        eff_high = (self.sample_rate / 2.0 if self.high_freq == 0.0
+                    else self.high_freq)
+        if not 0 <= self.low_freq < eff_high <= self.sample_rate / 2.0:
+            raise ValueError(
+                f"need 0 <= low_freq < high_freq <= Nyquist (got "
+                f"low={self.low_freq}, effective high={eff_high}, "
+                f"Nyquist={self.sample_rate / 2})"
+            )
 
     @property
     def frame_length_samples(self) -> int:

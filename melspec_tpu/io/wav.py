@@ -16,44 +16,55 @@ from typing import Tuple, Union
 import numpy as np
 
 
-def _find_data_chunk(wav_bytes: bytes) -> Tuple[int, int]:
-    """Return (offset, size) of the WAV ``data`` chunk payload."""
+def _find_chunk(wav_bytes: bytes, chunk_ids: Tuple[bytes, ...]) -> Tuple[int, int]:
+    """Walk the RIFF chunk list; return (payload offset, size) of the first
+    chunk whose id is in ``chunk_ids`` (one walker shared by the fmt and
+    data lookups — they must stay byte-identical in their bookkeeping)."""
     if len(wav_bytes) < 12 or wav_bytes[:4] != b"RIFF" or wav_bytes[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     while pos + 8 <= len(wav_bytes):
         chunk_id = wav_bytes[pos : pos + 4]
         (chunk_size,) = struct.unpack_from("<I", wav_bytes, pos + 4)
-        if chunk_id == b"data":
+        if chunk_id in chunk_ids:
             return pos + 8, chunk_size
         pos += 8 + chunk_size
         if chunk_size % 2:
             pos += 1  # chunks are word-aligned
-    raise ValueError("no 'data' chunk found")
+    raise ValueError(f"no {chunk_ids[0].decode(errors='replace')!r} chunk found")
 
 
-def _read_fmt(wav_bytes: bytes) -> Tuple[int, int, int]:
-    """Return (format_tag, channels, sample_rate) from the fmt chunk."""
-    pos = 12
-    while pos + 8 <= len(wav_bytes):
-        chunk_id = wav_bytes[pos : pos + 4]
-        (chunk_size,) = struct.unpack_from("<I", wav_bytes, pos + 4)
-        if chunk_id in (b"fmt ", b"fmt\x00"):
-            tag, channels, rate = struct.unpack_from("<HHI", wav_bytes, pos + 8)
-            if tag == 0xFFFE and chunk_size >= 40:
-                # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first
-                # two bytes of the SubFormat GUID
-                (tag,) = struct.unpack_from("<H", wav_bytes, pos + 8 + 24)
-            return tag, channels, rate
-        pos += 8 + chunk_size
-        if chunk_size % 2:
-            pos += 1
-    raise ValueError("no 'fmt ' chunk found")
+def _find_data_chunk(wav_bytes: bytes) -> Tuple[int, int]:
+    return _find_chunk(wav_bytes, (b"data",))
+
+
+def _read_fmt(wav_bytes: bytes) -> Tuple[int, int, int, int]:
+    """Return (format_tag, channels, sample_rate, bits_per_sample)."""
+    pos, chunk_size = _find_chunk(wav_bytes, (b"fmt ", b"fmt\x00"))
+    tag, channels, rate = struct.unpack_from("<HHI", wav_bytes, pos)
+    bits = struct.unpack_from("<H", wav_bytes, pos + 14)[0] \
+        if chunk_size >= 16 else 0
+    if tag == 0xFFFE and chunk_size >= 40:
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first
+        # two bytes of the SubFormat GUID
+        (tag,) = struct.unpack_from("<H", wav_bytes, pos + 24)
+    return tag, channels, rate, bits
 
 
 def read_wav_f32le(path: Union[str, Path]) -> np.ndarray:
-    """Read a mono float32-LE WAV; returns float32 samples."""
+    """Read a mono float32-LE WAV; returns float32 samples. Rejects files
+    whose fmt chunk declares anything else — silently frombuffer'ing
+    int16 PCM bytes as f4 would yield denormal-scale garbage."""
     wav_bytes = Path(path).read_bytes()
+    try:
+        tag, _, _, bits = _read_fmt(wav_bytes)
+    except ValueError:
+        tag, bits = 3, 32  # raw fixtures without a fmt chunk: trust caller
+    if tag != 3 or bits not in (0, 32):
+        raise ValueError(
+            f"{path}: not float32 PCM (format tag {tag}, {bits} bits) — "
+            "use read_wav_mono for integer PCM"
+        )
     offset, size = _find_data_chunk(wav_bytes)
     payload = wav_bytes[offset : offset + size]
     n = len(payload) // 4
@@ -61,17 +72,26 @@ def read_wav_f32le(path: Union[str, Path]) -> np.ndarray:
 
 
 def read_wav_mono(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
-    """Read a mono WAV (16-bit PCM, or float32) -> (float32 samples, rate)."""
+    """Read a mono WAV (16-bit PCM, or 32-bit float) -> (f32 samples, rate).
+    Other widths raise instead of being silently misdecoded."""
     wav_bytes = Path(path).read_bytes()
-    tag, channels, rate = _read_fmt(wav_bytes)
+    tag, channels, rate, bits = _read_fmt(wav_bytes)
     if channels != 1:
         raise ValueError(f"{path} is not mono (channels={channels})")
     offset, size = _find_data_chunk(wav_bytes)
     payload = wav_bytes[offset : offset + size]
-    if tag == 1:  # PCM int16
+    if tag == 1:  # integer PCM
+        if bits not in (0, 16):
+            raise ValueError(
+                f"{path}: {bits}-bit PCM unsupported (16-bit only)"
+            )
         data = np.frombuffer(payload[: (len(payload) // 2) * 2], dtype="<i2")
         return (data.astype(np.float32) / 32768.0), rate
     if tag == 3:  # IEEE float
+        if bits not in (0, 32):
+            raise ValueError(
+                f"{path}: {bits}-bit float unsupported (32-bit only)"
+            )
         data = np.frombuffer(payload[: (len(payload) // 4) * 4], dtype="<f4")
         return data.copy(), rate
     raise ValueError(f"unsupported WAV format tag {tag}")

@@ -4,7 +4,9 @@ The reference's observability is ad-hoc ``Instant`` timers inside ignored
 benchmark tests (``src/cuda.rs:547-614``) and RTF accounting in its eval
 example. Here it is a small first-class utility:
 
-- ``Timer``: wall-clock context manager that blocks on device results;
+- ``Timer``: wall-clock context manager; call ``t.block_on(result)`` on
+  the device output to synchronize — JAX dispatch is async, so the bare
+  exit time measures submission, not compute;
 - ``benchmark(fn, *args)``: warmup + timed iterations -> per-call seconds;
 - ``rtfx(audio_seconds, wall_seconds)``: the realtime factor the whole
   framework reports;
@@ -22,8 +24,13 @@ import jax
 
 
 class Timer:
-    """``with Timer() as t: ... ; t.seconds`` — blocks until device work
-    submitted inside the context has completed."""
+    """``with Timer() as t: y = f(x); t.block_on(y)`` -> ``t.seconds``.
+
+    The context exit alone records WALL time of the Python block — JAX
+    dispatch is asynchronous, so for device work you must pass the result
+    through ``block_on`` (which waits and re-stamps ``seconds``). Through
+    a remote runtime even ``block_until_ready`` can be optimistic; fetch
+    a value (``float``/``np.asarray``) when the number really matters."""
 
     def __enter__(self) -> "Timer":
         self._start = time.perf_counter()

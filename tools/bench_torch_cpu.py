@@ -27,6 +27,7 @@ import jax.numpy as jnp
 def bench(fn, arg, iters=20, warmup=3):
     for _ in range(warmup):
         out = fn(arg)
+    _ = np.asarray(out)  # sync: warmup work must not bleed into the timing
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(arg)

@@ -49,9 +49,14 @@ def test_signal(seconds: float = 2.0, sr: int = 16000) -> np.ndarray:
             sig += np.where(
                 seg, env * np.sin(2 * np.pi * f0 * harmonic * t) / harmonic, 0.0
             )
-    # a chirp crossing the mel range
+    # a chirp crossing the mel range: instantaneous frequency
+    # 300 + 8000*(t-0.65) over the active window, i.e. 300 Hz -> 1.9 kHz
+    # (the old absolute-t phase only swept ~5.5-7.1 kHz, never exercising
+    # the low/mid mel bands)
     chirp_seg = (t >= 0.65) & (t < 0.85)
-    sig += np.where(chirp_seg, 0.5 * np.sin(2 * np.pi * (300 + 4000 * t) * t), 0.0)
+    tc = t - 0.65
+    sig += np.where(chirp_seg,
+                    0.5 * np.sin(2 * np.pi * (300 + 4000 * tc) * tc), 0.0)
     rng = np.random.default_rng(1234)
     sig += 1e-4 * rng.standard_normal(t.shape)
     return (0.3 * sig / np.abs(sig).max()).astype(np.float32)
