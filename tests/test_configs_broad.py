@@ -109,3 +109,42 @@ def test_sig_kernel_any_config(fft, hop, n_mels, sr):
     want = np.asarray(pipe.mel_batch(samples))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_config_frequency_validation():
+    """Descending mel grids must fail at construction, not produce silent
+    garbage filterbanks downstream."""
+    from melspec_tpu.config import BatchLogMelConfig, FbankConfig
+
+    with pytest.raises(ValueError):
+        BatchLogMelConfig(f_min=9000.0)       # > default Nyquist
+    with pytest.raises(ValueError):
+        BatchLogMelConfig(f_max=9000.0)       # > Nyquist
+    with pytest.raises(ValueError):
+        FbankConfig(low_freq=9000.0)
+    with pytest.raises(ValueError):
+        FbankConfig(frame_shift_ms=0.0)
+    BatchLogMelConfig(f_min=20.0, f_max=7600.0)  # sane ranges still fine
+    FbankConfig(low_freq=20.0, high_freq=7600.0)
+
+
+def test_wav_reader_rejects_misdeclared_formats(testdata, tmp_path):
+    """int16 PCM must not be silently frombuffer'd as float32 (and vice
+    versa); unsupported widths raise instead of decoding garbage."""
+    import struct
+
+    from melspec_tpu.io.wav import read_wav_f32le, read_wav_mono
+
+    with pytest.raises(ValueError):
+        read_wav_f32le(testdata / "ten-vad" / "testset-audio-01.wav")
+
+    # a 24-bit PCM file must be rejected, not decoded as int16 noise
+    n = 300
+    payload = b"\x00\x01\x02" * n
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 48000, 3, 24)
+           + b"data" + struct.pack("<I", len(payload)))
+    p = tmp_path / "pcm24.wav"
+    p.write_bytes(hdr + payload)
+    with pytest.raises(ValueError):
+        read_wav_mono(p)
