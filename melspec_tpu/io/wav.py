@@ -56,10 +56,11 @@ def read_wav_f32le(path: Union[str, Path]) -> np.ndarray:
     whose fmt chunk declares anything else — silently frombuffer'ing
     int16 PCM bytes as f4 would yield denormal-scale garbage."""
     wav_bytes = Path(path).read_bytes()
-    try:
-        tag, _, _, bits = _read_fmt(wav_bytes)
-    except ValueError:
-        tag, bits = 3, 32  # raw fixtures without a fmt chunk: trust caller
+    # no trust-caller fallback for a missing fmt chunk: a fmt-stripped
+    # int16 file would silently misdecode as denormal-scale garbage, the
+    # exact failure the fmt validation exists to catch (every vendored
+    # fixture carries a fmt chunk)
+    tag, _, _, bits = _read_fmt(wav_bytes)
     if tag != 3 or bits not in (0, 32):
         raise ValueError(
             f"{path}: not float32 PCM (format tag {tag}, {bits} bits) — "

@@ -64,3 +64,22 @@ def test_frontend_step_runs_with_psum():
     active = int(out["vad_active_columns"])
     assert total == 8 * (out["mel"].shape[1] - 2)
     assert 0 <= active <= total
+
+
+def test_frontend_step_aggregates_mesh_size_invariant():
+    """The psum'd VAD aggregates must not depend on how the batch is laid
+    out over the mesh — guards the shard_map specs that check_vma=False
+    (see parallel/sharding.py) exempts from JAX's varying-axes validation."""
+    settings = DetectionSettings(min_energy=0.5, min_y=2, min_x=5, min_mel=0)
+    rng = np.random.default_rng(7)
+    batch = (rng.normal(size=(8, 8000)) * 0.3).astype(np.float32)
+    valid = np.array([True] * 6 + [False] * 2)
+
+    out8 = sharded_frontend_step(make_mesh(), settings)(batch, valid)
+    mesh1 = make_mesh(jax.devices()[:1])
+    out1 = sharded_frontend_step(mesh1, settings)(batch, valid)
+
+    assert int(out8["vad_active_columns"]) == int(out1["vad_active_columns"])
+    assert int(out8["vad_total_columns"]) == int(out1["vad_total_columns"])
+    np.testing.assert_allclose(np.asarray(out8["mel"]),
+                               np.asarray(out1["mel"]), atol=1e-6)
