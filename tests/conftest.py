@@ -6,21 +6,28 @@ host and GPU tests skip gracefully); sharding tests use the virtual devices.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env sets axon/tpu
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# MELSPEC_TPU_TESTS=1 flips the bootstrap into compiled-mode gating on the
+# real chip (tests/test_tpu_compiled.py, run by bench.py): no CPU forcing,
+# no x64 (TPUs have no f64), Mosaic compiles for real.
+_TPU_MODE = os.environ.get("MELSPEC_TPU_TESTS") == "1"
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env sets axon/tpu
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-# A sitecustomize hook may have pinned jax_platforms to a TPU tunnel before
-# this file ran; override it so tests run on the virtual CPU mesh.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _TPU_MODE:
+    # A sitecustomize hook may have pinned jax_platforms to a TPU tunnel
+    # before this file ran; override it so tests run on the virtual CPU mesh.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
-assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
 
 from pathlib import Path
 
