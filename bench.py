@@ -219,12 +219,16 @@ def main() -> None:
             kaldi_sig = Fbank(FbankConfig(apply_cmn=True), fft_impl="sig")
             settings = DetectionSettings()
 
+            from melspec_tpu.ops.mel_kernel import whisper_mel_vad_sig
+
             @jax.jit
             def vad_fields(x):
-                # mel via the fused sig kernel, Sobel fields fused behind it
-                mel = whisper_mel_pallas(x, 400, 160, 80, 16000.0)
-                img = jnp.swapaxes(mel, -1, -2)
-                return streaming_decision_fields_batched(img, settings)
+                # Sobel raw activity computed IN the sig kernel's epilogue
+                # (tile-resident stencil); only the cheap window/smooth
+                # prefix ops run as XLA behind it
+                _, raw = whisper_mel_vad_sig(x, settings)
+                return streaming_decision_fields_batched(None, settings,
+                                                         raw=raw)
 
             batch, t = 64, 10 * SR
             xs = [jax.random.normal(k, (batch, t), dtype=jnp.float32) * 0.1
@@ -258,6 +262,8 @@ def main() -> None:
             multi = MultiStreamMel(MelConfig(400, 160, 80, 16000.0), n_s)
             multi_bf3 = MultiStreamMel(MelConfig(400, 160, 80, 16000.0),
                                        n_s, fft_impl="bf3")
+            multi_sig = MultiStreamMel(MelConfig(400, 160, 80, 16000.0),
+                                       n_s, fft_impl="sig")
             active = jnp.ones(n_s, dtype=bool)
             ms_xs = [jax.random.normal(k, (n_s, n_h, 160), jnp.float32) * 0.1
                      for k in jax.random.split(key, 3)]
@@ -270,6 +276,11 @@ def main() -> None:
                  lambda x: multi._push_many_scan(multi.init(), x, active)[1]),
                 ("multistream_bulk_bf3",
                  lambda x: multi_bf3._push_many_jit(multi_bf3.init(), x,
+                                                    active)[1]),
+                # the VERDICT-r2 A/B: bulk framing through the fused sig
+                # kernel vs the XLA framed-matmul path
+                ("multistream_bulk_sig",
+                 lambda x: multi_sig._push_many_jit(multi_sig.init(), x,
                                                     active)[1]),
             ]:
                 try:

@@ -1,0 +1,112 @@
+// Live mel waterfall client.
+//
+// Wire record from the bridge (little-endian, one per emitted frame):
+//   u32 frame_idx | u8 va | f32 min | f32 max | u8[nMels] quantized
+// The payload is the whisper-normalized mel column quantized to 8 bits
+// over [min, max] (see examples/serve_streams.py's protocol note).
+
+const N_MELS = 80;
+const REC_SIZE = 4 + 1 + 4 + 4 + N_MELS;
+const SAMPLE_RATE = 16000;
+
+// Small perceptual colormap (dark -> bright), two variants like the
+// reference's cividis/plasma switch on VAD: stops are (r,g,b) anchors
+// lerped in u8 space.
+const CALM = [[0, 0, 32], [32, 48, 96], [64, 112, 128], [160, 192, 96],
+              [255, 240, 64]];
+const VOICED = [[16, 0, 48], [96, 16, 112], [192, 48, 96], [240, 128, 48],
+                [255, 232, 96]];
+
+function colorize(v, stops) {
+  const x = Math.min(Math.max(v, 0), 0.999) * (stops.length - 1);
+  const i = Math.floor(x), f = x - i;
+  const a = stops[i], b = stops[i + 1];
+  return [0, 1, 2].map((c) => Math.round(a[c] + f * (b[c] - a[c])));
+}
+
+const canvas = document.getElementById("canvas");
+const ctx = canvas.getContext("2d");
+ctx.fillStyle = "#000";
+ctx.fillRect(0, 0, canvas.width, canvas.height);
+
+function drawColumn(bytes, va) {
+  // scroll left one column
+  ctx.globalCompositeOperation = "copy";
+  ctx.drawImage(canvas, 1, 0, canvas.width - 1, canvas.height,
+                0, 0, canvas.width - 1, canvas.height);
+  ctx.globalCompositeOperation = "source-over";
+
+  const img = ctx.createImageData(1, N_MELS);
+  const stops = va ? VOICED : CALM;
+  for (let m = 0; m < N_MELS; m++) {
+    const [r, g, b] = colorize(bytes[m] / 255, stops);
+    const o = (N_MELS - 1 - m) * 4; // mel 0 at the bottom
+    img.data[o] = r; img.data[o + 1] = g; img.data[o + 2] = b;
+    img.data[o + 3] = 255;
+  }
+  ctx.putImageData(img, canvas.width - 1, 0);
+
+  // VAD indicator dot
+  ctx.fillStyle = "#000";
+  ctx.fillRect(canvas.width - 30, canvas.height - 28, 28, 26);
+  ctx.beginPath();
+  ctx.arc(canvas.width - 16, canvas.height - 15, 9, 0, 2 * Math.PI);
+  ctx.fillStyle = va ? "#f33" : "#333";
+  ctx.fill();
+}
+
+let audioCtx = null, ws = null, stream = null, frames = 0;
+const status = document.getElementById("status");
+
+async function start() {
+  stream = await navigator.mediaDevices.getUserMedia({
+    audio: { channelCount: 1, sampleRate: SAMPLE_RATE },
+  });
+  // asking the context for 16 kHz makes the browser resample for us
+  audioCtx = new AudioContext({ sampleRate: SAMPLE_RATE });
+  await audioCtx.audioWorklet.addModule("worklet.js");
+  const src = audioCtx.createMediaStreamSource(stream);
+  const node = new AudioWorkletNode(audioCtx, "pcm-capture");
+  src.connect(node);
+
+  ws = new WebSocket(`ws://${location.host}/ws`);
+  ws.binaryType = "arraybuffer";
+  let pending = new Uint8Array(0);
+  ws.onmessage = (ev) => {
+    // records can split/coalesce across ws frames; reassemble
+    const merged = new Uint8Array(pending.length + ev.data.byteLength);
+    merged.set(pending);
+    merged.set(new Uint8Array(ev.data), pending.length);
+    let off = 0;
+    while (merged.length - off >= REC_SIZE) {
+      const dv = new DataView(merged.buffer, off, REC_SIZE);
+      const va = dv.getUint8(4) === 1;
+      drawColumn(merged.subarray(off + 13, off + 13 + N_MELS), va);
+      frames++;
+      off += REC_SIZE;
+    }
+    pending = merged.slice(off);
+    status.textContent = `streaming — ${frames} mel frames`;
+  };
+  ws.onopen = () => { status.textContent = "streaming"; };
+  ws.onclose = () => { status.textContent = `closed after ${frames} frames`; };
+
+  node.port.onmessage = (ev) => {
+    if (ws.readyState === WebSocket.OPEN) ws.send(ev.data.buffer);
+  };
+
+  document.getElementById("start").disabled = true;
+  document.getElementById("stop").disabled = false;
+}
+
+function stop() {
+  if (ws) ws.close();
+  if (audioCtx) audioCtx.close();
+  if (stream) stream.getTracks().forEach((t) => t.stop());
+  document.getElementById("start").disabled = false;
+  document.getElementById("stop").disabled = true;
+}
+
+document.getElementById("start").onclick = () =>
+  start().catch((e) => { status.textContent = `error: ${e.message}`; });
+document.getElementById("stop").onclick = stop;

@@ -1,0 +1,260 @@
+"""Browser front-end for the streaming mel/VAD service.
+
+The reference's browser demo runs the DSP *in* the page: AudioWorklet mic
+capture -> SharedArrayBuffer ring -> WASM ``SpeechToMel`` worker -> canvas
+waterfall (``/root/reference/examples/browser/worklet.js:20-27``,
+``worker.js:42-61``, ``app.js:102-186``). The TPU-native shape inverts
+that: the page only captures PCM and draws; compute lives in the batched
+``StreamServer`` (``examples/serve_streams.py`` — one device dispatch
+advances every connected stream). This module is the missing bridge:
+
+    mic -> AudioWorklet -> WebSocket (binary f32le PCM)
+        -> [this bridge] -> StreamServer TCP slot
+        -> wire records back -> WebSocket -> canvas waterfall + VAD dot
+
+It is a dependency-free stdlib implementation: a tiny HTTP static server
+(COOP/COEP headers like the reference's ``server.js:5-10``) plus an
+RFC 6455 WebSocket endpoint at ``/ws``. Each WebSocket client gets its own
+TCP connection to the StreamServer; mel records stream back verbatim
+(``<u32 frame_idx | u8 va | f32 min | f32 max | u8[n_mels]>`` — the
+browser-worker mel-ring record shape, ``worker.js:52-58``).
+
+Usage:
+    python examples/browser/server.py          # http://localhost:8137/
+    python examples/browser/server.py --port 8137 --no-browser-open
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import hashlib
+import socket
+import struct
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+_STATIC = Path(__file__).resolve().parent
+_MIME = {".html": "text/html", ".js": "text/javascript",
+         ".css": "text/css", ".png": "image/png"}
+
+
+def ws_accept_key(key: str) -> str:
+    digest = hashlib.sha1((key + _WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def ws_encode_frame(payload: bytes, opcode: int = 0x2,
+                    mask: bool = False) -> bytes:
+    """Encode one WebSocket frame (FIN set). Servers send unmasked;
+    clients (the test's synthetic mic) must mask (RFC 6455 §5.3)."""
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    mbit = 0x80 if mask else 0
+    if n < 126:
+        head += bytes([mbit | n])
+    elif n < 1 << 16:
+        head += bytes([mbit | 126]) + struct.pack(">H", n)
+    else:
+        head += bytes([mbit | 127]) + struct.pack(">Q", n)
+    if mask:
+        mk = b"\x00\x01\x02\x03"  # deterministic mask is RFC-legal
+        head += mk
+        payload = bytes(b ^ mk[i % 4] for i, b in enumerate(payload))
+    return head + payload
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("websocket peer closed")
+        buf += chunk
+    return buf
+
+
+def ws_read_frame(sock: socket.socket):
+    """Read one frame -> (opcode, payload). Raises on close/EOF."""
+    b0, b1 = _read_exact(sock, 2)
+    opcode = b0 & 0x0F
+    masked = b1 & 0x80
+    n = b1 & 0x7F
+    if n == 126:
+        (n,) = struct.unpack(">H", _read_exact(sock, 2))
+    elif n == 127:
+        (n,) = struct.unpack(">Q", _read_exact(sock, 8))
+    mk = _read_exact(sock, 4) if masked else None
+    payload = _read_exact(sock, n)
+    if mk:
+        payload = bytes(b ^ mk[i % 4] for i, b in enumerate(payload))
+    return opcode, payload
+
+
+class BrowserBridge:
+    """HTTP static server + ``/ws`` WebSocket endpoint bridging to a
+    ``StreamServer``. One WebSocket client == one stream slot."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 stream_server=None, n_streams: int = 16):
+        if stream_server is None:
+            from examples.serve_streams import StreamServer
+
+            stream_server = StreamServer(host=host, n_streams=n_streams)
+            stream_server.start()
+            self._owned = stream_server
+        else:
+            self._owned = None
+        self.streams = stream_server
+        bridge = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self) -> None:
+                if self.path == "/ws":
+                    bridge._serve_ws(self)
+                    return
+                name = self.path.lstrip("/") or "index.html"
+                target = (_STATIC / name).resolve()
+                if not str(target).startswith(str(_STATIC)) \
+                        or not target.is_file():
+                    self.send_error(404)
+                    return
+                body = target.read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 _MIME.get(target.suffix,
+                                           "application/octet-stream"))
+                self.send_header("Content-Length", str(len(body)))
+                # same isolation headers as the reference's server.js —
+                # harmless here (no SAB) and lets the page be compared
+                # side by side with the reference's
+                self.send_header("Cross-Origin-Opener-Policy",
+                                 "same-origin")
+                self.send_header("Cross-Origin-Embedder-Policy",
+                                 "require-corp")
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+
+    def start(self) -> "BrowserBridge":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._owned is not None:
+            self._owned.stop()
+
+    # ---------------- websocket side ----------------
+
+    def _serve_ws(self, handler: BaseHTTPRequestHandler) -> None:
+        key = handler.headers.get("Sec-WebSocket-Key")
+        if handler.headers.get("Upgrade", "").lower() != "websocket" \
+                or not key:
+            handler.send_error(400, "not a websocket upgrade")
+            return
+        sock = handler.connection
+        sock.sendall(
+            b"HTTP/1.1 101 Switching Protocols\r\n"
+            b"Upgrade: websocket\r\n"
+            b"Connection: Upgrade\r\n"
+            b"Sec-WebSocket-Accept: " + ws_accept_key(key).encode()
+            + b"\r\n\r\n"
+        )
+        handler.close_connection = True
+
+        # one TCP slot in the stream server per websocket client
+        tcp = socket.create_connection(("127.0.0.1", self.streams.port))
+        send_lock = threading.Lock()
+        done = threading.Event()
+
+        def tcp_to_ws() -> None:
+            """Forward complete wire records back as binary ws frames."""
+            from examples.serve_streams import HEADER
+
+            n_mels = self.streams.config.n_mels
+            rec = HEADER.size + n_mels
+            buf = b""
+            try:
+                while not done.is_set():
+                    data = tcp.recv(65536)
+                    if not data:
+                        break
+                    buf += data
+                    while len(buf) >= rec:
+                        with send_lock:
+                            sock.sendall(ws_encode_frame(buf[:rec]))
+                        buf = buf[rec:]
+            except OSError:
+                pass
+            try:
+                with send_lock:
+                    sock.sendall(ws_encode_frame(b"", opcode=0x8))
+            except OSError:
+                pass
+            done.set()
+
+        reply = threading.Thread(target=tcp_to_ws, daemon=True)
+        reply.start()
+        try:
+            while True:
+                opcode, payload = ws_read_frame(sock)
+                if opcode == 0x8:  # close
+                    break
+                if opcode == 0x9:  # ping
+                    with send_lock:
+                        sock.sendall(ws_encode_frame(payload, opcode=0xA))
+                    continue
+                if opcode == 0x2 and payload:  # binary PCM
+                    tcp.sendall(payload)
+        except (ConnectionError, OSError):
+            pass
+        # half-close signals EOF to the stream server, which then drains
+        # the slot and closes the TCP side — letting tcp_to_ws flush the
+        # remaining records before the ws close frame
+        try:
+            tcp.shutdown(socket.SHUT_WR)
+        except OSError:
+            pass
+        reply.join(timeout=30)
+        done.set()
+        try:
+            tcp.close()
+        except OSError:
+            pass
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8137)
+    ap.add_argument("--n-streams", type=int, default=16)
+    args = ap.parse_args()
+
+    bridge = BrowserBridge(args.host, args.port,
+                           n_streams=args.n_streams).start()
+    print(f"serving http://{args.host}:{bridge.port}/ "
+          f"(mel stream server on tcp:{bridge.streams.port})")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        bridge.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -153,6 +153,7 @@ class BatchLogMel:
                 x2, self._sig_m_big, self._sig_mt,
                 interpret=jax.default_backend() not in ("tpu", "gpu"),
                 ks=3, pair_i=self._sig_pair_i, n_frames=valid,
+                pack=cfg.n_fft,
                 out_mode="ln_guard", guard=float(cfg.log_zero_guard),
                 n_mels_out=cfg.n_mels, row_w=row_w, phases=phases,
                 rows_tile=rows_tile,

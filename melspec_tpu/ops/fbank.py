@@ -134,7 +134,7 @@ class Fbank:
             cw[:L, : self.fft_bins] = B.T @ (w * cos_m[:L])
             sw[:L, : self.fft_bins] = B.T @ (w * msin_m[:L])
             self._sig_m_big, self._sig_pair_i = _sig_stack_planes(
-                cw, sw, ks=3, km=3, cutoff=2
+                cw, sw, ks=3, km=3, cutoff=2, pack=L
             )
             mt = np.zeros((n_bins_pad, n_mels_pad))
             mt[: self.fft_bins, : config.num_mel_bins] = filters.T
@@ -171,6 +171,7 @@ class Fbank:
                 x2, self._sig_m_big, self._sig_mt,
                 interpret=jax.default_backend() not in ("tpu", "gpu"),
                 ks=3, pair_i=self._sig_pair_i, n_frames=nf,
+                pack=self.frame_len,
                 out_mode="ln_floor", guard=float(floor),
                 n_mels_out=cfg.num_mel_bins, row_w=row_w, phases=phases,
                 rows_tile=rows_tile,

@@ -1,0 +1,279 @@
+"""Multi-head signal-input kernel: one spectral pass, several frontends.
+
+The reference computes each frontend independently — whisper mel
+(``src/mel.rs``), Kaldi fbank (``src/fbank.rs``) — re-reading the signal
+and re-framing per frontend. On TPU the expensive shared work for
+frontends on the SAME frame grid (frame k at ``k*hop``, same frame
+length) is identical: the HBM signal read, the macro-row window DMA, the
+lane-roll frame assembly, and the bf16 slice cascade. This kernel does
+that work ONCE and N-concatenates the per-frontend window-folded spectral
+matrices into one wide MXU matmul::
+
+    xcat [frames, n_pairs*k_pad] @ [m_head0 | m_head1 | ...]
+
+then splits the result into per-head power -> projection -> output stages
+(whisper norm / ln_guard / ln_floor), everything tile-resident in VMEM.
+Each head may carry a different FFT size (bin count) — only the frame
+GRID must match; e.g. Kaldi's 512-point FFT over 400-sample frames rides
+alongside whisper's 400-point FFT because both matrices have 400 real
+contraction rows. Head 0 can additionally run the fused Sobel VAD
+epilogue.
+
+This is the engine behind the configurable composite frontend step
+(``parallel/sharding.sharded_frontend_step``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from melspec_tpu.ops.mel_kernel import (
+    LANES,
+    _sig_host_prep,
+    _sig_natural_order,
+    _sig_out_vals,
+    _sig_project,
+    _sig_vad_counts,
+    _sig_window_frames,
+    _sig_xcat,
+    sig_geometry,
+)
+
+# head spec: (n_bins_pad, n_mels_out, out_mode, guard, mel_precision)
+HeadSpec = Tuple[int, int, str, float, str]
+
+
+def _sig_multi_tile_kernel(sig_ref, tailpad_ref, m_cat_ref, *refs,
+                           ks: int, pair_i, k_pad: int, pack: int,
+                           offset: int,
+                           tail_rows: int, row_w: int, phases: int,
+                           rows_tile: int, heads: Tuple[HeadSpec, ...],
+                           vad: tuple | None):
+    n_heads = len(heads)
+    mt_refs = refs[:n_heads]
+    out_refs = refs[n_heads : 2 * n_heads]
+    rest = refs[2 * n_heads :]
+    if vad is not None:
+        vad_ref, rest = rest[0], rest[1:]
+    s_scratch, dma_sems, tail_sems = rest
+
+    frames = _sig_window_frames(
+        sig_ref, tailpad_ref, s_scratch, dma_sems, tail_sems,
+        rows=rows_tile, tail_rows=tail_rows, row_w=row_w, phases=phases,
+        k_pad=k_pad, offset=offset,
+    )
+    xcat = _sig_xcat(frames, ks, pair_i, pack, m_cat_ref.shape[0])
+    y = jnp.dot(xcat, m_cat_ref[:], preferred_element_type=jnp.float32)
+
+    col = 0
+    for h, (nbp, n_mels_out, out_mode, guard, mel_prec) in enumerate(heads):
+        re = y[:, col : col + nbp]
+        im = y[:, col + nbp : col + 2 * nbp]
+        col += 2 * nbp
+        prec = "bf2" if mel_prec == "bf2" else jax.lax.Precision.HIGHEST
+        energy = _sig_project(re * re + im * im, mt_refs[h], prec)
+        vals = _sig_natural_order(_sig_out_vals(energy, out_mode, guard),
+                                  phases, rows_tile)
+        out_refs[h][0] = vals[:, : out_refs[h].shape[-1]]
+        if vad is not None and h == 0:
+            vad_ref[0] = _sig_vad_counts(vals, vad, n_mels_out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
+                     "row_w", "phases", "rows_tile", "heads", "vad",
+                     "pack"),
+)
+def _pallas_sig_multi(
+    samples: jnp.ndarray,  # [B, T] float32 raw signal
+    m_cat, *mts,
+    interpret: bool,
+    ks: int,
+    pair_i: tuple,
+    n_frames: int,
+    offset: int = 0,
+    row_w: int,
+    phases: int,
+    rows_tile: int,
+    heads: Tuple[HeadSpec, ...],
+    vad: tuple | None = None,
+    pack: int,
+):
+    """Run the multi-head kernel. Returns one ``[B, n_frames, n_mels]``
+    array per head (plus the ``[B, n_frames]`` int32 VAD counts when
+    ``vad`` is set), each written directly in its final layout."""
+    b, t = samples.shape
+    k_pad = -(-pack // LANES) * LANES
+    frames_tile = phases * rows_tile
+    tiles = -(-n_frames // frames_tile)
+    sig, tailpad, tail_rows = _sig_host_prep(samples, tiles, row_w,
+                                             rows_tile)
+
+    kernel = functools.partial(
+        _sig_multi_tile_kernel, ks=ks, pair_i=pair_i, k_pad=k_pad,
+        pack=pack,
+        offset=offset, tail_rows=tail_rows, row_w=row_w, phases=phases,
+        rows_tile=rows_tile, heads=heads, vad=vad,
+    )
+    out_specs = [
+        pl.BlockSpec((1, frames_tile, h[1]), lambda bb, tt: (bb, tt, 0),
+                     memory_space=pltpu.VMEM)
+        for h in heads
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, n_frames, h[1]), jnp.float32)
+                 for h in heads]
+    if vad is not None:
+        out_specs.append(pl.BlockSpec((1, 8, frames_tile),
+                                      lambda bb, tt: (bb, 0, tt),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, 8, n_frames),
+                                              jnp.int32))
+
+    total_cols = m_cat.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),    # macro-row signal
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ragged tail rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # m_cat
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mts),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_tile + 8, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * tiles * frames_tile * m_cat.shape[0] * total_cols,
+            bytes_accessed=(b * (rows_tile * tiles + 8) * row_w
+                            + sum(b * n_frames * h[1] for h in heads)) * 4,
+            transcendentals=sum(b * n_frames * h[1] for h in heads),
+        ),
+        interpret=interpret,
+    )(sig, tailpad, m_cat, *mts)
+
+
+class WhisperKaldiFused:
+    """Whisper log-mel + Kaldi log-fbank (+ fused Sobel VAD) over one
+    shared spectral pass.
+
+    Requires the two frontends to share a frame grid: whisper's
+    ``(fft_size, hop_size)`` must equal Kaldi's
+    ``(frame_length_samples, frame_shift_samples)`` — true for both
+    defaults (400/160 at 16 kHz). Kaldi's padded 512-point FFT is fine:
+    its head simply carries more bins.
+
+    ``compute(samples)`` -> ``(mel [B, F, n_mels], fbank [B, F, bins])``;
+    ``compute_with_vad(samples, settings)`` additionally returns the raw
+    Sobel column-activity ``[B, F-2]`` bool (reference
+    ``src/vad.rs:373-415`` classification of the whisper image).
+    """
+
+    def __init__(self, mel_config=None, fbank_config=None,
+                 interpret: bool | None = None):
+        from melspec_tpu.config import FbankConfig, MelConfig
+        from melspec_tpu.ops.fbank import F32_EPSILON, Fbank
+        from melspec_tpu.ops.mel_kernel import _sig_device_matrices
+
+        self.mel_config = mel_config or MelConfig()
+        self.fbank_config = fbank_config or FbankConfig(apply_cmn=True)
+        mc, kc = self.mel_config, self.fbank_config
+        if (mc.fft_size != kc.frame_length_samples
+                or mc.hop_size != kc.frame_shift_samples):
+            raise ValueError(
+                "fused whisper+kaldi needs one frame grid: whisper "
+                f"({mc.fft_size}, {mc.hop_size}) vs kaldi "
+                f"({kc.frame_length_samples}, {kc.frame_shift_samples})"
+            )
+        geom = sig_geometry(mc.fft_size, mc.hop_size)
+        if geom is None:
+            raise ValueError("no macro-row geometry for this frame grid")
+        self._geom = geom
+        self._interpret = interpret
+
+        m_w, pair_i, _mt_hi, mt_w, nbp_w, _, k_pad_w = \
+            _sig_device_matrices(mc.fft_size, mc.n_mels,
+                                 float(mc.sampling_rate), 3, 3, 2)
+        kaldi = Fbank(kc, fft_impl="sig")
+        self._kaldi = kaldi
+        m_k, pair_k = kaldi._sig_m_big, kaldi._sig_pair_i
+        assert pair_k == pair_i, "pair schedules must match to share xcat"
+        # both stacks are K-packed at the shared frame length, so the row
+        # layouts coincide block-for-block
+        assert m_k.shape[0] == m_w.shape[0], \
+            "shared frame grid implies identical packed K"
+        nbp_k = m_k.shape[1] // 2
+        self._m_cat = jnp.concatenate([m_w, m_k], axis=1)
+        self._mts = (mt_w, kaldi._sig_mt)
+        floor = (kc.energy_floor if kc.energy_floor > 0.0 else F32_EPSILON)
+        self._heads = (
+            (nbp_w, mc.n_mels, "whisper", 0.0, "bf2"),
+            (nbp_k, kc.num_mel_bins, "ln_floor", float(floor), "hi"),
+        )
+        self._pair_i = pair_i
+
+    def _interp(self) -> bool:
+        if self._interpret is not None:
+            return self._interpret
+        return jax.default_backend() not in ("tpu", "gpu")
+
+    def _run(self, samples, vad):
+        from melspec_tpu.ops import framing
+
+        x = jnp.asarray(samples, jnp.float32)
+        if x.ndim == 1:
+            x = x[None]
+        mc = self.mel_config
+        n_frames = framing.num_frames_batch(x.shape[-1], mc.fft_size,
+                                            mc.hop_size)
+        row_w, phases, rows_tile = self._geom
+        outs = _pallas_sig_multi(
+            x, self._m_cat, *self._mts, interpret=self._interp(), ks=3,
+            pair_i=self._pair_i, n_frames=n_frames, row_w=row_w,
+            phases=phases, rows_tile=rows_tile, heads=self._heads,
+            vad=vad, pack=mc.fft_size,
+        )
+        return outs, n_frames, phases * rows_tile
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def compute(self, samples):
+        (mel, fbank), _, _ = self._run(samples, None)
+        if self.fbank_config.apply_cmn:
+            fbank = fbank - jnp.mean(fbank, axis=-2, keepdims=True)
+        return mel, fbank
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def compute_with_vad(self, samples, settings):
+        from melspec_tpu.ops.vad import classify_columns
+
+        thr = float(settings.min_energy) ** 2
+        start_y = min(int(settings.min_mel), self.mel_config.n_mels - 2)
+        (mel, fbank, counts), n_frames, frames_tile = self._run(
+            samples, (thr, start_y, int(settings.min_y))
+        )
+        raw = counts[:, 0, : n_frames - 2] >= int(settings.min_y)
+        tiles = -(-n_frames // frames_tile)
+        bidx = tuple(
+            xcol
+            for k in range(1, tiles)
+            for xcol in (k * frames_tile - 2, k * frames_tile - 1)
+            if xcol < n_frames - 2
+        )
+        if bidx:
+            tri = jnp.stack([mel[:, x : x + 3, :] for x in bidx], axis=1)
+            fix = classify_columns(jnp.swapaxes(tri, -1, -2),
+                                   settings)[..., 0]
+            raw = raw.at[:, jnp.asarray(bidx)].set(fix)
+        if self.fbank_config.apply_cmn:
+            fbank = fbank - jnp.mean(fbank, axis=-2, keepdims=True)
+        return mel, fbank, raw

@@ -229,7 +229,8 @@ def streaming_decision_fields(
 
 
 def streaming_decision_fields_batched(
-    mels: jnp.ndarray, settings: DetectionSettings
+    mels: Optional[jnp.ndarray], settings: DetectionSettings,
+    raw: Optional[jnp.ndarray] = None,
 ) -> dict:
     """Fully on-device, jittable batched decision fields.
 
@@ -238,14 +239,22 @@ def streaming_decision_fields_batched(
     ``streaming_decision_fields`` — the serving-shaped form: jit it, shard
     the batch axis, or embed it in a larger step. Requires
     ``T >= min_x`` and ``min_x >= 3``.
+
+    Pass ``raw`` (``[B, T-2]`` bool, e.g. from the fused kernel's Sobel
+    epilogue ``mel_kernel.whisper_mel_vad_sig``) to skip the
+    ``classify_columns`` pass; ``mels`` may then be None.
     """
-    height, total = mels.shape[-2], mels.shape[-1]
+    if raw is not None:
+        height, total = 3, raw.shape[-1] + 2  # height only gates the guard
+    else:
+        height, total = mels.shape[-2], mels.shape[-1]
     min_x = settings.min_x
     win_cols = min_x - 2
     if total < min_x or height < 3 or win_cols < 1:
         raise ValueError("need T >= min_x >= 3 and n_mels >= 3")
 
-    raw = classify_columns(mels, settings)  # [B, T-2]
+    if raw is None:
+        raw = classify_columns(mels, settings)  # [B, T-2]
     n_dec = total - min_x + 1
     windows = jnp.stack(
         [raw[..., j : j + n_dec] for j in range(win_cols)], axis=-1

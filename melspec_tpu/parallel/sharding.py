@@ -101,6 +101,9 @@ def sharded_frontend_step(
     mesh: Mesh,
     settings: DetectionSettings = DetectionSettings(),
     axis: str = "batch",
+    mel_config=None,
+    nemo_config=None,
+    fbank_config=None,
 ) -> Callable:
     """The full frontend as one SPMD step over the mesh.
 
@@ -110,22 +113,51 @@ def sharded_frontend_step(
     and total-column count — the fleet-level aggregate a serving deployment
     reports.
 
+    All three frontend configs are parameters (``MelConfig``,
+    ``BatchLogMelConfig``, ``FbankConfig``; defaults match the reference
+    defaults). When whisper and Kaldi share a frame grid — true at the
+    defaults — their spectral passes FUSE into one multi-head kernel with
+    the Sobel VAD as its epilogue (``ops/sig_multihead.py``); any other
+    config combination falls back to per-frontend pipelines, so a 128-mel
+    or 8 kHz deployment works too, just without the fusion.
+
     Returns a fn ``(samples [B, T], valid [B] bool = all) -> dict`` with
     ``B`` divisible by the mesh size; rows with ``valid == False``
     (padding appended so every host presents the same local batch) are
     excluded from the psum'd VAD aggregates.
     """
-    whisper = WhisperMelPipeline(400, 160, 80, 16000.0)
-    nemo = BatchLogMel(BatchLogMelConfig())
-    kaldi = Fbank(FbankConfig(apply_cmn=True))
+    from melspec_tpu.config import MelConfig
+
+    mel_config = mel_config or MelConfig()
+    nemo_config = nemo_config or BatchLogMelConfig()
+    fbank_config = fbank_config or FbankConfig(apply_cmn=True)
+    nemo = BatchLogMel(nemo_config)
+    fused = None
+    try:
+        from melspec_tpu.ops.sig_multihead import WhisperKaldiFused
+
+        fused = WhisperKaldiFused(mel_config, fbank_config)
+    except ValueError:
+        pass
+    if fused is None:
+        whisper = WhisperMelPipeline(
+            mel_config.fft_size, mel_config.hop_size, mel_config.n_mels,
+            float(mel_config.sampling_rate),
+        )
+        kaldi = Fbank(fbank_config)
 
     def local_step(samples: jnp.ndarray, valid: jnp.ndarray):
-        mel = whisper._mel_batch_jit(samples)          # [b, F, 80]
-        nemo_feats = nemo._compute_jit(samples)        # [b, 80, F']
-        fbank_feats = kaldi._compute_jit(samples)      # [b, F'', 80]
-
-        img = jnp.swapaxes(mel, -1, -2)                # [b, 80, F]
-        raw = classify_columns(img, settings)          # [b, F-2]
+        if fused is not None:
+            # one spectral pass for whisper + kaldi, Sobel VAD fused as
+            # the kernel's epilogue
+            mel, fbank_feats, raw = fused.compute_with_vad(samples,
+                                                           settings)
+        else:
+            mel = whisper._mel_batch_jit(samples)      # [b, F, n_mels]
+            fbank_feats = kaldi._compute_jit(samples)  # [b, F'', bins]
+            img = jnp.swapaxes(mel, -1, -2)            # [b, n_mels, F]
+            raw = classify_columns(img, settings)      # [b, F-2]
+        nemo_feats = nemo._compute_jit(samples)        # [b, bins, F']
         smoothed = smooth_mask(raw, 4)
 
         active = jnp.sum(smoothed & valid[:, None], dtype=jnp.int32)

@@ -42,8 +42,8 @@ class MultiStreamMel:
 
     def __init__(self, config: MelConfig = MelConfig(), n_streams: int = 64,
                  dtype=jnp.float32, fft_impl: str = "rdft"):
-        if fft_impl not in ("rdft", "bf3"):
-            raise ValueError("fft_impl must be 'rdft' or 'bf3'")
+        if fft_impl not in ("rdft", "bf3", "sig"):
+            raise ValueError("fft_impl must be 'rdft', 'bf3' or 'sig'")
         self.config = config
         self.n_streams = n_streams
         self.dtype = dtype
@@ -64,6 +64,27 @@ class MultiStreamMel:
         cos_m, msin_m = dft.rdft_matrices(fft, half)
         self.cos_m = jnp.asarray(cos_m, dtype=dtype)
         self.msin_m = jnp.asarray(msin_m, dtype=dtype)
+        if fft_impl == "sig":
+            # bulk pushes route through the fused signal-input kernel:
+            # overlap-and-save framing happens IN the kernel (offset=hop
+            # over concat(hop_buf, chunks)), bf2 mel numerics
+            from melspec_tpu.ops.mel_kernel import (_sig_device_matrices,
+                                                    sig_geometry)
+
+            if jnp.dtype(dtype) != jnp.float32:
+                raise ValueError("fft_impl='sig' is float32-only")
+            geom = sig_geometry(fft, config.hop_size, offset=config.hop_size)
+            if geom is None:
+                raise ValueError(
+                    "no macro-row geometry for this (fft, hop) — use "
+                    "fft_impl='rdft' or 'bf3'"
+                )
+            self._sig_geom = geom
+            m_big, pair_i, _, mt_bf2, _, _, _ = _sig_device_matrices(
+                fft, n_mels, float(config.sampling_rate), 3, 3, 2
+            )
+            self._sig_m_big, self._sig_pair_i = m_big, pair_i
+            self._sig_mt = mt_bf2
 
     def _power(self, frames: jnp.ndarray) -> jnp.ndarray:
         """``|rfft|^2`` of RAW (unwindowed) frames ``[..., fft]`` over the
@@ -137,13 +158,25 @@ class MultiStreamMel:
             [state.hop_buf, chunks.reshape(s, h * hop).astype(self.dtype)],
             axis=1,
         )
-        frames = _framing.frame_signal(signal, fft, hop, h, offset=hop)
-        from melspec_tpu.ops.spectrogram import (log_mel_from_power,
-                                                 whisper_norm)
+        if self.fft_impl == "sig":
+            from melspec_tpu.ops.mel_kernel import _pallas_sig_mel
 
-        log_mel = log_mel_from_power(self._power(frames), self.filters_t,
-                                     self.dtype)
-        mels = whisper_norm(log_mel, axis=-1)
+            row_w, phases, rows_tile = self._sig_geom
+            mels = _pallas_sig_mel(
+                signal.astype(jnp.float32), self._sig_m_big, self._sig_mt,
+                interpret=jax.default_backend() not in ("tpu", "gpu"),
+                ks=3, pair_i=self._sig_pair_i, n_frames=h, offset=hop,
+                mel_precision="bf2", n_mels_out=self.config.n_mels,
+                row_w=row_w, phases=phases, rows_tile=rows_tile, pack=fft,
+            ).astype(self.dtype)
+        else:
+            from melspec_tpu.ops.spectrogram import (log_mel_from_power,
+                                                     whisper_norm)
+
+            frames = _framing.frame_signal(signal, fft, hop, h, offset=hop)
+            log_mel = log_mel_from_power(self._power(frames),
+                                         self.filters_t, self.dtype)
+            mels = whisper_norm(log_mel, axis=-1)
 
         hops = (jnp.arange(1, h + 1) * hop).astype(state.idx.dtype)
         valid = active[:, None] & ((state.idx[:, None] + hops[None, :])

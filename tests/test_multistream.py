@@ -137,3 +137,30 @@ def test_bf3_mode_bulk_matches_scan_and_reference(jfk_samples):
     sr, mels_r, valid_r = ref.push_many(sr, chunks)
     np.testing.assert_array_equal(valid_b, valid_r)
     np.testing.assert_allclose(mels_b[valid_b], mels_r[valid_r], atol=1e-5)
+
+
+def test_bulk_sig_matches_bulk_rdft():
+    """fft_impl='sig' bulk path (fused kernel, in-kernel overlap-and-save
+    framing, bf2 mel) vs the rdft bulk path: same emission semantics,
+    values within the slice-scheme error class."""
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.streaming.multistream import MultiStreamMel
+
+    cfg = MelConfig(400, 160, 80, 16000.0)
+    rng = np.random.default_rng(0)
+    chunks = (rng.normal(size=(4, 23, 160)) * 0.3).astype(np.float32)
+    active = np.array([True, True, False, True])
+
+    ref = MultiStreamMel(cfg, 4, fft_impl="rdft")
+    sig = MultiStreamMel(cfg, 4, fft_impl="sig")
+    st_r, mel_r, val_r = ref.push_many(ref.init(), chunks, active)
+    st_s, mel_s, val_s = sig.push_many(sig.init(), chunks, active)
+
+    np.testing.assert_array_equal(val_r, val_s)
+    np.testing.assert_allclose(np.asarray(st_s.hop_buf),
+                               np.asarray(st_r.hop_buf), atol=0)
+    np.testing.assert_array_equal(np.asarray(st_s.idx),
+                                  np.asarray(st_r.idx))
+    # compare only emitted (valid) frames; bf2-vs-HIGHEST mel error class
+    d = np.abs(mel_r - mel_s)[val_r]
+    assert d.max() < 3e-5

