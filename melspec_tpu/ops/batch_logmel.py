@@ -96,15 +96,22 @@ class BatchLogMel:
         self._window_np = hann_centered(config.n_fft, config.win_length)
         self.window = jnp.asarray(self._window_np, dtype=dtype)
         if fft_impl == "sig":
-            from melspec_tpu.ops.mel_kernel import _sig_frontend_matrices
+            from melspec_tpu.ops.mel_kernel import (_sig_frontend_matrices,
+                                                    bf2_stack)
 
+            # centered frames are zero outside the win_length window, so
+            # the K blocks pack to just that interior (512 -> 400 rows at
+            # the whisper-NeMo defaults: 20% fewer MXU passes, exact)
+            self._sig_pack = config.win_length
+            self._sig_pack_off = (config.n_fft - config.win_length) // 2
             m_big, pair_i, mt, _, _, _ = _sig_frontend_matrices(
                 config.n_fft, self.fft_bins, self._window_np, filters,
                 ks=3, km=3, cutoff=2,
+                pack=self._sig_pack, pack_off=self._sig_pack_off,
             )
             self._sig_m_big = m_big
             self._sig_pair_i = pair_i
-            self._sig_mt = jnp.asarray(mt, jnp.float32)
+            self._sig_mt = bf2_stack(mt)
 
     @property
     def filters(self) -> np.ndarray:
@@ -153,7 +160,8 @@ class BatchLogMel:
                 x2, self._sig_m_big, self._sig_mt,
                 interpret=jax.default_backend() not in ("tpu", "gpu"),
                 ks=3, pair_i=self._sig_pair_i, n_frames=valid,
-                pack=cfg.n_fft,
+                pack=self._sig_pack, pack_off=self._sig_pack_off,
+                mel_precision="bf2",
                 out_mode="ln_guard", guard=float(cfg.log_zero_guard),
                 n_mels_out=cfg.n_mels, row_w=row_w, phases=phases,
                 rows_tile=rows_tile,

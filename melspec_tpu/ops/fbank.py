@@ -138,7 +138,9 @@ class Fbank:
             )
             mt = np.zeros((n_bins_pad, n_mels_pad))
             mt[: self.fft_bins, : config.num_mel_bins] = filters.T
-            self._sig_mt = jnp.asarray(mt, jnp.float32)
+            from melspec_tpu.ops.mel_kernel import bf2_stack
+
+            self._sig_mt = bf2_stack(mt)
 
     @property
     def dense_filterbank(self) -> np.ndarray:
@@ -171,7 +173,7 @@ class Fbank:
                 x2, self._sig_m_big, self._sig_mt,
                 interpret=jax.default_backend() not in ("tpu", "gpu"),
                 ks=3, pair_i=self._sig_pair_i, n_frames=nf,
-                pack=self.frame_len,
+                pack=self.frame_len, mel_precision="bf2",
                 out_mode="ln_floor", guard=float(floor),
                 n_mels_out=cfg.num_mel_bins, row_w=row_w, phases=phases,
                 rows_tile=rows_tile,

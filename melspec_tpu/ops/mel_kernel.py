@@ -549,7 +549,8 @@ def sig_geometry(fft_size: int, hop_size: int, offset: int = 0):
 
 def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
                            filters: np.ndarray, ks: int, km: int,
-                           cutoff: int):
+                           cutoff: int, pack: int | None = None,
+                           pack_off: int = 0):
     """General builder for the signal-input kernel's device matrices:
     K-stacked bf16 plane matrix ``[n_pairs*k_pad, 2*n_bins_pad]`` (re in
     cols [0, n_bins_pad), im in [n_bins_pad, 2*n_bins_pad)) with the
@@ -569,8 +570,10 @@ def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
     sw = np.zeros((k_pad, n_bins_pad))
     cw[:fft_size, :n_bins] = w * cos_m
     sw[:fft_size, :n_bins] = w * msin_m
-    m_big, pair_i = _sig_stack_planes(cw, sw, ks, km, cutoff,
-                                      pack=fft_size)
+    m_big, pair_i = _sig_stack_planes(
+        cw, sw, ks, km, cutoff,
+        pack=fft_size if pack is None else pack, pack_off=pack_off,
+    )
 
     mt = np.zeros((n_bins_pad, n_mels_pad))
     mt[:n_bins, :n_mels] = np.asarray(filters, np.float64)[:, :n_bins].T
@@ -578,7 +581,8 @@ def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
 
 
 def _sig_stack_planes(cw: np.ndarray, sw: np.ndarray, ks: int, km: int,
-                      cutoff: int, pack: int | None = None):
+                      cutoff: int, pack: int | None = None,
+                      pack_off: int = 0):
     """Slice the (already padded, [k_pad, n_bins_pad] float64) re/im
     spectral matrices into rounded-bf16 planes and K-stack the kept
     pairs; returns ``(m_big bf16 [K_tot, 2*n_bins_pad], pair_i)``.
@@ -593,6 +597,7 @@ def _sig_stack_planes(cw: np.ndarray, sw: np.ndarray, ks: int, km: int,
     6*512 = 3072 — measured 14% faster end-to-end: the MXU stops
     multiplying padding (VERDICT r2 item 2)."""
     k_rows = cw.shape[0] if pack is None else pack
+    k_lo = pack_off if pack is not None else 0
     cos_planes = _bf16_round_slices(cw, km)
     sin_planes = _bf16_round_slices(sw, km)
     pair_i = []  # signal-slice index per K block, i-major
@@ -601,8 +606,9 @@ def _sig_stack_planes(cw: np.ndarray, sw: np.ndarray, ks: int, km: int,
         for j in range(min(cutoff - i, km - 1) + 1):
             pair_i.append(i)
             blocks.append(np.concatenate(
-                [np.asarray(cos_planes[j], np.float32)[:k_rows],
-                 np.asarray(sin_planes[j], np.float32)[:k_rows]], axis=1
+                [np.asarray(cos_planes[j], np.float32)[k_lo:k_lo + k_rows],
+                 np.asarray(sin_planes[j], np.float32)[k_lo:k_lo + k_rows]],
+                axis=1,
             ))
     stack = np.concatenate(blocks, axis=0)
     k_tot = -(-stack.shape[0] // LANES) * LANES
@@ -610,6 +616,19 @@ def _sig_stack_planes(cw: np.ndarray, sw: np.ndarray, ks: int, km: int,
         stack = np.pad(stack, ((0, k_tot - stack.shape[0]), (0, 0)))
     m_big = jnp.asarray(stack, jnp.bfloat16)
     return m_big, tuple(pair_i)
+
+
+def bf2_stack(mt) -> jnp.ndarray:
+    """2-slice rounded-bf16 K-stack [F0; F1; F0] of a filter projection,
+    pairing with the kernel's power slices [p0 | p0 | p1] (see
+    ``_sig_project``'s bf2 mode)."""
+    f0, f1 = _bf16_round_slices(np.asarray(mt, np.float64), 2)
+    return jnp.asarray(
+        np.concatenate([np.asarray(f0, np.float32),
+                        np.asarray(f1, np.float32),
+                        np.asarray(f0, np.float32)], axis=0),
+        jnp.bfloat16,
+    )
 
 
 @functools.lru_cache(maxsize=8)
@@ -623,15 +642,7 @@ def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
     m_big, pair_i, mt, n_bins_pad, n_mels_pad, k_pad = \
         _sig_frontend_matrices(fft_size, half, hann_periodic(fft_size),
                                filters, ks, km, cutoff)
-    # bf2 variant: 2 rounded-bf16 filter slices K-stacked [F0; F1; F0] to
-    # pair with the power slices [p0 | p0 | p1]
-    f0, f1 = _bf16_round_slices(mt, 2)
-    mt_bf2 = jnp.asarray(
-        np.concatenate([np.asarray(f0, np.float32),
-                        np.asarray(f1, np.float32),
-                        np.asarray(f0, np.float32)], axis=0),
-        jnp.bfloat16,
-    )
+    mt_bf2 = bf2_stack(mt)
     return (m_big, pair_i, jnp.asarray(mt, jnp.float32), mt_bf2,
             n_bins_pad, n_mels_pad, k_pad)
 
@@ -747,7 +758,7 @@ def _sig_window_frames(sig_ref, tailpad_ref, s_scratch, dma_sems,
 
 
 def _sig_xcat(frames, ks: int, pair_i, pack: int,
-              k_tot: int) -> jnp.ndarray:
+              k_tot: int, pack_off: int = 0) -> jnp.ndarray:
     """bf3 signal slices, concatenated along K in pair order, each block
     packed to its ``pack`` real taps (matching ``_sig_stack_planes``) and
     the whole lane-padded to ``k_tot``. The misaligned-lane concat costs
@@ -759,7 +770,7 @@ def _sig_xcat(frames, ks: int, pair_i, pack: int,
         if i + 1 < ks:
             residual = residual - xs.astype(jnp.float32)
         x_slices.append(xs)
-    parts = [x_slices[i][:, :pack] for i in pair_i]
+    parts = [x_slices[i][:, pack_off : pack_off + pack] for i in pair_i]
     tail = k_tot - pack * len(pair_i)
     if tail:
         parts.append(jnp.zeros((frames.shape[0], tail), jnp.bfloat16))
@@ -865,7 +876,7 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, *refs,
                          rows_tile: int = _SIG_ROWS_PER_TILE,
                          out_mode: str = "whisper", guard: float = 0.0,
                          vad: tuple | None = None, n_mels_real: int = 0,
-                         pack: int = 0):
+                         pack: int = 0, pack_off: int = 0):
     if vad is not None:
         out_ref, vad_ref = refs[0], refs[1]
         s_scratch, dma_sems, tail_sems = refs[2:]
@@ -879,7 +890,7 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, *refs,
         k_pad=k_pad, offset=offset,
     )
     xcat = _sig_xcat(frames, ks, pair_i, pack or k_pad,
-                     m_big_ref.shape[0])
+                     m_big_ref.shape[0], pack_off)
     y = jnp.dot(xcat, m_big_ref[:], preferred_element_type=jnp.float32)
     re = y[:, :n_bins_pad]
     im = y[:, n_bins_pad : 2 * n_bins_pad]
@@ -940,7 +951,8 @@ def _sig_host_prep(samples: jnp.ndarray, tiles: int, row_w: int,
     jax.jit,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
                      "mel_precision", "n_mels_out", "out_mode", "guard",
-                     "row_w", "phases", "rows_tile", "vad", "pack"),
+                     "row_w", "phases", "rows_tile", "vad", "pack",
+                     "pack_off"),
 )
 def _pallas_sig_mel(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
@@ -960,6 +972,7 @@ def _pallas_sig_mel(
     rows_tile: int = _SIG_ROWS_PER_TILE,
     vad: tuple | None = None,
     pack: int = 0,
+    pack_off: int = 0,
 ) -> jnp.ndarray:
     """Whisper log-mel from the raw signal, framing fused into the kernel.
     Returns ``[B, n_frames, n_mels_out or n_mels_pad]`` in natural frame
@@ -974,7 +987,7 @@ def _pallas_sig_mel(
     n_mels_pad = mt.shape[1]
     # frame width in VMEM (lane-aligned); with a packed m_big the real
     # tap count rides `pack`, otherwise K blocks are k_pad tall
-    k_pad = (-(-pack // LANES) * LANES if pack
+    k_pad = (-(-(pack_off + pack) // LANES) * LANES if pack
              else m_big.shape[0] // len(pair_i))
     frames_tile = phases * rows_tile
     tiles = -(-n_frames // frames_tile)
@@ -988,7 +1001,7 @@ def _pallas_sig_mel(
         tail_rows=tail_rows,
         row_w=row_w, phases=phases, rows_tile=rows_tile,
         out_mode=out_mode, guard=guard,
-        vad=vad, n_mels_real=out_lanes, pack=pack,
+        vad=vad, n_mels_real=out_lanes, pack=pack, pack_off=pack_off,
     )
     # final layout directly: the time dim need not divide frames_tile
     # (pallas clips the last block's stores), the lane dim is the real

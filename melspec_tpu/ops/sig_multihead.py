@@ -218,9 +218,15 @@ class WhisperKaldiFused:
         floor = (kc.energy_floor if kc.energy_floor > 0.0 else F32_EPSILON)
         self._heads = (
             (nbp_w, mc.n_mels, "whisper", 0.0, "bf2"),
-            (nbp_k, kc.num_mel_bins, "ln_floor", float(floor), "hi"),
+            # kaldi's fbank gate is coarse (max < 0.0152 vs the kaldi
+            # golden); the ~1e-6 bf2 projection perturbation is free speed
+            (nbp_k, kc.num_mel_bins, "ln_floor", float(floor), "bf2"),
         )
         self._pair_i = pair_i
+        # measured-best tile for the wide two-head y (VMEM pressure):
+        # 64 rows x 4 phases
+        row_w, phases, rows_tile = self._geom
+        self._geom = (row_w, phases, min(rows_tile, 64))
 
     def _interp(self) -> bool:
         if self._interpret is not None:
