@@ -95,7 +95,10 @@ def test_sig_geometry_edges_compiled():
     from melspec_tpu.ops.mel_kernel import whisper_mel_sig
 
     rng = np.random.default_rng(3)
-    for n in (640 * 128, 640 * 129 + 7, 16000):
+    # two lengths: the padded/ragged-tail path and a short clip (each
+    # extra length is a fresh ~60 s remote compile inside the bench
+    # session, so the whole-macro-row case rides the JFK gates instead)
+    for n in (640 * 129 + 7, 16000):
         x = (rng.normal(size=n) * 0.3).astype(np.float32)
         got = np.asarray(whisper_mel_sig(x, 400, 160, 80, 16000.0))
         ref = _host_f64_whisper_mel(x)
