@@ -110,3 +110,43 @@ function stop() {
 document.getElementById("start").onclick = () =>
   start().catch((e) => { status.textContent = `error: ${e.message}`; });
 document.getElementById("stop").onclick = stop;
+
+// WAV-file path (the reference demo's wav_worker equivalent): decode via
+// WebAudio at 16 kHz, stream hop-sized PCM slices over the same socket,
+// pacing slightly faster than realtime so the waterfall animates.
+document.getElementById("wavfile").onchange = async (ev) => {
+  const file = ev.target.files[0];
+  if (!file) return;
+  const dec = new AudioContext({ sampleRate: SAMPLE_RATE });
+  const audio = await dec.decodeAudioData(await file.arrayBuffer());
+  const pcm = audio.getChannelData(0);
+  dec.close();
+
+  ws = new WebSocket(`ws://${location.host}/ws`);
+  ws.binaryType = "arraybuffer";
+  let pending = new Uint8Array(0);
+  frames = 0;
+  ws.onmessage = document.querySelector("#canvas") && ((e) => {
+    const merged = new Uint8Array(pending.length + e.data.byteLength);
+    merged.set(pending);
+    merged.set(new Uint8Array(e.data), pending.length);
+    let off = 0;
+    while (merged.length - off >= REC_SIZE) {
+      const dv = new DataView(merged.buffer, off, REC_SIZE);
+      drawColumn(merged.subarray(off + 13, off + 13 + N_MELS),
+                 dv.getUint8(4) === 1);
+      frames++;
+      off += REC_SIZE;
+    }
+    pending = merged.slice(off);
+    status.textContent = `file: ${frames} mel frames`;
+  });
+  ws.onopen = async () => {
+    const hop = 160 * 16; // ship 160 ms blocks
+    for (let off = 0; off < pcm.length; off += hop) {
+      ws.send(pcm.subarray(off, off + hop).slice(0).buffer);
+      await new Promise((r) => setTimeout(r, 100));
+    }
+    ws.close();
+  };
+};

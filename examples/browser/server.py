@@ -121,7 +121,10 @@ class BrowserBridge:
 
             def do_GET(self) -> None:
                 if self.path == "/ws":
-                    bridge._serve_ws(self)
+                    try:
+                        bridge._serve_ws(self)
+                    except OSError:
+                        pass  # peer vanished mid-upgrade; thread exits
                     return
                 name = self.path.lstrip("/") or "index.html"
                 target = (_STATIC / name).resolve()
@@ -212,6 +215,7 @@ class BrowserBridge:
         reply = threading.Thread(target=tcp_to_ws, daemon=True)
         reply.start()
         try:
+            in_binary = False
             while True:
                 opcode, payload = ws_read_frame(sock)
                 if opcode == 0x8:  # close
@@ -220,7 +224,14 @@ class BrowserBridge:
                     with send_lock:
                         sock.sendall(ws_encode_frame(payload, opcode=0xA))
                     continue
-                if opcode == 0x2 and payload:  # binary PCM
+                # 0x0 continues a fragmented message; the only stream a
+                # client sends here is binary PCM, so continuations of a
+                # binary message are PCM too
+                if opcode == 0x2:
+                    in_binary = True
+                elif opcode != 0x0:
+                    in_binary = False
+                if in_binary and payload:
                     tcp.sendall(payload)
         except (ConnectionError, OSError):
             pass

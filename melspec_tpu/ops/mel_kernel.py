@@ -731,13 +731,22 @@ def _sig_window_frames(sig_ref, tailpad_ref, s_scratch, dma_sems,
         dma_op(nb, nt, (slot + 1) % 2, start=True)
 
     dma_op(b, t, slot, start=False)
-    s = s_scratch[slot]  # [rows + 8, 640]
-    if tail_rows < full:
+    if tail_rows < full and fetched < full:
         # rows past the clip end were not fetched; zero them so stale or
         # uninitialized VMEM (possibly NaN) cannot reach the dot even in
-        # the zero-matrix-row positions (0 * NaN would poison real frames)
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (full, 1), 0)
-        s = jnp.where((t == n_t - 1) & (ridx >= fetched), 0.0, s)
+        # the zero-matrix-row positions (0 * NaN would poison real frames).
+        # Done as a predicated STORE into the scratch rather than a
+        # jnp.where over the whole window: the where ran on every tile
+        # (~350 KB of select per tile); this store runs only on the tail
+        # tile and touches only the stale rows. Non-tail reuses of the
+        # slot are safe — their full-window DMA overwrites every row.
+        @pl.when(t == n_t - 1)
+        def _():
+            s_scratch[slot, fetched:full, :] = jnp.zeros(
+                (full - fetched, s_scratch.shape[-1]), s_scratch.dtype
+            )
+
+    s = s_scratch[slot]  # [rows + 8, 640]
 
     # lo = macro-rows r, hi = rows r+1: the one-row shift comes from a
     # sublane roll of the DMA'd window (DMA slices are 8-row granular, so
