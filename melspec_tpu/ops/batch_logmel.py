@@ -101,16 +101,20 @@ class BatchLogMel:
 
             # centered frames are zero outside the win_length window, so
             # the K blocks pack to just that interior (512 -> 400 rows at
-            # the whisper-NeMo defaults: 20% fewer MXU passes, exact)
+            # the whisper-NeMo defaults: 20% fewer MXU passes, exact);
+            # npack="auto" additionally N-packs the 257-bin head's re|im
+            # columns into 512 lanes instead of 768 (im of DC/Nyquist is
+            # exactly zero) — one third less work in the dominant dot
             self._sig_pack = config.win_length
             self._sig_pack_off = (config.n_fft - config.win_length) // 2
-            m_big, pair_i, mt, _, _, _ = _sig_frontend_matrices(
+            m_big, pair_i, mt, _, _, _, npack = _sig_frontend_matrices(
                 config.n_fft, self.fft_bins, self._window_np, filters,
                 ks=3, km=3, cutoff=2,
                 pack=self._sig_pack, pack_off=self._sig_pack_off,
             )
             self._sig_m_big = m_big
             self._sig_pair_i = pair_i
+            self._sig_npack = npack
             self._sig_mt = bf2_stack(mt)
 
     @property
@@ -161,7 +165,7 @@ class BatchLogMel:
                 interpret=jax.default_backend() not in ("tpu", "gpu"),
                 ks=3, pair_i=self._sig_pair_i, n_frames=valid,
                 pack=self._sig_pack, pack_off=self._sig_pack_off,
-                mel_precision="bf2",
+                npack=self._sig_npack, mel_precision="bf2",
                 out_mode="ln_guard", guard=float(cfg.log_zero_guard),
                 n_mels_out=cfg.n_mels, row_w=row_w, phases=phases,
                 rows_tile=rows_tile,

@@ -116,7 +116,9 @@ class Fbank:
             # irrelevant because the Povey window has w[0] == 0 exactly,
             # so the fold is exact, not an approximation.
             from melspec_tpu.ops import dft as _dft
-            from melspec_tpu.ops.mel_kernel import LANES, _sig_stack_planes
+            from melspec_tpu.ops.mel_kernel import (LANES,
+                                                    _sig_stack_combined,
+                                                    sig_packed_im_bins)
 
             L = self.frame_len
             p = float(config.preemphasis)
@@ -127,17 +129,25 @@ class Fbank:
             w = self._window_np[:, None]
             cos_m, msin_m = _dft.rdft_matrices(self.fft_size, self.fft_bins)
             k_pad = -(-L // LANES) * LANES
-            n_bins_pad = -(-self.fft_bins // LANES) * LANES
             n_mels_pad = -(-config.num_mel_bins // LANES) * LANES
-            cw = np.zeros((k_pad, n_bins_pad))
-            sw = np.zeros((k_pad, n_bins_pad))
-            cw[:L, : self.fft_bins] = B.T @ (w * cos_m[:L])
-            sw[:L, : self.fft_bins] = B.T @ (w * msin_m[:L])
-            self._sig_m_big, self._sig_pair_i = _sig_stack_planes(
-                cw, sw, ks=3, km=3, cutoff=2, pack=L
+            # N-packed column layout (see _sig_frontend_matrices): re
+            # columns for all 257 bins then im columns for the 255 bins
+            # whose sin column is nonzero — 512 lanes instead of 768; the
+            # re/im add rides the projection, whose rows carry the filter
+            # per component
+            im_bins = sig_packed_im_bins(self.fft_size, self.fft_bins)
+            n_cols = self.fft_bins + len(im_bins)
+            n_cols_pad = -(-n_cols // LANES) * LANES
+            csw = np.zeros((k_pad, n_cols_pad))
+            csw[:L, : self.fft_bins] = B.T @ (w * cos_m[:L])
+            csw[:L, self.fft_bins : n_cols] = (B.T @ (w * msin_m[:L]))[:, im_bins]
+            self._sig_m_big, self._sig_pair_i = _sig_stack_combined(
+                csw, ks=3, km=3, cutoff=2, pack=L
             )
-            mt = np.zeros((n_bins_pad, n_mels_pad))
-            mt[: self.fft_bins, : config.num_mel_bins] = filters.T
+            filt = np.asarray(filters, np.float64).T  # [fft_bins, n_mels]
+            mt = np.zeros((n_cols_pad, n_mels_pad))
+            mt[: self.fft_bins, : config.num_mel_bins] = filt
+            mt[self.fft_bins : n_cols, : config.num_mel_bins] = filt[im_bins]
             from melspec_tpu.ops.mel_kernel import bf2_stack
 
             self._sig_mt = bf2_stack(mt)
@@ -173,7 +183,7 @@ class Fbank:
                 x2, self._sig_m_big, self._sig_mt,
                 interpret=jax.default_backend() not in ("tpu", "gpu"),
                 ks=3, pair_i=self._sig_pair_i, n_frames=nf,
-                pack=self.frame_len, mel_precision="bf2",
+                pack=self.frame_len, npack=True, mel_precision="bf2",
                 out_mode="ln_floor", guard=float(floor),
                 n_mels_out=cfg.num_mel_bins, row_w=row_w, phases=phases,
                 rows_tile=rows_tile,

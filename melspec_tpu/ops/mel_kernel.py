@@ -43,6 +43,24 @@ LOG10_FLOOR = 1e-10
 TILE_FRAMES = 256
 
 
+def _host_built(fn):
+    """Build device matrices OUTSIDE any active trace.
+
+    The matrix builders are cached (``lru_cache`` here, attributes on the
+    frontend objects elsewhere) and may be first called from INSIDE a
+    user's ``jax.jit`` trace (e.g. a pipeline whose ``_mel_batch_jit``
+    routes to the sig kernel). Without this guard the ``jnp.asarray``
+    constants would be created as tracers of that outer trace, cached,
+    and leak into every later trace as ``UnexpectedTracerError``."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.ensure_compile_time_eval():
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def _build_matrices(
     fft_size: int, n_mels: int, sampling_rate: float
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int, int]:
@@ -182,6 +200,7 @@ def _hp8_plane_widths(ks: int, km: int, cutoff: int) -> list:
 
 
 @functools.lru_cache(maxsize=8)
+@_host_built
 def _hp8_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
                          ks: int, km: int, cutoff: int):
     """Per-signal-slice concatenated int8 DFT plane matrices.
@@ -344,6 +363,7 @@ def _bf16_round_slices(mat: np.ndarray, n_slices: int) -> list:
 
 
 @functools.lru_cache(maxsize=8)
+@_host_built
 def _bf3_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
                          ks: int, km: int, cutoff: int):
     """Per-signal-slice concatenated bf16 DFT plane matrices for the
@@ -547,69 +567,121 @@ def sig_geometry(fft_size: int, hop_size: int, offset: int = 0):
     return row_w, phases, rows_tile
 
 
+def sig_packed_im_bins(fft_size: int, n_bins: int) -> list:
+    """Bins whose imaginary DFT column is not identically zero: every bin
+    except DC and (for even fft sizes) Nyquist. These are the only sin
+    columns the N-packed layout has to carry."""
+    return [j for j in range(1, n_bins) if 2 * j != fft_size]
+
+
 def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
                            filters: np.ndarray, ks: int, km: int,
                            cutoff: int, pack: int | None = None,
-                           pack_off: int = 0):
+                           pack_off: int = 0, npack: str | bool = "auto"):
     """General builder for the signal-input kernel's device matrices:
-    K-stacked bf16 plane matrix ``[n_pairs*k_pad, 2*n_bins_pad]`` (re in
-    cols [0, n_bins_pad), im in [n_bins_pad, 2*n_bins_pad)) with the
-    given ``window`` folded in, the pair order for the matching
-    signal-slice concatenation, and the padded projection
-    ``[n_bins_pad, n_mels_pad]`` from ``filters [n_mels, >= n_bins]``.
-    Any frontend whose spectral stage is windowed-rDFT -> power ->
-    filterbank fits (whisper mel, NeMo log-mel, Kaldi fbank)."""
+    K-stacked bf16 plane matrix with the given ``window`` folded in, the
+    pair order for the matching signal-slice concatenation, and the
+    matching projection from ``filters [n_mels, >= n_bins]``. Any
+    frontend whose spectral stage is windowed-rDFT -> power -> filterbank
+    fits (whisper mel, NeMo log-mel, Kaldi fbank).
+
+    Two column layouts (``npack``, "auto" picks the narrower stack):
+
+    - SPLIT (``npack=False``): ``m_big [K_tot, 2*n_bins_pad]`` with re in
+      cols [0, n_bins_pad), im in [n_bins_pad, 2*n_bins_pad); the kernel
+      computes ``re*re + im*im`` on the VPU and projects with
+      ``mt [n_bins_pad, n_mels_pad]``.
+    - N-PACKED (``npack=True``): re columns for every bin, then im columns
+      ONLY for bins whose sin column is nonzero (DC and Nyquist have
+      im == 0 exactly) — ``m_big [K_tot, n_cols_pad]``. The kernel squares
+      ``y`` elementwise and the re/im ADD rides the projection matmul:
+      ``mt [n_cols_pad, n_mels_pad]`` carries the filter row once for the
+      re column and once for the im column of each bin, so
+      ``(y*y) @ mt == sum_bins (re^2 + im^2) * filter`` exactly (same
+      products, MXU-accumulator adds). For 512-point heads (257 bins)
+      this is 512 columns instead of 768 — one third less MXU work in the
+      dominant dot and no power add/slice on the VPU; for whisper's
+      400-point head both layouts pad to 512 and split's cheaper
+      projection (K = n_bins_pad, not n_cols_pad) wins, which is exactly
+      what "auto" decides.
+
+    Returns ``(m_big, pair_i, mt, n_bins_pad, n_mels_pad, k_pad, npack)``
+    where ``n_bins_pad`` is the kernel's split point (0 when packed)."""
     n_mels = filters.shape[0]
     n_bins_pad = -(-n_bins // LANES) * LANES
     n_mels_pad = -(-n_mels // LANES) * LANES
     k_pad = -(-fft_size // LANES) * LANES
 
+    im_bins = sig_packed_im_bins(fft_size, n_bins)
+    n_cols_pad = -(-(n_bins + len(im_bins)) // LANES) * LANES
+    if npack == "auto":
+        npack = n_cols_pad < 2 * n_bins_pad
+
     cos_m, msin_m = dft.rdft_matrices(fft_size, n_bins)
     w = np.asarray(window, np.float64)[:, None]
-    cw = np.zeros((k_pad, n_bins_pad))
-    sw = np.zeros((k_pad, n_bins_pad))
-    cw[:fft_size, :n_bins] = w * cos_m
-    sw[:fft_size, :n_bins] = w * msin_m
-    m_big, pair_i = _sig_stack_planes(
-        cw, sw, ks, km, cutoff,
+    cwf = w * cos_m  # [fft, n_bins] float64, window folded
+    swf = w * msin_m
+    filt = np.asarray(filters, np.float64)[:, :n_bins].T  # [n_bins, n_mels]
+    if npack:
+        csw = np.zeros((k_pad, n_cols_pad))
+        csw[:fft_size, :n_bins] = cwf
+        csw[:fft_size, n_bins : n_bins + len(im_bins)] = swf[:, im_bins]
+        mt = np.zeros((n_cols_pad, n_mels_pad))
+        mt[:n_bins, :n_mels] = filt
+        mt[n_bins : n_bins + len(im_bins), :n_mels] = filt[im_bins]
+    else:
+        csw = np.zeros((k_pad, 2 * n_bins_pad))
+        csw[:fft_size, :n_bins] = cwf
+        csw[:fft_size, n_bins_pad : n_bins_pad + n_bins] = swf
+        mt = np.zeros((n_bins_pad, n_mels_pad))
+        mt[:n_bins, :n_mels] = filt
+    m_big, pair_i = _sig_stack_combined(
+        csw, ks, km, cutoff,
         pack=fft_size if pack is None else pack, pack_off=pack_off,
     )
-
-    mt = np.zeros((n_bins_pad, n_mels_pad))
-    mt[:n_bins, :n_mels] = np.asarray(filters, np.float64)[:, :n_bins].T
-    return m_big, pair_i, mt, n_bins_pad, n_mels_pad, k_pad
+    return (m_big, pair_i, mt, 0 if npack else n_bins_pad, n_mels_pad,
+            k_pad, npack)
 
 
 def _sig_stack_planes(cw: np.ndarray, sw: np.ndarray, ks: int, km: int,
                       cutoff: int, pack: int | None = None,
                       pack_off: int = 0):
-    """Slice the (already padded, [k_pad, n_bins_pad] float64) re/im
-    spectral matrices into rounded-bf16 planes and K-stack the kept
-    pairs; returns ``(m_big bf16 [K_tot, 2*n_bins_pad], pair_i)``.
-    Any per-frame LINEAR preprocessing (window, DC removal, preemphasis)
-    can be pre-folded into ``cw``/``sw`` by the caller.
+    """Split-layout convenience wrapper over ``_sig_stack_combined``:
+    column-concatenates the (already padded, [k_pad, n_bins_pad] float64)
+    re/im spectral matrices. bf16 rounding is elementwise, so slicing the
+    combined matrix equals slicing the halves separately."""
+    return _sig_stack_combined(np.concatenate([cw, sw], axis=1), ks, km,
+                               cutoff, pack=pack, pack_off=pack_off)
+
+
+@_host_built
+def _sig_stack_combined(csw: np.ndarray, ks: int, km: int,
+                        cutoff: int, pack: int | None = None,
+                        pack_off: int = 0):
+    """Slice the combined (column-layout-agnostic, [k_pad, width] float64)
+    spectral matrix into rounded-bf16 planes and K-stack the kept pairs;
+    returns ``(m_big bf16 [K_tot, width], pair_i)``. Any per-frame LINEAR
+    preprocessing (window, DC removal, preemphasis) can be pre-folded
+    into ``csw`` by the caller.
 
     ``pack`` (the frame's REAL tap count, e.g. fft_size) packs the K
     blocks tightly: each block keeps only its ``pack`` real rows (the
-    rest of ``cw``/``sw`` is zero by construction, so this drops exact
+    rest of ``csw`` is zero by construction, so this drops exact
     zeros — no numerics change), and the stack is lane-padded once at
     the end. For whisper's 400-tap frame that is K = 2432 instead of
     6*512 = 3072 — measured 14% faster end-to-end: the MXU stops
     multiplying padding (VERDICT r2 item 2)."""
-    k_rows = cw.shape[0] if pack is None else pack
+    k_rows = csw.shape[0] if pack is None else pack
     k_lo = pack_off if pack is not None else 0
-    cos_planes = _bf16_round_slices(cw, km)
-    sin_planes = _bf16_round_slices(sw, km)
+    planes = _bf16_round_slices(csw, km)
     pair_i = []  # signal-slice index per K block, i-major
     blocks = []
     for i in range(ks):
         for j in range(min(cutoff - i, km - 1) + 1):
             pair_i.append(i)
-            blocks.append(np.concatenate(
-                [np.asarray(cos_planes[j], np.float32)[k_lo:k_lo + k_rows],
-                 np.asarray(sin_planes[j], np.float32)[k_lo:k_lo + k_rows]],
-                axis=1,
-            ))
+            blocks.append(
+                np.asarray(planes[j], np.float32)[k_lo:k_lo + k_rows]
+            )
     stack = np.concatenate(blocks, axis=0)
     k_tot = -(-stack.shape[0] // LANES) * LANES
     if k_tot != stack.shape[0]:
@@ -618,10 +690,11 @@ def _sig_stack_planes(cw: np.ndarray, sw: np.ndarray, ks: int, km: int,
     return m_big, tuple(pair_i)
 
 
+@_host_built
 def bf2_stack(mt) -> jnp.ndarray:
     """2-slice rounded-bf16 K-stack [F0; F1; F0] of a filter projection,
     pairing with the kernel's power slices [p0 | p0 | p1] (see
-    ``_sig_project``'s bf2 mode)."""
+    ``_sig_project``'s bf2 mode). Host-built: callers cache the result."""
     f0, f1 = _bf16_round_slices(np.asarray(mt, np.float64), 2)
     return jnp.asarray(
         np.concatenate([np.asarray(f0, np.float32),
@@ -632,6 +705,7 @@ def bf2_stack(mt) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
+@_host_built
 def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
                          ks: int, km: int, cutoff: int):
     """Whisper-mel instantiation of ``_sig_frontend_matrices`` (projection
@@ -639,12 +713,12 @@ def _sig_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
     variant."""
     half = fft_size // 2
     filters = mel_filterbank(sampling_rate, fft_size, n_mels)
-    m_big, pair_i, mt, n_bins_pad, n_mels_pad, k_pad = \
+    m_big, pair_i, mt, n_bins_pad, n_mels_pad, k_pad, npack = \
         _sig_frontend_matrices(fft_size, half, hann_periodic(fft_size),
                                filters, ks, km, cutoff)
     mt_bf2 = bf2_stack(mt)
     return (m_big, pair_i, jnp.asarray(mt, jnp.float32), mt_bf2,
-            n_bins_pad, n_mels_pad, k_pad)
+            n_bins_pad, n_mels_pad, k_pad, npack)
 
 
 def _sig_window_frames(sig_ref, tailpad_ref, s_scratch, dma_sems,
@@ -901,9 +975,16 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, *refs,
     xcat = _sig_xcat(frames, ks, pair_i, pack or k_pad,
                      m_big_ref.shape[0], pack_off)
     y = jnp.dot(xcat, m_big_ref[:], preferred_element_type=jnp.float32)
-    re = y[:, :n_bins_pad]
-    im = y[:, n_bins_pad : 2 * n_bins_pad]
-    energy = _sig_project(re * re + im * im, mt_ref, mel_precision)
+    if n_bins_pad == 0:
+        # N-packed layout: each column is one re or im component; the
+        # re/im add is folded into the projection (mt carries the filter
+        # row per component) — see _sig_frontend_matrices
+        power = y * y
+    else:
+        re = y[:, :n_bins_pad]
+        im = y[:, n_bins_pad : 2 * n_bins_pad]
+        power = re * re + im * im
+    energy = _sig_project(power, mt_ref, mel_precision)
     vals = _sig_natural_order(_sig_out_vals(energy, out_mode, guard),
                               phases, rows_tile)
     out_ref[0] = vals[:, : out_ref.shape[-1]]
@@ -961,7 +1042,7 @@ def _sig_host_prep(samples: jnp.ndarray, tiles: int, row_w: int,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
                      "mel_precision", "n_mels_out", "out_mode", "guard",
                      "row_w", "phases", "rows_tile", "vad", "pack",
-                     "pack_off"),
+                     "pack_off", "npack"),
 )
 def _pallas_sig_mel(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
@@ -982,6 +1063,7 @@ def _pallas_sig_mel(
     vad: tuple | None = None,
     pack: int = 0,
     pack_off: int = 0,
+    npack: bool = False,
 ) -> jnp.ndarray:
     """Whisper log-mel from the raw signal, framing fused into the kernel.
     Returns ``[B, n_frames, n_mels_out or n_mels_pad]`` in natural frame
@@ -992,7 +1074,9 @@ def _pallas_sig_mel(
     reshape/transpose/trim epilogue (the 2x large-batch regression of
     round 2 was exactly those two whole-output HBM round trips)."""
     b, t = samples.shape
-    n_bins_pad = m_big.shape[1] // 2  # mt rows differ in bf2 mode
+    # split layout: re|im halves; N-packed (npack): n_bins_pad = 0 tells
+    # the kernel every column is a single squared component
+    n_bins_pad = 0 if npack else m_big.shape[1] // 2
     n_mels_pad = mt.shape[1]
     # frame width in VMEM (lane-aligned); with a packed m_big the real
     # tap count rides `pack`, otherwise K blocks are k_pad tall
@@ -1047,7 +1131,7 @@ def _pallas_sig_mel(
         cost_estimate=pl.CostEstimate(
             flops=2 * b * tiles * frames_tile
             * (m_big.shape[0] * m_big.shape[1]
-               + n_bins_pad * n_mels_pad),
+               + mt.shape[0] * n_mels_pad),
             bytes_accessed=(b * (rows_tile * tiles + 8) * row_w
                             + b * n_frames * out_lanes) * 4,
             transcendentals=b * tiles * frames_tile * n_mels_pad,
@@ -1108,7 +1192,7 @@ def whisper_mel_sig(
         out = jnp.zeros((x.shape[0], 0, n_mels), jnp.float32)
         return out[0] if squeeze else out
 
-    m_big, pair_i, mt, mt_bf2, _, _, _ = _sig_device_matrices(
+    m_big, pair_i, mt, mt_bf2, _, _, _, npack = _sig_device_matrices(
         fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
     )
     if mel_precision == "bf2":
@@ -1124,7 +1208,7 @@ def whisper_mel_sig(
         x, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
         n_frames=n_frames, offset=offset, mel_precision=mel_precision,
         n_mels_out=n_mels, row_w=row_w, phases=phases,
-        rows_tile=rows_tile, pack=fft_size,
+        rows_tile=rows_tile, pack=fft_size, npack=npack,
     )
     return out[0] if squeeze else out
 
@@ -1133,11 +1217,11 @@ def whisper_mel_sig(
     jax.jit,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
                      "mel_precision", "n_mels_out", "row_w", "phases",
-                     "rows_tile", "settings", "bidx", "pack"),
+                     "rows_tile", "settings", "bidx", "pack", "npack"),
 )
 def _sig_mel_vad_jit(x, m_big, mt, *, interpret, ks, pair_i, n_frames,
                      offset, mel_precision, n_mels_out, row_w, phases,
-                     rows_tile, settings, bidx, pack=0):
+                     rows_tile, settings, bidx, pack=0, npack=False):
     """Fused mel+VAD call plus the tile-boundary column fix, one device
     program. ``bidx`` is the (static) tuple of raw-column indices whose
     3-frame Sobel patch crosses a kernel tile boundary — two per boundary;
@@ -1152,7 +1236,7 @@ def _sig_mel_vad_jit(x, m_big, mt, *, interpret, ks, pair_i, n_frames,
         x, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
         n_frames=n_frames, offset=offset, mel_precision=mel_precision,
         n_mels_out=n_mels_out, row_w=row_w, phases=phases,
-        rows_tile=rows_tile, pack=pack,
+        rows_tile=rows_tile, pack=pack, npack=npack,
         vad=(thr, start_y, int(settings.min_y)),
     )
     raw = counts[:, 0, : n_frames - 2] >= int(settings.min_y)
@@ -1208,7 +1292,7 @@ def whisper_mel_vad_sig(
         raw = jnp.zeros((x.shape[0], 0), bool)
         return (mel[0], raw[0]) if squeeze else (mel, raw)
 
-    m_big, pair_i, mt, mt_bf2, _, _, _ = _sig_device_matrices(
+    m_big, pair_i, mt, mt_bf2, _, _, _, npack = _sig_device_matrices(
         fft_size, n_mels, float(sampling_rate), 3, 3, 2
     )
     frames_tile = phases * rows_tile
@@ -1224,12 +1308,13 @@ def whisper_mel_vad_sig(
         n_frames=n_frames, offset=offset, mel_precision="bf2",
         n_mels_out=n_mels, row_w=row_w, phases=phases,
         rows_tile=rows_tile, settings=settings, bidx=bidx,
-        pack=fft_size,
+        pack=fft_size, npack=npack,
     )
     return (mel[0], raw[0]) if squeeze else (mel, raw)
 
 
 @functools.lru_cache(maxsize=8)
+@_host_built
 def _hp_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
                         n_slices: int):
     """Device-resident sliced matrices, built once per config. Passed to
@@ -1261,6 +1346,7 @@ def _hp_device_matrices(fft_size: int, n_mels: int, sampling_rate: float,
 
 
 @functools.lru_cache(maxsize=8)
+@_host_built
 def _f32_device_matrices(fft_size: int, n_mels: int, sampling_rate: float):
     cw, sw, mt, n_bins_pad, n_mels_pad, k_pad = _build_matrices(
         fft_size, n_mels, sampling_rate

@@ -46,8 +46,12 @@ from melspec_tpu.ops.mel_kernel import (
     sig_geometry,
 )
 
-# head spec: (n_bins_pad, n_mels_out, out_mode, guard, mel_precision)
-HeadSpec = Tuple[int, int, str, float, str]
+# head spec: (n_cols, n_bins_pad, n_mels_out, out_mode, guard,
+# mel_precision) — n_cols is the head's width in the concatenated y;
+# n_bins_pad is the re|im split point, 0 for the N-packed layout (each
+# column a single squared component, the re/im add riding the projection
+# — see mel_kernel._sig_frontend_matrices)
+HeadSpec = Tuple[int, int, int, str, float, str]
 
 
 def _sig_multi_tile_kernel(sig_ref, tailpad_ref, m_cat_ref, *refs,
@@ -73,12 +77,17 @@ def _sig_multi_tile_kernel(sig_ref, tailpad_ref, m_cat_ref, *refs,
     y = jnp.dot(xcat, m_cat_ref[:], preferred_element_type=jnp.float32)
 
     col = 0
-    for h, (nbp, n_mels_out, out_mode, guard, mel_prec) in enumerate(heads):
-        re = y[:, col : col + nbp]
-        im = y[:, col + nbp : col + 2 * nbp]
-        col += 2 * nbp
+    for h, (n_cols, nbp, n_mels_out, out_mode, guard,
+            mel_prec) in enumerate(heads):
+        blk = y[:, col : col + n_cols]
+        col += n_cols
+        if nbp:
+            power = (blk[:, :nbp] * blk[:, :nbp]
+                     + blk[:, nbp : 2 * nbp] * blk[:, nbp : 2 * nbp])
+        else:
+            power = blk * blk
         prec = "bf2" if mel_prec == "bf2" else jax.lax.Precision.HIGHEST
-        energy = _sig_project(re * re + im * im, mt_refs[h], prec)
+        energy = _sig_project(power, mt_refs[h], prec)
         vals = _sig_natural_order(_sig_out_vals(energy, out_mode, guard),
                                   phases, rows_tile)
         out_refs[h][0] = vals[:, : out_refs[h].shape[-1]]
@@ -111,6 +120,8 @@ def _pallas_sig_multi(
     array per head (plus the ``[B, n_frames]`` int32 VAD counts when
     ``vad`` is set), each written directly in its final layout."""
     b, t = samples.shape
+    if sum(h[0] for h in heads) != m_cat.shape[1]:
+        raise ValueError("head column widths must tile m_cat exactly")
     k_pad = -(-pack // LANES) * LANES
     frames_tile = phases * rows_tile
     tiles = -(-n_frames // frames_tile)
@@ -124,11 +135,11 @@ def _pallas_sig_multi(
         rows_tile=rows_tile, heads=heads, vad=vad,
     )
     out_specs = [
-        pl.BlockSpec((1, frames_tile, h[1]), lambda bb, tt: (bb, tt, 0),
+        pl.BlockSpec((1, frames_tile, h[2]), lambda bb, tt: (bb, tt, 0),
                      memory_space=pltpu.VMEM)
         for h in heads
     ]
-    out_shape = [jax.ShapeDtypeStruct((b, n_frames, h[1]), jnp.float32)
+    out_shape = [jax.ShapeDtypeStruct((b, n_frames, h[2]), jnp.float32)
                  for h in heads]
     if vad is not None:
         out_specs.append(pl.BlockSpec((1, 8, frames_tile),
@@ -156,8 +167,8 @@ def _pallas_sig_multi(
         cost_estimate=pl.CostEstimate(
             flops=2 * b * tiles * frames_tile * m_cat.shape[0] * total_cols,
             bytes_accessed=(b * (rows_tile * tiles + 8) * row_w
-                            + sum(b * n_frames * h[1] for h in heads)) * 4,
-            transcendentals=sum(b * n_frames * h[1] for h in heads),
+                            + sum(b * n_frames * h[2] for h in heads)) * 4,
+            transcendentals=sum(b * n_frames * h[2] for h in heads),
         ),
         interpret=interpret,
     )(sig, tailpad, m_cat, *mts)
@@ -201,7 +212,7 @@ class WhisperKaldiFused:
         self._geom = geom
         self._interpret = interpret
 
-        m_w, pair_i, _mt_hi, mt_w, nbp_w, _, k_pad_w = \
+        m_w, pair_i, _mt_hi, mt_w, nbp_w, _, k_pad_w, npack_w = \
             _sig_device_matrices(mc.fft_size, mc.n_mels,
                                  float(mc.sampling_rate), 3, 3, 2)
         kaldi = Fbank(kc, fft_impl="sig")
@@ -212,15 +223,21 @@ class WhisperKaldiFused:
         # layouts coincide block-for-block
         assert m_k.shape[0] == m_w.shape[0], \
             "shared frame grid implies identical packed K"
-        nbp_k = m_k.shape[1] // 2
         self._m_cat = jnp.concatenate([m_w, m_k], axis=1)
         self._mts = (mt_w, kaldi._sig_mt)
         floor = (kc.energy_floor if kc.energy_floor > 0.0 else F32_EPSILON)
         self._heads = (
-            (nbp_w, mc.n_mels, "whisper", 0.0, "bf2"),
-            # kaldi's fbank gate is coarse (max < 0.0152 vs the kaldi
-            # golden); the ~1e-6 bf2 projection perturbation is free speed
-            (nbp_k, kc.num_mel_bins, "ln_floor", float(floor), "bf2"),
+            # whisper: at the 400-point default the auto layout is split
+            # re|im (packing would not narrow that head but would double
+            # its projection K); other fft sizes may auto-pack
+            (m_w.shape[1], 0 if npack_w else nbp_w, mc.n_mels, "whisper",
+             0.0, "bf2"),
+            # kaldi: N-packed 512-lane head (Fbank builds it packed —
+            # 33% narrower than split re|im); its fbank gate is coarse
+            # (max < 0.0152 vs the kaldi golden) and the ~1e-6 bf2
+            # projection perturbation is free speed
+            (m_k.shape[1], 0, kc.num_mel_bins, "ln_floor", float(floor),
+             "bf2"),
         )
         self._pair_i = pair_i
         # measured-best tile for the wide two-head y (VMEM pressure):

@@ -80,11 +80,11 @@ class MultiStreamMel:
                     "fft_impl='rdft' or 'bf3'"
                 )
             self._sig_geom = geom
-            m_big, pair_i, _, mt_bf2, _, _, _ = _sig_device_matrices(
+            m_big, pair_i, _, mt_bf2, _, _, _, npack = _sig_device_matrices(
                 fft, n_mels, float(config.sampling_rate), 3, 3, 2
             )
             self._sig_m_big, self._sig_pair_i = m_big, pair_i
-            self._sig_mt = mt_bf2
+            self._sig_mt, self._sig_npack = mt_bf2, npack
 
     def _power(self, frames: jnp.ndarray) -> jnp.ndarray:
         """``|rfft|^2`` of RAW (unwindowed) frames ``[..., fft]`` over the
@@ -168,6 +168,7 @@ class MultiStreamMel:
                 ks=3, pair_i=self._sig_pair_i, n_frames=h, offset=hop,
                 mel_precision="bf2", n_mels_out=self.config.n_mels,
                 row_w=row_w, phases=phases, rows_tile=rows_tile, pack=fft,
+                npack=self._sig_npack,
             ).astype(self.dtype)
         else:
             from melspec_tpu.ops.spectrogram import (log_mel_from_power,

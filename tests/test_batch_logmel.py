@@ -156,7 +156,10 @@ def test_sig_impl_matches_reference_class():
         assert sig.shape == f64.shape
         # residual error is the f32 preprocessing both share, not the DFT
         assert np.abs(sig - f64).max() < 3.5e-3  # normalized cfg amplifies
-        assert np.abs(sig - f64).max() < np.abs(rd - f64).max() * 3 + 1e-5
+        # absolute floor 2e-5: the bf2 (2-slice bf16) projection carries
+        # ~2^-16 relative energy error == ~1.5e-5 in ln units by design —
+        # the sig path must stay in that class, not match the HIGHEST rdft
+        assert np.abs(sig - f64).max() < np.abs(rd - f64).max() * 3 + 2e-5
 
 
 def test_sig_impl_geometry_validation():

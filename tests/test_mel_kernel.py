@@ -187,3 +187,80 @@ def test_sig_kernel_generalized_geometry_configs(fft, hop):
     want = np.asarray(pipe.mel_batch(jnp.asarray(x)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sig_npack_layout_matches_split():
+    """The N-packed column layout (re columns + nonzero-im columns only,
+    re/im add folded into the projection) must agree with the split re|im
+    layout to the bf2 projection's own error class — same products, only
+    the rounding/accumulation order differs — and the auto rule must pick
+    packed exactly when it narrows the stack."""
+    from melspec_tpu.ops.filterbank import mel_filterbank
+    from melspec_tpu.ops.mel_kernel import (_pallas_sig_mel,
+                                            _sig_frontend_matrices,
+                                            bf2_stack, sig_geometry,
+                                            sig_packed_im_bins)
+    from melspec_tpu.ops.windows import hann_periodic
+
+    fft, hop, n_mels = 512, 160, 80
+    # DC and Nyquist have identically-zero sin columns; nothing else does
+    assert sig_packed_im_bins(512, 257) == [j for j in range(1, 256)]
+    assert sig_packed_im_bins(400, 200) == [j for j in range(1, 200)]
+
+    filters = mel_filterbank(16000.0, fft, n_mels)
+    window = hann_periodic(fft)
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=(2, 48000)) * 0.3).astype(np.float32)
+    row_w, phases, rows_tile = sig_geometry(fft, hop, 0)
+    n_frames = x.shape[-1] // hop - fft // hop + 1
+
+    outs = {}
+    for npack in (False, True):
+        m_big, pair_i, mt, nbp, _, _, got = _sig_frontend_matrices(
+            fft, fft // 2 + 1, window, filters, ks=3, km=3, cutoff=2,
+            npack=npack)
+        assert got is npack
+        # packed: 257 re + 255 im = 512 columns exactly (vs split's 768)
+        assert m_big.shape[1] == (512 if npack else 768)
+        outs[npack] = np.asarray(_pallas_sig_mel(
+            jnp.asarray(x), m_big, bf2_stack(mt), interpret=True, ks=3,
+            pair_i=pair_i, n_frames=n_frames, mel_precision="bf2",
+            n_mels_out=n_mels, out_mode="ln_guard", guard=2.0**-24,
+            row_w=row_w, phases=phases, rows_tile=rows_tile, pack=fft,
+            npack=npack))
+    # ln-unit absolute error of a 2-slice bf16 energy split is ~2^-16
+    np.testing.assert_allclose(outs[True], outs[False], atol=6e-5)
+
+    # auto: 512-point head (257 bins) packs (512 < 768); whisper's
+    # 400-point head (200 bins) does not (both layouts pad to 512 and
+    # split's projection K is half)
+    *_, auto_512 = _sig_frontend_matrices(512, 257, window, filters,
+                                          ks=3, km=3, cutoff=2)
+    assert auto_512 is True
+    from melspec_tpu.ops.windows import hann_periodic as _hp
+    filters400 = mel_filterbank(16000.0, 400, n_mels)
+    *_, auto_400 = _sig_frontend_matrices(400, 200, _hp(400), filters400,
+                                          ks=3, km=3, cutoff=2)
+    assert auto_400 is False
+
+
+def test_cached_device_matrices_built_inside_trace():
+    """The lru-cached device-matrix builders must produce CONCRETE arrays
+    even when first invoked inside an outer jit trace (regression: the
+    cached value used to be a tracer of that first trace, leaking into
+    every later trace as UnexpectedTracerError — hit by vad_ten_eval's
+    jitted pipeline on a cold process)."""
+    import jax
+
+    from melspec_tpu.ops.mel_kernel import (_sig_device_matrices,
+                                            whisper_mel_sig)
+
+    _sig_device_matrices.cache_clear()  # force the cold-start path
+
+    def f(x):
+        return whisper_mel_sig(x, 400, 160, 80, 16000.0, interpret=True)
+
+    x = jnp.zeros((1, 16000), jnp.float32)
+    a = jax.jit(f)(x)          # first trace builds + caches the matrices
+    b = jax.jit(lambda y: f(y) + 0.0)(x)  # second, distinct trace reuses
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

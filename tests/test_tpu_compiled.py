@@ -134,3 +134,19 @@ def test_vad_fields_parity_compiled(jfk_samples):
                                   want["active_columns"])
     np.testing.assert_array_equal(np.asarray(got["leading"][0]),
                                   want["leading"])
+
+
+def test_npack_fbank_golden_compiled(jfk_samples, testdata):
+    """The N-packed column layout (re + nonzero-im columns in one 512-lane
+    stack, re/im add folded into the projection — the Kaldi/NeMo sig
+    default), Mosaic-compiled, must hold the kaldi_native_fbank golden
+    gate the CPU suite enforces in interpret mode."""
+    from melspec_tpu.ops.fbank import Fbank, FbankConfig
+
+    with np.load(testdata / "kaldi_native_fbank_jfk.npz") as npz:
+        golden = npz["features"].T  # [frames, 80]
+    feats = np.asarray(
+        Fbank(FbankConfig(), fft_impl="sig").compute(jfk_samples)
+    )
+    assert feats.shape == golden.shape
+    assert np.abs(feats - golden).max() < 0.016
