@@ -264,6 +264,11 @@ def main() -> None:
                                        n_s, fft_impl="bf3")
             multi_sig = MultiStreamMel(MelConfig(400, 160, 80, 16000.0),
                                        n_s, fft_impl="sig")
+            from melspec_tpu.streaming.serving import MultiStreamFrontend
+
+            front = MultiStreamFrontend(MelConfig(400, 160, 80, 16000.0),
+                                        n_s)
+            fstate = front.init()
             active = jnp.ones(n_s, dtype=bool)
             ms_xs = [jax.random.normal(k, (n_s, n_h, 160), jnp.float32) * 0.1
                      for k in jax.random.split(key, 3)]
@@ -282,6 +287,12 @@ def main() -> None:
                 ("multistream_bulk_sig",
                  lambda x: multi_sig._push_many_jit(multi_sig.init(), x,
                                                     active)[1]),
+                # the COMPLETE serving tick — mel + batched streaming-VAD
+                # decisions + per-frame u8 quantization in one dispatch
+                # (streaming/serving.py; what serve_streams.py runs)
+                ("serving_tick_full",
+                 lambda x: front._tick_jit(fstate, x, active)[1]
+                 .astype(jnp.float32)),
             ]:
                 try:
                     wall = _bench(ffn, ms_xs, iters=8)

@@ -6,9 +6,12 @@ SharedArrayBuffer ring (``examples/browser/worker.js:42-61``), this serves
 N concurrent TCP clients from one batched device pipeline:
 
     client PCM -> per-stream native SPSC ring -> [S, H, hop] bulk push
-    (MultiStreamMel.push_many: every hop of every stream in ONE device
-    dispatch) -> per-stream VAD (reference protocol, src/vad.rs:156-205)
-    -> 8-bit quantize (src/quant.rs:140-152) -> framed reply
+    (MultiStreamFrontend.push_many: mel + streaming VAD decisions
+    (reference protocol, src/vad.rs:156-205, batched on device) + 8-bit
+    per-frame quantization (src/quant.rs:140-152, bit-exact) for every
+    hop of every stream in ONE device dispatch) -> framed reply. The
+    host never touches the float mel: it packs the fetched u8 bytes,
+    ranges and VAD bits straight into records.
 
 Wire protocol (little-endian), shaped like the browser worker's mel-ring
 record (n_mels quantized bytes + min/max f32 + VAD bit, worker.js:52-58).
@@ -41,10 +44,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 from melspec_tpu.config import DetectionSettings, MelConfig
-from melspec_tpu.ops.quant import quantize
 from melspec_tpu.runtime.ringbuffer import SampleRing
-from melspec_tpu.streaming.multistream import MultiStreamMel
-from melspec_tpu.streaming.vad import VoiceActivityDetector
+from melspec_tpu.streaming.serving import MultiStreamFrontend
 
 HEADER = struct.Struct("<IBff")  # frame_idx, va, min, max
 
@@ -52,11 +53,9 @@ HEADER = struct.Struct("<IBff")  # frame_idx, va, min, max
 class _Slot:
     """One client stream: PCM ring in, framed mel records out."""
 
-    def __init__(self, conn: socket.socket, capacity: int,
-                 settings: DetectionSettings):
+    def __init__(self, conn: socket.socket, capacity: int):
         self.conn = conn
         self.ring = SampleRing(capacity)
-        self.vad = VoiceActivityDetector(settings)
         self.frame_idx = 0
         self.eof = False      # client finished sending
         self.closed = False   # slot fully drained and replied
@@ -79,8 +78,9 @@ class StreamServer:
         self.n_streams = n_streams
         self.hops = hops_per_tick
         self.settings = settings
-        self.mel = MultiStreamMel(config, n_streams)
-        self.state = self.mel.init()
+        self.frontend = MultiStreamFrontend(config, n_streams,
+                                            settings=settings)
+        self.state = self.frontend.init()
         self.slots: list[_Slot | None] = [None] * n_streams
         self._pending_reset = np.zeros(n_streams, dtype=bool)
         self._slots_lock = threading.Lock()
@@ -118,8 +118,7 @@ class StreamServer:
                 conn, _ = self.sock.accept()
             except OSError:
                 break
-            slot = _Slot(conn, capacity=self.config.hop_size * 1024,
-                         settings=self.settings)
+            slot = _Slot(conn, capacity=self.config.hop_size * 1024)
             placed = False
             with self._slots_lock:
                 for i in range(self.n_streams):
@@ -147,7 +146,8 @@ class StreamServer:
         ticked: list[tuple[int, _Slot, int]] = []  # (slot idx, slot, hops)
         with self._slots_lock:
             if self._pending_reset.any():
-                self.state = self.mel.reset(self.state, self._pending_reset)
+                self.state = self.frontend.reset(self.state,
+                                                 self._pending_reset)
                 self._pending_reset[:] = False
             for i, slot in enumerate(self.slots):
                 if slot is None or slot.closed:
@@ -181,7 +181,10 @@ class StreamServer:
         if not ticked:
             return 0
 
-        self.state, mels, valid = self.mel.push_many(
+        # ONE device dispatch computes mel + VAD decisions + per-frame u8
+        # quantization for every ticked stream; the loop below only packs
+        # the fetched bytes into records
+        self.state, q, lo, hi, va, valid = self.frontend.push_many(
             self.state, chunks, active
         )
         sent = 0
@@ -190,12 +193,9 @@ class StreamServer:
             for h in range(k):
                 if not valid[i, h]:
                     continue
-                frame = mels[i, h]
-                q, rng = quantize(frame)
-                va = slot.vad.add(frame[:, None])
-                out += HEADER.pack(slot.frame_idx, 1 if va else 0,
-                                   rng.min, rng.max)
-                out += q.tobytes()
+                out += HEADER.pack(slot.frame_idx, 1 if va[i, h] else 0,
+                                   float(lo[i, h]), float(hi[i, h]))
+                out += q[i, h].tobytes()
                 slot.frame_idx += 1
                 sent += 1
             if out:
@@ -222,6 +222,14 @@ class StreamServer:
     # ---------------- lifecycle ----------------
 
     def start(self) -> None:
+        # pre-compile the tick before accepting clients: the composed
+        # mel + VAD + quant program's first jit can take minutes on a
+        # remote backend, and the first client would otherwise stall
+        # behind it. An all-inactive zero push advances no stream state.
+        zeros = np.zeros((self.n_streams, self.hops, self.config.hop_size),
+                         np.float32)
+        self.frontend.push_many(self.state, zeros,
+                                np.zeros(self.n_streams, dtype=bool))
         for target in (self._accept_loop, self._serve_loop):
             t = threading.Thread(target=target, daemon=True)
             t.start()

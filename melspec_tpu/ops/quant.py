@@ -69,3 +69,24 @@ def quantize_jnp(frame: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndar
 def dequantize_jnp(data: jnp.ndarray, lo, hi) -> jnp.ndarray:
     scale = (hi - lo) / 255.0
     return data.astype(jnp.float32) * scale + lo
+
+
+def quantize_frames_jnp(
+    frames: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-FRAME device quantization: each trailing-axis vector gets its
+    own min/max range — the wire-record form (``src/wasm.rs:95-145``
+    quantizes every emitted mel column independently; the serving loop
+    ships ``min | max | u8[n_mels]`` per frame). ``frames [..., n]`` ->
+    ``(u8 [..., n], lo [...], hi [...])``, bit-exact with calling
+    ``quantize`` on every frame (same f32 expression tree; min/max are
+    order-independent)."""
+    frames = frames.astype(jnp.float32)
+    lo = jnp.min(frames, axis=-1)
+    hi = jnp.max(frames, axis=-1)
+    scale = 255.0 / (hi - lo)
+    scaled = (frames - lo[..., None]) * scale[..., None]
+    fl = jnp.floor(scaled)
+    rounded = fl + (scaled - fl >= 0.5).astype(jnp.float32)
+    rounded = jnp.where(jnp.isnan(rounded), 0.0, rounded)
+    return jnp.clip(rounded, 0.0, 255.0).astype(jnp.uint8), lo, hi

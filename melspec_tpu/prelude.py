@@ -64,6 +64,7 @@ from melspec_tpu.ops.vad import (
 from melspec_tpu.runtime import SampleRing
 from melspec_tpu.streaming.multistream import MultiStreamMel, MultiStreamState
 from melspec_tpu.streaming.pipeline import RingBuffer
+from melspec_tpu.streaming.serving import MultiStreamFrontend, MultiStreamVad
 from melspec_tpu.streaming.speech_to_mel import SpeechToMel
 from melspec_tpu.streaming.stft import StftState, StreamingMel, StreamingStft
 from melspec_tpu.streaming.vad import VoiceActivityDetector
@@ -82,8 +83,10 @@ __all__ = [
     "FbankConfig",
     "MelConfig",
     "MelProjection",
+    "MultiStreamFrontend",
     "MultiStreamMel",
     "MultiStreamState",
+    "MultiStreamVad",
     "QuantizationRange",
     "RingBuffer",
     "SampleRing",

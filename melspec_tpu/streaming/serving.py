@@ -1,0 +1,201 @@
+"""Fully on-device serving tick: mel + streaming VAD + per-frame quant.
+
+The reference's live path runs per stream and per hop on the host/WASM
+side: the browser worker pops one hop of PCM, computes one mel column,
+feeds it to the ``VoiceActivityDetector``, quantizes, and packs a wire
+record (``examples/browser/worker.js:42-61``, ``src/wasm.rs:95-145``,
+``src/vad.rs:137-205``). On TPU the right shape is the transpose: ONE
+jitted dispatch advances all ``S`` streams by ``H`` hops —
+
+- bulk framed-matmul mel (``streaming/multistream.py``),
+- the streaming-VAD decision protocol batched over a carried
+  last-``(min_x-1)``-frames history per stream (``MultiStreamVad``), and
+- per-frame u8 min/max quantization (``ops/quant.quantize_frames_jnp``,
+  bit-exact with the host quantizer)
+
+— so the host's per-record work reduces to byte packing, and the device
+fetch per frame is ``n_mels`` bytes + two f32 + one bool instead of
+``n_mels`` float32s plus host-side VAD and quantization math.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.config import DetectionSettings, MelConfig
+from melspec_tpu.ops.quant import quantize_frames_jnp
+from melspec_tpu.ops.vad import streaming_decision_fields_batched
+from melspec_tpu.streaming.multistream import MultiStreamMel, MultiStreamState
+
+
+class VadStreamState(NamedTuple):
+    """Carried device state of the batched streaming VAD: the last
+    ``min_x - 1`` REAL mel frames per stream (tail-aligned; leading slots
+    are zero until enough frames arrived) and the saturating count of
+    real frames seen."""
+
+    hist: jnp.ndarray   # [S, min_x - 1, n_mels] float32
+    count: jnp.ndarray  # [S] int32, saturates at min_x
+
+
+class MultiStreamVad:
+    """Batched, device-resident equivalent of feeding each stream's
+    ``VoiceActivityDetector`` (``streaming/vad.py``, reference
+    ``src/vad.rs:137-205``) its valid mel frames in order.
+
+    The protocol's decision at frame ``t`` classifies the window of the
+    last ``min_x`` frames only, so the carried state per stream is just
+    the previous ``min_x - 1`` frames; a push of ``H`` new frames
+    computes all ``H`` decisions with one batched
+    ``streaming_decision_fields_batched`` call over
+    ``concat(hist, new)``. Decisions where the window is not yet full of
+    real frames are ``False`` — exactly the host detector's ``None``
+    (the wire record's ``va=0``).
+
+    Structural assumption (matches ``MultiStreamMel``): within one push,
+    a stream's invalid frames form a PREFIX (warm-up) — ``valid`` is
+    ``active & (samples_seen >= fft)`` and never un-sets while active;
+    a reused slot must be ``reset`` (which also clears this state).
+    """
+
+    def __init__(self, settings: DetectionSettings = DetectionSettings(),
+                 n_streams: int = 16, n_mels: int = 80):
+        if settings.min_x < 3:
+            raise ValueError("streaming VAD needs min_x >= 3")
+        if n_mels < 3:
+            raise ValueError("Sobel VAD needs n_mels >= 3")
+        self.settings = settings
+        self.n_streams = n_streams
+        self.n_mels = n_mels
+
+    def init(self) -> VadStreamState:
+        k = self.settings.min_x - 1
+        return VadStreamState(
+            hist=jnp.zeros((self.n_streams, k, self.n_mels), jnp.float32),
+            count=jnp.zeros(self.n_streams, jnp.int32),
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _push_jit(self, state: VadStreamState, mels: jnp.ndarray,
+                  valid: jnp.ndarray):
+        settings = self.settings
+        min_x = settings.min_x
+        k = min_x - 1
+        s, h, _ = mels.shape
+
+        seq = jnp.concatenate([state.hist, mels.astype(jnp.float32)],
+                              axis=1)                      # [S, k+H, M]
+        img = jnp.swapaxes(seq, -1, -2)                    # [S, M, k+H]
+        fields = streaming_decision_fields_batched(img, settings)
+
+        # a decision is real exactly when its min_x-frame window holds
+        # only real frames: count prior real frames + valid new frames up
+        # to and including this one >= min_x (see the prefix-invalidity
+        # assumption in the class docstring)
+        cumv = jnp.cumsum(valid.astype(jnp.int32), axis=1)  # [S, H]
+        warmed = (state.count[:, None] + cumv) >= min_x
+        va = fields["active"] & valid & warmed              # [S, H]
+
+        # history update: the last k REAL frames. Eligible frames are the
+        # k hist slots followed by the v valid new frames (the invalid
+        # prefix, present only during warm-up, is skipped); element
+        # j of that eligible list lives at seq position j for j < k and
+        # k + (H - v) + (j - k) after the gap. The new history is
+        # eligible elements v .. v+k-1 — tail-aligned, zeros ahead.
+        v = jnp.sum(valid.astype(jnp.int32), axis=1)        # [S]
+        j = v[:, None] + jnp.arange(k)[None, :]             # [S, k]
+        pos = jnp.where(j < k, j, (h - v)[:, None] + j)     # [S, k]
+        hist = jnp.take_along_axis(seq, pos[:, :, None], axis=1)
+        count = jnp.minimum(state.count + v, jnp.int32(min_x))
+        return VadStreamState(hist, count), va
+
+    def push(self, state: VadStreamState, mels, valid
+             ) -> Tuple[VadStreamState, np.ndarray]:
+        """``mels [S, H, n_mels]``, ``valid [S, H]`` ->
+        ``(state, va [S, H] bool)``."""
+        mels = jnp.asarray(mels)
+        if mels.ndim != 3 or mels.shape[0] != self.n_streams:
+            raise ValueError("mels must be [n_streams, n_hops, n_mels]")
+        if mels.shape[1] == 0:
+            return state, np.zeros((self.n_streams, 0), bool)
+        state, va = self._push_jit(state, mels, jnp.asarray(valid, bool))
+        return state, np.asarray(va)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _reset_jit(self, state: VadStreamState, mask: jnp.ndarray):
+        return VadStreamState(
+            hist=jnp.where(mask[:, None, None], 0.0, state.hist),
+            count=jnp.where(mask, 0, state.count),
+        )
+
+    def reset(self, state: VadStreamState, mask) -> VadStreamState:
+        return self._reset_jit(state, jnp.asarray(mask, bool))
+
+
+class FrontendState(NamedTuple):
+    mel: MultiStreamState
+    vad: VadStreamState
+
+
+class MultiStreamFrontend:
+    """The whole serving tick — mel, VAD decision, 8-bit quantization —
+    for ``S`` concurrent streams in ONE device dispatch.
+
+    ``push_many(state, chunks [S, H, hop], active [S])`` returns
+    ``(state, q [S, H, n_mels] u8, lo [S, H], hi [S, H], va [S, H],
+    valid [S, H])`` — everything a serving loop needs to pack the
+    reference browser worker's wire record
+    (``u32 idx | u8 va | f32 min | f32 max | u8[n_mels]``,
+    ``examples/browser/worker.js:52-58``) without touching the float
+    mel on the host.
+    """
+
+    def __init__(self, config: MelConfig = MelConfig(),
+                 n_streams: int = 16,
+                 settings: DetectionSettings = DetectionSettings(),
+                 dtype=jnp.float32, fft_impl: str = "rdft"):
+        self.mel = MultiStreamMel(config, n_streams, dtype=dtype,
+                                  fft_impl=fft_impl)
+        self.vad = MultiStreamVad(settings, n_streams, config.n_mels)
+        self.config = config
+        self.n_streams = n_streams
+
+    def init(self) -> FrontendState:
+        return FrontendState(self.mel.init(), self.vad.init())
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _tick_jit(self, state: FrontendState, chunks: jnp.ndarray,
+                  active: jnp.ndarray):
+        mstate, mels, valid = self.mel._push_many_jit(state.mel, chunks,
+                                                      active)
+        vstate, va = self.vad._push_jit(state.vad, mels, valid)
+        q, lo, hi = quantize_frames_jnp(mels)
+        return FrontendState(mstate, vstate), q, lo, hi, va, valid
+
+    def push_many(self, state: FrontendState, chunks, active=None):
+        chunks = jnp.asarray(chunks, self.mel.dtype)
+        if chunks.ndim != 3 or chunks.shape[0] != self.n_streams \
+                or chunks.shape[2] != self.config.hop_size:
+            raise ValueError("chunks must be [n_streams, n_hops, hop_size]")
+        n_mels = self.config.n_mels
+        if chunks.shape[1] == 0:
+            z = np.zeros((self.n_streams, 0), np.float32)
+            return (state, np.zeros((self.n_streams, 0, n_mels), np.uint8),
+                    z, z, z.astype(bool), z.astype(bool))
+        if active is None:
+            active = jnp.ones(self.n_streams, dtype=bool)
+        state, q, lo, hi, va, valid = self._tick_jit(
+            state, chunks, jnp.asarray(active, bool)
+        )
+        return (state, np.asarray(q), np.asarray(lo), np.asarray(hi),
+                np.asarray(va), np.asarray(valid))
+
+    def reset(self, state: FrontendState, mask) -> FrontendState:
+        mask = jnp.asarray(mask, bool)
+        return FrontendState(self.mel.reset(state.mel, mask),
+                             self.vad.reset(state.vad, mask))

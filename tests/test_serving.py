@@ -1,0 +1,136 @@
+"""Device serving tick (streaming/serving.py): the batched streaming-VAD
+protocol and per-frame quantization must match the host-side reference
+path (per-slot VoiceActivityDetector + ops.quant.quantize) exactly —
+they replace it inside examples/serve_streams.py, whose wire records the
+browser-bridge test requires byte-identical."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from melspec_tpu.config import DetectionSettings, MelConfig
+from melspec_tpu.ops.quant import quantize, quantize_frames_jnp
+from melspec_tpu.streaming.multistream import MultiStreamMel
+from melspec_tpu.streaming.serving import (MultiStreamFrontend,
+                                           MultiStreamVad)
+from melspec_tpu.streaming.vad import VoiceActivityDetector
+
+
+def _mel_like(rng, s, h, m):
+    """Speech-shaped mel values: smooth base + occasional sharp edges so
+    Sobel decisions exercise both outcomes."""
+    base = rng.normal(size=(s, h, m)) * 0.05
+    edges = (rng.random((s, h, m)) < 0.08) * rng.normal(size=(s, h, m)) * 3.0
+    return (base + edges).astype(np.float32)
+
+
+def test_quantize_frames_matches_host_bytes():
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(4, 7, 80)).astype(np.float32) * 2.0
+    frames[1, 3] = 0.625  # degenerate range: max == min -> NaN chain -> 0
+    frames[2, 0] = np.linspace(-1, 1, 80, dtype=np.float32)
+    q, lo, hi = quantize_frames_jnp(jnp.asarray(frames))
+    q, lo, hi = np.asarray(q), np.asarray(lo), np.asarray(hi)
+    for i in range(frames.shape[0]):
+        for j in range(frames.shape[1]):
+            want_q, want_rng = quantize(frames[i, j])
+            np.testing.assert_array_equal(q[i, j], want_q)
+            assert lo[i, j] == np.float32(want_rng.min)
+            assert hi[i, j] == np.float32(want_rng.max)
+
+
+@pytest.mark.parametrize("settings", [
+    DetectionSettings(),
+    DetectionSettings(min_energy=0.5, min_y=3, min_x=3, min_mel=0),
+    DetectionSettings(min_energy=0.2, min_y=2, min_x=7, min_mel=5),
+])
+def test_multistream_vad_matches_host_protocol(settings):
+    """Feeding each stream's VALID frames in order into the reference
+    frame-at-a-time VoiceActivityDetector must reproduce the device
+    decisions bit-for-bit (None -> False), across warm-up, ragged
+    validity prefixes, varying push widths and resets."""
+    rng = np.random.default_rng(settings.min_x)
+    s, m = 3, 32
+    vad = MultiStreamVad(settings, n_streams=s, n_mels=m)
+    state = vad.init()
+    hosts = [VoiceActivityDetector(settings) for _ in range(s)]
+
+    for step, h in enumerate([1, 4, 2, 9, 1, 5]):
+        mels = _mel_like(rng, s, h, m)
+        # structural validity: an invalid PREFIX per stream (warm-up),
+        # shrinking over time; stream 2 sits out push 2 entirely
+        valid = np.ones((s, h), dtype=bool)
+        lead = max(0, 2 - step)
+        valid[0, :min(lead, h)] = False
+        valid[1, :min(2 * lead, h)] = False
+        if step == 2:
+            valid[2, :] = False
+        state, va = vad.push(state, mels, valid)
+        for i in range(s):
+            for t in range(h):
+                if not valid[i, t]:
+                    assert not va[i, t]
+                    continue
+                want = hosts[i].add(mels[i, t][:, None])
+                assert va[i, t] == bool(want), (
+                    f"settings={settings} stream={i} push={step} hop={t}"
+                )
+
+    # reset one stream: its protocol restarts from scratch
+    state = vad.reset(state, np.asarray([False, True, False]))
+    hosts[1] = VoiceActivityDetector(settings)
+    mels = _mel_like(rng, s, 6, m)
+    valid = np.ones((s, 6), dtype=bool)
+    state, va = vad.push(state, mels, valid)
+    for i in range(s):
+        for t in range(6):
+            want = hosts[i].add(mels[i, t][:, None])
+            assert va[i, t] == bool(want), f"post-reset stream={i} hop={t}"
+
+
+def test_frontend_tick_matches_host_pipeline():
+    """MultiStreamFrontend's one-dispatch tick == MultiStreamMel bulk push
+    followed by the host per-frame quantize + per-slot VAD — the exact
+    equivalence serve_streams.py relies on for record stability."""
+    config = MelConfig(400, 160, 80, 16000.0)
+    settings = DetectionSettings(min_energy=0.5, min_y=3, min_x=5)
+    s = 4
+    front = MultiStreamFrontend(config, s, settings=settings)
+    ref_mel = MultiStreamMel(config, s)
+    fstate = front.init()
+    rstate = ref_mel.init()
+    hosts = [VoiceActivityDetector(settings) for _ in range(s)]
+
+    rng = np.random.default_rng(7)
+    for h in (3, 4, 4, 2):
+        chunks = (rng.normal(size=(s, h, config.hop_size)) * 0.3
+                  ).astype(np.float32)
+        active = np.ones(s, dtype=bool)
+        if h == 2:
+            active[3] = False
+        fstate, q, lo, hi, va, valid = front.push_many(fstate, chunks,
+                                                       active)
+        rstate, mels, rvalid = ref_mel.push_many(rstate, chunks, active)
+        np.testing.assert_array_equal(valid, rvalid)
+        for i in range(s):
+            for t in range(h):
+                if not valid[i, t]:
+                    continue
+                want_q, want_rng = quantize(mels[i, t])
+                np.testing.assert_array_equal(q[i, t], want_q)
+                assert lo[i, t] == np.float32(want_rng.min)
+                assert hi[i, t] == np.float32(want_rng.max)
+                want_va = hosts[i].add(mels[i, t][:, None])
+                assert va[i, t] == bool(want_va), (i, t)
+
+    # empty push is a no-op
+    fstate, q, lo, hi, va, valid = front.push_many(
+        fstate, np.zeros((s, 0, config.hop_size), np.float32))
+    assert q.shape == (s, 0, 80) and va.shape == (s, 0)
+
+    # reset clears both mel and vad state for the masked stream
+    fstate2 = front.reset(fstate, np.asarray([True, False, False, False]))
+    assert int(np.asarray(fstate2.mel.idx)[0]) == 0
+    assert int(np.asarray(fstate2.vad.count)[0]) == 0
+    assert np.asarray(fstate2.vad.hist)[0].max() == 0.0
+    assert int(np.asarray(fstate2.vad.count)[1]) > 0
