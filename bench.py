@@ -294,6 +294,10 @@ def main() -> None:
                  lambda x: front._tick_jit(fstate, x, active)[1]
                  .astype(jnp.float32)),
             ]:
+                if time.perf_counter() - started > BUDGET_S:
+                    print("bench budget exhausted; skipping remaining "
+                          "multistream rows", file=sys.stderr)
+                    break
                 try:
                     wall = _bench(ffn, ms_xs, iters=8)
                     rtfx = ms_audio / wall

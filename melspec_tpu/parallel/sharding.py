@@ -97,6 +97,47 @@ def sharded_multistream(
     return multi, init_fn, push_fn
 
 
+def sharded_serving(
+    mesh: Mesh,
+    config=None,
+    n_streams: int = 64,
+    settings: Optional[DetectionSettings] = None,
+    axis: str = "batch",
+):
+    """The COMPLETE serving tick — mel + batched streaming-VAD decisions
+    + per-frame u8 quantization (``streaming/serving.py``) — over the
+    mesh: the stream axis shards like a batch axis (streams are
+    independent; no collectives). Returns ``(front, init_fn, tick_fn)``;
+    ``tick_fn(state, chunks [S, H, hop], active [S])`` ->
+    ``(state, q u8, lo, hi, va, valid)`` with every array sharded on its
+    leading (stream) axis."""
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.streaming.multistream import MultiStreamState
+    from melspec_tpu.streaming.serving import (FrontendState,
+                                               MultiStreamFrontend,
+                                               VadStreamState)
+
+    config = config or MelConfig()
+    settings = settings or DetectionSettings()
+    if n_streams % mesh.devices.size != 0:
+        raise ValueError("n_streams must divide evenly over the mesh")
+    front = MultiStreamFrontend(config, n_streams, settings=settings)
+    spec = NamedSharding(mesh, P(axis))
+    st_shard = FrontendState(MultiStreamState(spec, spec),
+                             VadStreamState(spec, spec))
+
+    def init_fn():
+        return jax.device_put(front.init(), st_shard)
+
+    tick_fn = jax.jit(
+        lambda state, chunks, active: front._tick_jit(state, chunks,
+                                                      active),
+        in_shardings=(st_shard, spec, spec),
+        out_shardings=(st_shard, spec, spec, spec, spec, spec),
+    )
+    return front, init_fn, tick_fn
+
+
 def sharded_frontend_step(
     mesh: Mesh,
     settings: DetectionSettings = DetectionSettings(),

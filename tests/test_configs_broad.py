@@ -148,3 +148,43 @@ def test_wav_reader_rejects_misdeclared_formats(testdata, tmp_path):
     p.write_bytes(hdr + payload)
     with pytest.raises(ValueError):
         read_wav_mono(p)
+
+
+def test_sharded_serving_tick_runs():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    from melspec_tpu.config import DetectionSettings, MelConfig
+    from melspec_tpu.parallel import make_mesh
+    from melspec_tpu.parallel.sharding import sharded_serving
+    from melspec_tpu.streaming.serving import MultiStreamFrontend
+
+    mesh = make_mesh()
+    front, init_fn, tick_fn = sharded_serving(
+        mesh, MelConfig(400, 160, 80, 16000.0), n_streams=16,
+        settings=DetectionSettings(min_energy=0.5, min_y=3, min_x=5),
+    )
+    state = init_fn()
+    # unsharded single-device reference: identical bytes and decisions
+    ref = MultiStreamFrontend(
+        MelConfig(400, 160, 80, 16000.0), 16,
+        settings=DetectionSettings(min_energy=0.5, min_y=3, min_x=5),
+    )
+    rstate = ref.init()
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        chunks = (rng.normal(size=(16, 4, 160)) * 0.3).astype(np.float32)
+        active = jnp.ones(16, dtype=bool)
+        state, q, lo, hi, va, valid = tick_fn(state, jnp.asarray(chunks),
+                                              active)
+        rstate, rq, rlo, rhi, rva, rvalid = ref.push_many(rstate, chunks,
+                                                          active)
+        # the sharded program compiles to different fusions, so mel
+        # values differ in the last ulp — decisions must agree, bytes
+        # within one quantization step
+        np.testing.assert_array_equal(np.asarray(va), rva)
+        np.testing.assert_array_equal(np.asarray(valid), rvalid)
+        np.testing.assert_allclose(np.asarray(lo), rlo, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hi), rhi, atol=1e-5)
+        assert np.abs(np.asarray(q).astype(int) - rq.astype(int)).max() <= 1
