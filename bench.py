@@ -76,6 +76,10 @@ def _bench(fn, inputs, iters=16, reps=2, chain="input"):
 BUDGET_S = float(__import__("os").environ.get("MELSPEC_BENCH_BUDGET_S", 1500))
 
 
+class _BudgetDone(Exception):
+    """Bench time budget spent — stop adding optional rows."""
+
+
 def _run_tpu_gate() -> str:
     """Run the compiled-mode golden gates (tests/test_tpu_compiled.py) on
     the real chip in a subprocess. Returns 'pass'/'fail'/'error' — the
@@ -254,7 +258,13 @@ def main() -> None:
             # hops = 1,280 s of audio per dispatch — small configs are
             # dispatch-floor-bound through the tunnel and say nothing):
             # bulk (batched framing, one framed matmul pipeline) vs
-            # per-hop lax.scan, plus the bf3-numerics accuracy variant
+            # per-hop lax.scan, plus the bf3-numerics accuracy variant.
+            # Budget check BEFORE the setup: the objects and the three
+            # ~250 MB device inputs below are themselves expensive.
+            if time.perf_counter() - started > BUDGET_S:
+                print("bench budget exhausted; skipping multistream rows",
+                      file=sys.stderr)
+                raise _BudgetDone
             from melspec_tpu.config import MelConfig
             from melspec_tpu.streaming.multistream import MultiStreamMel
 
@@ -306,6 +316,8 @@ def main() -> None:
                           f"{rtfx:,.0f}x RT", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
                     print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
+        except _BudgetDone:
+            pass
         except Exception as e:  # noqa: BLE001
             print(f"frontend bench setup failed: {e!r}"[:300],
                   file=sys.stderr)

@@ -115,10 +115,8 @@ class Fbank:
             # first-sample term (src/fbank.rs:174-180) is spectrally
             # irrelevant because the Povey window has w[0] == 0 exactly,
             # so the fold is exact, not an approximation.
-            from melspec_tpu.ops import dft as _dft
-            from melspec_tpu.ops.mel_kernel import (LANES,
-                                                    _sig_stack_combined,
-                                                    sig_packed_im_bins)
+            from melspec_tpu.ops.mel_kernel import (_sig_frontend_matrices,
+                                                    bf2_stack)
 
             L = self.frame_len
             p = float(config.preemphasis)
@@ -126,30 +124,15 @@ class Fbank:
             if p > 0.0:
                 P[np.arange(1, L), np.arange(L - 1)] = -p
             B = P @ (np.eye(L) - np.full((L, L), 1.0 / L))
-            w = self._window_np[:, None]
-            cos_m, msin_m = _dft.rdft_matrices(self.fft_size, self.fft_bins)
-            k_pad = -(-L // LANES) * LANES
-            n_mels_pad = -(-config.num_mel_bins // LANES) * LANES
-            # N-packed column layout (see _sig_frontend_matrices): re
-            # columns for all 257 bins then im columns for the 255 bins
-            # whose sin column is nonzero — 512 lanes instead of 768; the
-            # re/im add rides the projection, whose rows carry the filter
-            # per component
-            im_bins = sig_packed_im_bins(self.fft_size, self.fft_bins)
-            n_cols = self.fft_bins + len(im_bins)
-            n_cols_pad = -(-n_cols // LANES) * LANES
-            csw = np.zeros((k_pad, n_cols_pad))
-            csw[:L, : self.fft_bins] = B.T @ (w * cos_m[:L])
-            csw[:L, self.fft_bins : n_cols] = (B.T @ (w * msin_m[:L]))[:, im_bins]
-            self._sig_m_big, self._sig_pair_i = _sig_stack_combined(
-                csw, ks=3, km=3, cutoff=2, pack=L
+            # the generic builder folds window + preproc into the
+            # spectral matrices and (auto) picks the N-packed column
+            # layout for this 512-point head — 512 lanes instead of 768
+            m_big, pair_i, mt, nbp, _, _, npack = _sig_frontend_matrices(
+                self.fft_size, self.fft_bins, self._window_np, filters,
+                ks=3, km=3, cutoff=2, pack=L, preproc=B,
             )
-            filt = np.asarray(filters, np.float64).T  # [fft_bins, n_mels]
-            mt = np.zeros((n_cols_pad, n_mels_pad))
-            mt[: self.fft_bins, : config.num_mel_bins] = filt
-            mt[self.fft_bins : n_cols, : config.num_mel_bins] = filt[im_bins]
-            from melspec_tpu.ops.mel_kernel import bf2_stack
-
+            assert npack and nbp == 0  # 257-bin heads always pack
+            self._sig_m_big, self._sig_pair_i = m_big, pair_i
             self._sig_mt = bf2_stack(mt)
 
     @property

@@ -577,7 +577,8 @@ def sig_packed_im_bins(fft_size: int, n_bins: int) -> list:
 def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
                            filters: np.ndarray, ks: int, km: int,
                            cutoff: int, pack: int | None = None,
-                           pack_off: int = 0, npack: str | bool = "auto"):
+                           pack_off: int = 0, npack: str | bool = "auto",
+                           preproc: np.ndarray | None = None):
     """General builder for the signal-input kernel's device matrices:
     K-stacked bf16 plane matrix with the given ``window`` folded in, the
     pair order for the matching signal-slice concatenation, and the
@@ -605,6 +606,12 @@ def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
       projection (K = n_bins_pad, not n_cols_pad) wins, which is exactly
       what "auto" decides.
 
+    ``window`` may be shorter than ``fft_size`` (a zero-padded frame,
+    e.g. Kaldi's 400-in-512); ``preproc`` optionally left-folds an
+    arbitrary per-frame LINEAR preprocessing matrix ``[taps, taps]``
+    (rows become ``preproc.T @ (window * dft_rows)`` — Kaldi's
+    DC-removal + preemphasis fold exactly this way).
+
     Returns ``(m_big, pair_i, mt, n_bins_pad, n_mels_pad, k_pad, npack)``
     where ``n_bins_pad`` is the kernel's split point (0 when packed)."""
     n_mels = filters.shape[0]
@@ -619,20 +626,25 @@ def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
 
     cos_m, msin_m = dft.rdft_matrices(fft_size, n_bins)
     w = np.asarray(window, np.float64)[:, None]
-    cwf = w * cos_m  # [fft, n_bins] float64, window folded
-    swf = w * msin_m
+    taps = w.shape[0]
+    cwf = w * cos_m[:taps]  # [taps, n_bins] float64, window folded
+    swf = w * msin_m[:taps]
+    if preproc is not None:
+        pre_t = np.asarray(preproc, np.float64).T
+        cwf = pre_t @ cwf
+        swf = pre_t @ swf
     filt = np.asarray(filters, np.float64)[:, :n_bins].T  # [n_bins, n_mels]
     if npack:
         csw = np.zeros((k_pad, n_cols_pad))
-        csw[:fft_size, :n_bins] = cwf
-        csw[:fft_size, n_bins : n_bins + len(im_bins)] = swf[:, im_bins]
+        csw[:taps, :n_bins] = cwf
+        csw[:taps, n_bins : n_bins + len(im_bins)] = swf[:, im_bins]
         mt = np.zeros((n_cols_pad, n_mels_pad))
         mt[:n_bins, :n_mels] = filt
         mt[n_bins : n_bins + len(im_bins), :n_mels] = filt[im_bins]
     else:
         csw = np.zeros((k_pad, 2 * n_bins_pad))
-        csw[:fft_size, :n_bins] = cwf
-        csw[:fft_size, n_bins_pad : n_bins_pad + n_bins] = swf
+        csw[:taps, :n_bins] = cwf
+        csw[:taps, n_bins_pad : n_bins_pad + n_bins] = swf
         mt = np.zeros((n_bins_pad, n_mels_pad))
         mt[:n_bins, :n_mels] = filt
     m_big, pair_i = _sig_stack_combined(

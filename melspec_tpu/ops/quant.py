@@ -50,20 +50,14 @@ def dequantize(data: np.ndarray, rng: QuantizationRange) -> np.ndarray:
 
 
 def quantize_jnp(frame: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Device quantization: returns ``(u8 values, min, max)``. Fuses with the
-    mel pipeline so only 1 byte/value crosses HBM/host boundaries — the
-    TPU-native analogue of the reference's WASM worker packing quantized
-    bytes into its output ring (``src/wasm.rs:95-145``)."""
-    frame = frame.astype(jnp.float32)
-    lo = jnp.min(frame)
-    hi = jnp.max(frame)
-    scale = 255.0 / (hi - lo)
-    scaled = (frame - lo) * scale
-    # same exact half-away-from-zero rounding as the host path
-    fl = jnp.floor(scaled)
-    rounded = fl + (scaled - fl >= 0.5).astype(jnp.float32)
-    rounded = jnp.where(jnp.isnan(rounded), 0.0, rounded)
-    return jnp.clip(rounded, 0.0, 255.0).astype(jnp.uint8), lo, hi
+    """Device quantization over the WHOLE array: ``(u8 values, min, max)``.
+    Fuses with the mel pipeline so only 1 byte/value crosses HBM/host
+    boundaries — the TPU-native analogue of the reference's WASM worker
+    packing quantized bytes into its output ring (``src/wasm.rs:95-145``).
+    The flattened special case of ``quantize_frames_jnp`` (one rounding
+    pipeline keeps the Rust-``round()`` bit-exactness in one place)."""
+    q, lo, hi = quantize_frames_jnp(frame.reshape(-1))
+    return q.reshape(frame.shape), lo, hi
 
 
 def dequantize_jnp(data: jnp.ndarray, lo, hi) -> jnp.ndarray:

@@ -212,7 +212,7 @@ class WhisperKaldiFused:
         self._geom = geom
         self._interpret = interpret
 
-        m_w, pair_i, _mt_hi, mt_w, nbp_w, _, k_pad_w, npack_w = \
+        m_w, pair_i, _mt_hi, mt_w, nbp_w, _, _k_pad_w, _npack_w = \
             _sig_device_matrices(mc.fft_size, mc.n_mels,
                                  float(mc.sampling_rate), 3, 3, 2)
         kaldi = Fbank(kc, fft_impl="sig")
@@ -229,9 +229,9 @@ class WhisperKaldiFused:
         self._heads = (
             # whisper: at the 400-point default the auto layout is split
             # re|im (packing would not narrow that head but would double
-            # its projection K); other fft sizes may auto-pack
-            (m_w.shape[1], 0 if npack_w else nbp_w, mc.n_mels, "whisper",
-             0.0, "bf2"),
+            # its projection K); other fft sizes may auto-pack, in which
+            # case nbp_w arrives as 0 (the packed sentinel) already
+            (m_w.shape[1], nbp_w, mc.n_mels, "whisper", 0.0, "bf2"),
             # kaldi: N-packed 512-lane head (Fbank builds it packed —
             # 33% narrower than split re|im); its fbank gate is coarse
             # (max < 0.0152 vs the kaldi golden) and the ~1e-6 bf2

@@ -78,8 +78,10 @@ def sharded_multistream(
     from melspec_tpu.streaming.multistream import MultiStreamMel
 
     config = config or MelConfig()
-    if n_streams % mesh.devices.size != 0:
-        raise ValueError("n_streams must divide evenly over the mesh")
+    if n_streams % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"n_streams must divide evenly over mesh axis {axis!r}"
+        )
     multi = MultiStreamMel(config, n_streams)
     spec = NamedSharding(mesh, P(axis))
 
@@ -119,8 +121,10 @@ def sharded_serving(
 
     config = config or MelConfig()
     settings = settings or DetectionSettings()
-    if n_streams % mesh.devices.size != 0:
-        raise ValueError("n_streams must divide evenly over the mesh")
+    if n_streams % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"n_streams must divide evenly over mesh axis {axis!r}"
+        )
     front = MultiStreamFrontend(config, n_streams, settings=settings)
     spec = NamedSharding(mesh, P(axis))
     st_shard = FrontendState(MultiStreamState(spec, spec),

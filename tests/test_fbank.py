@@ -182,3 +182,47 @@ def test_sig_impl_validation():
         Fbank(FbankConfig(use_power=False), fft_impl="sig")
     with pytest.raises(ValueError):
         Fbank(FbankConfig(), dtype=jnp.float64, fft_impl="sig")
+
+
+def test_sig_builder_preproc_matches_manual_fold():
+    """The generic _sig_frontend_matrices(preproc=B) must reproduce the
+    hand-rolled DC-removal+preemphasis fold bit-for-bit in BOTH column
+    layouts (the class uses packed; tools/bench_npack.py uses split)."""
+    from melspec_tpu.ops import dft as _dft
+    from melspec_tpu.ops.mel_kernel import (LANES, _sig_frontend_matrices,
+                                            _sig_stack_combined,
+                                            sig_packed_im_bins)
+
+    cfg = FbankConfig()
+    fb = Fbank(cfg, fft_impl="sig")
+    L, fft, bins = fb.frame_len, fb.fft_size, fb.fft_bins
+    p = float(cfg.preemphasis)
+    P = np.eye(L)
+    P[np.arange(1, L), np.arange(L - 1)] = -p
+    B = P @ (np.eye(L) - np.full((L, L), 1.0 / L))
+    w = fb._window_np[:, None]
+    cos_m, msin_m = _dft.rdft_matrices(fft, bins)
+    k_pad = -(-L // LANES) * LANES
+    cw_f = B.T @ (w * cos_m[:L])
+    sw_f = B.T @ (w * msin_m[:L])
+
+    for npack in (True, False):
+        if npack:
+            im = sig_packed_im_bins(fft, bins)
+            n_cols_pad = -(-(bins + len(im)) // LANES) * LANES
+            csw = np.zeros((k_pad, n_cols_pad))
+            csw[:L, :bins] = cw_f
+            csw[:L, bins : bins + len(im)] = sw_f[:, im]
+        else:
+            nbp = -(-bins // LANES) * LANES
+            csw = np.zeros((k_pad, 2 * nbp))
+            csw[:L, :bins] = cw_f
+            csw[:L, nbp : nbp + bins] = sw_f
+        want, want_pair = _sig_stack_combined(csw, ks=3, km=3, cutoff=2,
+                                              pack=L)
+        got, pair, _, _, _, _, gp = _sig_frontend_matrices(
+            fft, bins, fb._window_np, fb._filters_np, ks=3, km=3,
+            cutoff=2, pack=L, preproc=B, npack=npack)
+        assert gp is npack and pair == want_pair
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(want, np.float32))

@@ -116,10 +116,17 @@ def test_frontend_tick_matches_host_pipeline():
             for t in range(h):
                 if not valid[i, t]:
                     continue
+                # the fused tick and the standalone mel push are two
+                # separately compiled XLA programs — fusion differences
+                # can move mel values by an ulp, so bytes are held to
+                # one quantization step, not bitwise (the bitwise claim
+                # is test_quantize_frames_matches_host_bytes, same input
+                # both sides)
                 want_q, want_rng = quantize(mels[i, t])
-                np.testing.assert_array_equal(q[i, t], want_q)
-                assert lo[i, t] == np.float32(want_rng.min)
-                assert hi[i, t] == np.float32(want_rng.max)
+                assert np.abs(q[i, t].astype(int)
+                              - want_q.astype(int)).max() <= 1
+                assert abs(lo[i, t] - np.float32(want_rng.min)) <= 1e-5
+                assert abs(hi[i, t] - np.float32(want_rng.max)) <= 1e-5
                 want_va = hosts[i].add(mels[i, t][:, None])
                 assert va[i, t] == bool(want_va), (i, t)
 
