@@ -90,6 +90,12 @@ class MultiStreamVad:
 
         seq = jnp.concatenate([state.hist, mels.astype(jnp.float32)],
                               axis=1)                      # [S, k+H, M]
+        # image layout [S, M, T] for the Sobel classification: a
+        # transpose-free time-major variant was measured SLOWER on TPU
+        # (201k vs 290k x RT for the full tick at 256sx500h) — the
+        # per-column count becomes a 128-lane reduction per element and
+        # the min_mel slice goes lane-misaligned, which costs more than
+        # the whole-mel transpose it saves. Time stays on lanes.
         img = jnp.swapaxes(seq, -1, -2)                    # [S, M, k+H]
         fields = streaming_decision_fields_batched(img, settings)
 
