@@ -224,7 +224,9 @@ class MultiStreamMel:
             active = jnp.ones(self.n_streams, dtype=bool)
         fn = self._push_many_scan if scan else self._push_many_jit
         state, mels, valid = fn(state, chunks, jnp.asarray(active, bool))
-        return state, np.asarray(mels), np.asarray(valid)
+        # one device_get: per-array fetches pay a round trip each on
+        # remote runtimes
+        return (state, *jax.device_get((mels, valid)))
 
     def push(self, state: MultiStreamState, chunks, active=None
              ) -> Tuple[MultiStreamState, np.ndarray, np.ndarray]:
@@ -235,7 +237,7 @@ class MultiStreamMel:
             active = jnp.ones(self.n_streams, dtype=bool)
         state, mels, valid = self._push_jit(state, chunks,
                                             jnp.asarray(active, bool))
-        return state, np.asarray(mels), np.asarray(valid)
+        return (state, *jax.device_get((mels, valid)))
 
     @functools.partial(jax.jit, static_argnums=0)
     def _reset_jit(self, state: MultiStreamState, mask: jnp.ndarray):

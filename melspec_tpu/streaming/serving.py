@@ -130,7 +130,7 @@ class MultiStreamVad:
         if mels.shape[1] == 0:
             return state, np.zeros((self.n_streams, 0), bool)
         state, va = self._push_jit(state, mels, jnp.asarray(valid, bool))
-        return state, np.asarray(va)
+        return state, jax.device_get(va)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _reset_jit(self, state: VadStreamState, mask: jnp.ndarray):
@@ -198,8 +198,10 @@ class MultiStreamFrontend:
         state, q, lo, hi, va, valid = self._tick_jit(
             state, chunks, jnp.asarray(active, bool)
         )
-        return (state, np.asarray(q), np.asarray(lo), np.asarray(hi),
-                np.asarray(va), np.asarray(valid))
+        # ONE device_get for all outputs: fetching them one by one costs
+        # a round trip each on remote runtimes (measured 165 -> 42 ms
+        # p50 per 256-stream tick through the tunnel)
+        return (state, *jax.device_get((q, lo, hi, va, valid)))
 
     def reset(self, state: FrontendState, mask) -> FrontendState:
         mask = jnp.asarray(mask, bool)

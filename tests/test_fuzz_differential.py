@@ -137,3 +137,50 @@ def test_frame_signal_zero_frames_is_empty():
     assert out.shape == (0, 400)
     out2 = frame_signal(jnp.zeros((2, 300), jnp.float32), 400, 100, 0)
     assert out2.shape == (2, 0, 400)
+
+
+def test_fuzz_multistream_vad_protocol():
+    """Randomized differential fuzz of the device streaming-VAD state
+    (streaming/serving.MultiStreamVad) vs the frame-at-a-time reference
+    detector: random push widths, random warm-up prefixes, random
+    stream resets — decisions must match bit-for-bit at every frame."""
+    from melspec_tpu.config import DetectionSettings
+    from melspec_tpu.streaming.serving import MultiStreamVad
+    from melspec_tpu.streaming.vad import VoiceActivityDetector
+
+    rng = np.random.default_rng(42)
+    s, m = 4, 24
+    settings = DetectionSettings(min_energy=0.4, min_y=2, min_x=5,
+                                 min_mel=1)
+    vad = MultiStreamVad(settings, n_streams=s, n_mels=m)
+    state = vad.init()
+    hosts = [VoiceActivityDetector(settings) for _ in range(s)]
+    seen = [0] * s  # frames accepted per stream so far
+
+    for _ in range(25):
+        h = int(rng.integers(1, 8))
+        mels = (rng.normal(size=(s, h, m)) * 0.3
+                + (rng.random((s, h, m)) < 0.1) * 2.0).astype(np.float32)
+        valid = np.ones((s, h), dtype=bool)
+        for i in range(s):
+            if seen[i] == 0 and rng.random() < 0.6:
+                # structural prefix-invalidity: only streams that have
+                # not yet produced a valid frame may have one
+                valid[i, : int(rng.integers(0, h + 1))] = False
+        state, va = vad.push(state, mels, valid)
+        for i in range(s):
+            for t in range(h):
+                if not valid[i, t]:
+                    assert not va[i, t]
+                    continue
+                seen[i] += 1
+                want = hosts[i].add(mels[i, t][:, None])
+                assert va[i, t] == bool(want), (i, t, seen[i])
+        # occasional stream reset (slot reuse)
+        if rng.random() < 0.25:
+            j = int(rng.integers(0, s))
+            mask = np.zeros(s, dtype=bool)
+            mask[j] = True
+            state = vad.reset(state, mask)
+            hosts[j] = VoiceActivityDetector(settings)
+            seen[j] = 0
