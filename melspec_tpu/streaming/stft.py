@@ -211,7 +211,9 @@ class StreamingMel:
         state2, mel, valid = self._step(
             state, jnp.asarray(chunk), jnp.asarray(true_len, state.idx.dtype)
         )
-        return state2, (np.asarray(mel) if bool(valid) else None)
+        # one device_get (a remote runtime pays a round trip per fetch)
+        mel, valid = jax.device_get((mel, valid))
+        return state2, (mel if bool(valid) else None)
 
     def push_many(
         self, state: StftState, chunks: np.ndarray, scan: bool = False
@@ -231,4 +233,4 @@ class StreamingMel:
                     np.zeros((0,), bool))
         fn = self._steps if scan else self._bulk
         state, mels, valids = fn(state, chunks)
-        return state, np.asarray(mels), np.asarray(valids)
+        return (state, *jax.device_get((mels, valids)))
