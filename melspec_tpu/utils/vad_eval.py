@@ -423,13 +423,13 @@ def evaluate_testset_batched(
         # a real host FETCH, not block_until_ready: through a remote
         # runtime the latter can return optimistically before the actual
         # compile, which would then land inside the timed region
-        w = device_pass(jnp.asarray(batch))
-        for v in w.values():
-            np.asarray(v)
+        jax.device_get(device_pass(jnp.asarray(batch)))
 
     started = time.perf_counter()
-    fields_all = device_pass(jnp.asarray(batch))
-    fields_all = {k: np.asarray(v) for k, v in fields_all.items()}
+    # ONE device_get for the whole dict: fetching values one at a time
+    # pays a round trip each on remote runtimes, inflating the timed
+    # region by several RTTs
+    fields_all = jax.device_get(device_pass(jnp.asarray(batch)))
     wall_total = time.perf_counter() - started
 
     total = Metrics()
