@@ -127,12 +127,12 @@ class Fbank:
             # the generic builder folds window + preproc into the
             # spectral matrices and (auto) picks the N-packed column
             # layout for this 512-point head — 512 lanes instead of 768
-            m_big, pair_i, mt, nbp, _, _, npack = _sig_frontend_matrices(
+            m_big, pair_i, mt, _, _, _, npack = _sig_frontend_matrices(
                 self.fft_size, self.fft_bins, self._window_np, filters,
                 ks=3, km=3, cutoff=2, pack=L, preproc=B,
             )
-            assert npack and nbp == 0  # 257-bin heads always pack
             self._sig_m_big, self._sig_pair_i = m_big, pair_i
+            self._sig_npack = npack
             self._sig_mt = bf2_stack(mt)
 
     @property
@@ -166,7 +166,8 @@ class Fbank:
                 x2, self._sig_m_big, self._sig_mt,
                 interpret=jax.default_backend() not in ("tpu", "gpu"),
                 ks=3, pair_i=self._sig_pair_i, n_frames=nf,
-                pack=self.frame_len, npack=True, mel_precision="bf2",
+                pack=self.frame_len, npack=self._sig_npack,
+                mel_precision="bf2",
                 out_mode="ln_floor", guard=float(floor),
                 n_mels_out=cfg.num_mel_bins, row_w=row_w, phases=phases,
                 rows_tile=rows_tile,

@@ -627,6 +627,15 @@ def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
     cos_m, msin_m = dft.rdft_matrices(fft_size, n_bins)
     w = np.asarray(window, np.float64)[:, None]
     taps = w.shape[0]
+    if pack_off and taps < fft_size:
+        # a short window writes rows [0, taps) while pack_off slices
+        # rows [pack_off, pack_off+pack) — the combination would drop
+        # real rows silently. Callers with an offset interior (NeMo's
+        # centered frames) must pass the full fft_size-length window
+        # with its zero flanks explicit.
+        raise ValueError(
+            "pack_off > 0 requires a full fft_size-length window"
+        )
     cwf = w * cos_m[:taps]  # [taps, n_bins] float64, window folded
     swf = w * msin_m[:taps]
     if preproc is not None:

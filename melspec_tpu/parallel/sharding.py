@@ -64,6 +64,19 @@ def sharded_whisper_mel(
     return shard_batch(pipe._mel_batch_jit, mesh, axis)
 
 
+def _stream_axis_spec(mesh: Mesh, axis: str, n_streams: int) -> NamedSharding:
+    """Shared validation + leading-axis sharding for the stream-parallel
+    entry points (streams are independent; no collectives)."""
+    if axis not in mesh.shape:
+        raise ValueError(f"mesh has no axis {axis!r} (axes: "
+                         f"{tuple(mesh.shape)})")
+    if n_streams % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"n_streams must divide evenly over mesh axis {axis!r}"
+        )
+    return NamedSharding(mesh, P(axis))
+
+
 def sharded_multistream(
     mesh: Mesh,
     config=None,
@@ -78,12 +91,8 @@ def sharded_multistream(
     from melspec_tpu.streaming.multistream import MultiStreamMel
 
     config = config or MelConfig()
-    if n_streams % mesh.shape[axis] != 0:
-        raise ValueError(
-            f"n_streams must divide evenly over mesh axis {axis!r}"
-        )
+    spec = _stream_axis_spec(mesh, axis, n_streams)
     multi = MultiStreamMel(config, n_streams)
-    spec = NamedSharding(mesh, P(axis))
 
     from melspec_tpu.streaming.multistream import MultiStreamState
 
@@ -121,12 +130,8 @@ def sharded_serving(
 
     config = config or MelConfig()
     settings = settings or DetectionSettings()
-    if n_streams % mesh.shape[axis] != 0:
-        raise ValueError(
-            f"n_streams must divide evenly over mesh axis {axis!r}"
-        )
+    spec = _stream_axis_spec(mesh, axis, n_streams)
     front = MultiStreamFrontend(config, n_streams, settings=settings)
-    spec = NamedSharding(mesh, P(axis))
     st_shard = FrontendState(MultiStreamState(spec, spec),
                              VadStreamState(spec, spec))
 

@@ -264,3 +264,24 @@ def test_cached_device_matrices_built_inside_trace():
     a = jax.jit(f)(x)          # first trace builds + caches the matrices
     b = jax.jit(lambda y: f(y) + 0.0)(x)  # second, distinct trace reuses
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sig_builder_rejects_short_window_with_pack_off():
+    """A window shorter than fft_size writes matrix rows [0, taps) while
+    pack_off slices rows [pack_off, pack_off+pack) — combining them
+    would silently drop real rows, so the builder must refuse (offset
+    interiors need the full-length window with explicit zero flanks)."""
+    from melspec_tpu.ops.filterbank import mel_filterbank
+    from melspec_tpu.ops.mel_kernel import _sig_frontend_matrices
+    from melspec_tpu.ops.windows import hann_periodic
+
+    filters = mel_filterbank(16000.0, 512, 80)
+    with pytest.raises(ValueError, match="full fft_size-length window"):
+        _sig_frontend_matrices(512, 257, hann_periodic(400), filters,
+                               ks=3, km=3, cutoff=2, pack=400,
+                               pack_off=56)
+    # full-length window with the same offset interior is fine
+    w = np.zeros(512)
+    w[56:456] = hann_periodic(400)
+    _sig_frontend_matrices(512, 257, w, filters, ks=3, km=3, cutoff=2,
+                           pack=400, pack_off=56)
