@@ -41,6 +41,20 @@ from melspec_tpu.ops.windows import povey
 F32_EPSILON = 1.1920929e-07
 
 
+def kaldi_preproc_matrix(frame_len: int, preemphasis: float) -> np.ndarray:
+    """The per-frame linear preprocessing as one ``[L, L]`` matrix:
+    DC removal ``(I - 11^T/L)`` followed by in-frame preemphasis
+    ``(I - p*S)`` (reference ``src/fbank.rs:163-181``; the cross-frame
+    first-sample term is spectrally irrelevant because the Povey window
+    has w[0] == 0 exactly). Single owner — the sig-kernel fold, its
+    tests and the A/B tool all build from here."""
+    L = frame_len
+    P = np.eye(L)
+    if preemphasis > 0.0:
+        P[np.arange(1, L), np.arange(L - 1)] = -preemphasis
+    return P @ (np.eye(L) - np.full((L, L), 1.0 / L))
+
+
 class Fbank:
     """Precompiled Kaldi fbank extractor for one config.
 
@@ -119,11 +133,7 @@ class Fbank:
                                                     bf2_stack)
 
             L = self.frame_len
-            p = float(config.preemphasis)
-            P = np.eye(L)
-            if p > 0.0:
-                P[np.arange(1, L), np.arange(L - 1)] = -p
-            B = P @ (np.eye(L) - np.full((L, L), 1.0 / L))
+            B = kaldi_preproc_matrix(L, float(config.preemphasis))
             # the generic builder folds window + preproc into the
             # spectral matrices and (auto) picks the N-packed column
             # layout for this 512-point head — 512 lanes instead of 768

@@ -189,6 +189,7 @@ def test_sig_builder_preproc_matches_manual_fold():
     hand-rolled DC-removal+preemphasis fold bit-for-bit in BOTH column
     layouts (the class uses packed; tools/bench_npack.py uses split)."""
     from melspec_tpu.ops import dft as _dft
+    from melspec_tpu.ops.fbank import kaldi_preproc_matrix
     from melspec_tpu.ops.mel_kernel import (LANES, _sig_frontend_matrices,
                                             _sig_stack_combined,
                                             sig_packed_im_bins)
@@ -196,10 +197,7 @@ def test_sig_builder_preproc_matches_manual_fold():
     cfg = FbankConfig()
     fb = Fbank(cfg, fft_impl="sig")
     L, fft, bins = fb.frame_len, fb.fft_size, fb.fft_bins
-    p = float(cfg.preemphasis)
-    P = np.eye(L)
-    P[np.arange(1, L), np.arange(L - 1)] = -p
-    B = P @ (np.eye(L) - np.full((L, L), 1.0 / L))
+    B = kaldi_preproc_matrix(L, float(cfg.preemphasis))
     w = fb._window_np[:, None]
     cos_m, msin_m = _dft.rdft_matrices(fft, bins)
     k_pad = -(-L // LANES) * LANES

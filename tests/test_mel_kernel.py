@@ -207,12 +207,14 @@ def test_sig_npack_layout_matches_split():
     assert sig_packed_im_bins(512, 257) == [j for j in range(1, 256)]
     assert sig_packed_im_bins(400, 200) == [j for j in range(1, 200)]
 
+    from melspec_tpu.ops import framing
+
     filters = mel_filterbank(16000.0, fft, n_mels)
     window = hann_periodic(fft)
     rng = np.random.default_rng(7)
     x = (rng.normal(size=(2, 48000)) * 0.3).astype(np.float32)
     row_w, phases, rows_tile = sig_geometry(fft, hop, 0)
-    n_frames = x.shape[-1] // hop - fft // hop + 1
+    n_frames = framing.num_frames_batch(x.shape[-1], fft, hop)
 
     outs = {}
     for npack in (False, True):

@@ -102,6 +102,7 @@ def test_frontend_tick_matches_host_pipeline():
     hosts = [VoiceActivityDetector(settings) for _ in range(s)]
 
     rng = np.random.default_rng(7)
+    va_checked, va_mismatch = 0, 0
     for h in (3, 4, 4, 2):
         chunks = (rng.normal(size=(s, h, config.hop_size)) * 0.3
                   ).astype(np.float32)
@@ -127,8 +128,16 @@ def test_frontend_tick_matches_host_pipeline():
                               - want_q.astype(int)).max() <= 1
                 assert abs(lo[i, t] - np.float32(want_rng.min)) <= 1e-5
                 assert abs(hi[i, t] - np.float32(want_rng.max)) <= 1e-5
+                # the host detector sees the OTHER program's mel; an
+                # ulp-level threshold straddle may flip an isolated
+                # decision, but a wiring bug (frame offset, wrong
+                # stream) flips many — budget 1 mismatch. Exact
+                # same-input decision parity is pinned by
+                # test_multistream_vad_matches_host_protocol.
                 want_va = hosts[i].add(mels[i, t][:, None])
-                assert va[i, t] == bool(want_va), (i, t)
+                va_checked += 1
+                va_mismatch += int(va[i, t] != bool(want_va))
+    assert va_checked > 30 and va_mismatch <= 1, (va_mismatch, va_checked)
 
     # empty push is a no-op
     fstate, q, lo, hi, va, valid = front.push_many(

@@ -60,11 +60,9 @@ def main() -> None:
     kaldi_packed = Fbank(kc, fft_impl="sig")
     kaldi_split = Fbank(kc, fft_impl="sig")
     L = kaldi_split.frame_len
-    p = float(kc.preemphasis)
-    P = np.eye(L)
-    if p > 0.0:
-        P[np.arange(1, L), np.arange(L - 1)] = -p
-    B = P @ (np.eye(L) - np.full((L, L), 1.0 / L))
+    from melspec_tpu.ops.fbank import kaldi_preproc_matrix
+
+    B = kaldi_preproc_matrix(L, float(kc.preemphasis))
     m_ks, pair_ks, mt_ks, _, _, _, got = _sig_frontend_matrices(
         kaldi_split.fft_size, kaldi_split.fft_bins,
         kaldi_split._window_np, kaldi_split._filters_np,
@@ -72,6 +70,9 @@ def main() -> None:
     assert got is False
     mt_ks_bf2 = bf2_stack(mt_ks)
 
+    # jitted like Fbank._compute_jit so the CMN epilogue fuses — an
+    # eager mean+subtract would bias the A/B against the split arm
+    @jax.jit
     def kaldi_split_fn(x):
         floor = kc.energy_floor if kc.energy_floor > 0.0 else F32_EPSILON
         row_w, phases, rows_tile = kaldi_split._sig_geom
