@@ -150,3 +150,20 @@ def test_frontend_tick_matches_host_pipeline():
     assert int(np.asarray(fstate2.vad.count)[0]) == 0
     assert np.asarray(fstate2.vad.hist)[0].max() == 0.0
     assert int(np.asarray(fstate2.vad.count)[1]) > 0
+
+
+def test_serving_input_validation():
+    front = MultiStreamFrontend(MelConfig(400, 160, 80, 16000.0), 4)
+    state = front.init()
+    with pytest.raises(ValueError, match="chunks must be"):
+        front.push_many(state, np.zeros((3, 2, 160), np.float32))
+    with pytest.raises(ValueError, match="chunks must be"):
+        front.push_many(state, np.zeros((4, 2, 100), np.float32))
+    vad = MultiStreamVad(DetectionSettings(), 4, 80)
+    with pytest.raises(ValueError, match="mels must be"):
+        vad.push(vad.init(), np.zeros((3, 2, 80), np.float32),
+                 np.ones((3, 2), bool))
+    with pytest.raises(ValueError, match="min_x"):
+        MultiStreamVad(DetectionSettings(min_x=2), 4, 80)
+    with pytest.raises(ValueError, match="n_mels"):
+        MultiStreamVad(DetectionSettings(), 4, 2)
