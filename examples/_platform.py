@@ -26,3 +26,12 @@ def apply_platform_flag(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", value)
+    # persistent compile cache: later CLI runs skip the (potentially
+    # minutes-long remote) compiles; opt out with
+    # MELSPEC_TPU_NO_COMPILE_CACHE=1
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from melspec_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()

@@ -279,6 +279,9 @@ def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
 
 
 def main() -> None:
+    from melspec_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # later server starts skip the compiles
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--port", type=int, default=9377)
     ap.add_argument("--n-streams", type=int, default=16)
