@@ -89,6 +89,12 @@ def _run_tpu_gate() -> str:
 
     env = dict(os.environ, MELSPEC_TPU_TESTS="1")
     env.pop("JAX_PLATFORMS", None)
+    # share the persistent compile cache with the gate subprocess: its
+    # Mosaic compiles are the session's slowest, and a congested compile
+    # service has pushed single programs past 10 minutes
+    cache = jax.config.jax_compilation_cache_dir
+    if cache:
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
     try:
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "-m", "tpu", "-q",
@@ -108,6 +114,10 @@ def _run_tpu_gate() -> str:
 
 def main() -> None:
     started = time.perf_counter()
+    from melspec_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    print(f"compile cache: {cache_dir}", file=sys.stderr)
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
 
