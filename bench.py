@@ -47,22 +47,48 @@ def _bench(fn, inputs, iters=16, reps=2, chain="input"):
     """
     import jax.numpy as jnp
 
+    # Request distinctness is load-bearing, and the naive "+ carry * tiny"
+    # trick is NOT enough: with 0.1-scale inputs a sub-1e-8 perturbation
+    # UNDERFLOWS in the f32 add, every chained request repeats
+    # bit-identically, and the remote runtime's memoization returns cached
+    # results — measured 1.6M x RT for a kernel whose FLOPs bound it
+    # ~4x lower (physically impossible => cached, not computed). So:
+    # (a) the input chain adds an O(1e-7) scalar derived from the previous
+    #     sum (above the ulp of 0.1-scale samples, irrelevant to timing);
+    # (b) the output chain halves the carry each step, so the scalar
+    #     operand stays bit-distinct for ~24 iterations;
+    # (c) every timed() call starts from a FRESH seed (the chain is
+    #     otherwise deterministic, and a repeated rep would replay the
+    #     exact same request sequence into the cache).
+    seed_box = [0]
     if chain == "output":
-        g = jax.jit(lambda x, c: jnp.sum(fn(x)) * 1e-30 + c * 1e-30)
+        g = jax.jit(
+            lambda x, c: jnp.sum(fn(x).astype(jnp.float32)) * 1e-30
+            + c * 0.5
+        )
 
         def step(i, carry):
             return g(inputs[i % len(inputs)], carry)
+
+        def init_carry():
+            seed_box[0] += 1
+            return jnp.float32(seed_box[0] * 1e-25)
     else:
 
         def step(i, carry):
-            x = inputs[i % len(inputs)] + carry * 1e-30
-            return jnp.sum(fn(x)) * 1e-30
+            x = inputs[i % len(inputs)] + carry
+            s = jnp.sum(fn(x).astype(jnp.float32))
+            return s * (1e-7 / (jnp.abs(s) + 1.0)) + jnp.float32(1e-7)
+
+        def init_carry():
+            seed_box[0] += 1
+            return jnp.float32(seed_box[0] * 1e-7)
 
     def timed(n):
-        carry = step(0, jnp.zeros((), jnp.float32))  # warm
+        carry = step(0, init_carry())  # warm (fresh seed: never a replay)
         float(carry)
         t0 = time.perf_counter()
-        carry = jnp.zeros((), jnp.float32)
+        carry = init_carry()
         for i in range(n):
             carry = step(i, carry)
         float(carry)
@@ -233,7 +259,8 @@ def main() -> None:
             kaldi_sig = Fbank(FbankConfig(apply_cmn=True), fft_impl="sig")
             settings = DetectionSettings()
 
-            from melspec_tpu.ops.mel_kernel import whisper_mel_vad_sig
+            from melspec_tpu.ops.mel_kernel import (whisper_mel_quantized,
+                                                    whisper_mel_vad_sig)
 
             @jax.jit
             def vad_fields(x):
@@ -255,6 +282,12 @@ def main() -> None:
                 ("kaldi_fbank", kaldi.compute),
                 ("kaldi_fbank_sig", kaldi_sig.compute),
                 ("vad_fields", lambda x: vad_fields(x)["confidence"]),
+                # fused per-frame u8 wire-record emission (q only; _bench
+                # casts to f32 for the reduction — raw u8 sums can repeat
+                # bit-identically and hit the remote request cache)
+                ("quantized_sig",
+                 lambda x: whisper_mel_quantized(x, 400, 160, 80,
+                                                 16000.0)[0]),
             ]:
                 try:
                     wall = _bench(ffn, xs, iters=8)

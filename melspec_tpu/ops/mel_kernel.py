@@ -933,6 +933,30 @@ def _sig_natural_order(vals, phases: int, rows: int):
     return vals
 
 
+def _sig_quant_vals(vals, n_mels_real: int):
+    """Fused per-frame 8-bit quantization epilogue: each frame's min/max
+    range plus Rust-``round()`` tie-breaking, the exact expression tree of
+    ``ops.quant.quantize_frames_jnp`` (which itself is bit-exact with the
+    reference's per-column quantizer, ``src/wasm.rs:95-145`` /
+    ``src/quant.rs:140-165``). Computing it here means the wire-record
+    payload (``u8[n_mels] | min | max``) leaves the kernel directly —
+    the float mel never round-trips HBM for a separate quant pass.
+    Returns ``(q [frames, n_mels_real] f32-integer-valued,
+    rng [frames, 2] f32: lo | hi)``."""
+    v = vals[:, :n_mels_real]
+    lo = jnp.min(v, axis=1, keepdims=True)
+    hi = jnp.max(v, axis=1, keepdims=True)
+    scale = 255.0 / (hi - lo)
+    scaled = (v - lo) * scale
+    fl = jnp.floor(scaled)
+    rounded = fl + (scaled - fl >= 0.5).astype(jnp.float32)
+    # degenerate range (hi == lo): scale = inf, scaled = 0*inf = NaN -> 0,
+    # exactly the host quantizer's NaN chain
+    rounded = jnp.where(jnp.isnan(rounded), 0.0, rounded)
+    q = jnp.clip(rounded, 0.0, 255.0)
+    return q, jnp.concatenate([lo, hi], axis=1)
+
+
 def _sig_vad_counts(vals, vad: tuple, n_mels_real: int):
     """Fused Sobel VAD epilogue (reference src/vad.rs:373-486 decision
     function): the 3x3 stencil reads only this tile's [frames, mels]
@@ -980,13 +1004,11 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, *refs,
                          rows_tile: int = _SIG_ROWS_PER_TILE,
                          out_mode: str = "whisper", guard: float = 0.0,
                          vad: tuple | None = None, n_mels_real: int = 0,
-                         pack: int = 0, pack_off: int = 0):
-    if vad is not None:
-        out_ref, vad_ref = refs[0], refs[1]
-        s_scratch, dma_sems, tail_sems = refs[2:]
-    else:
-        out_ref = refs[0]
-        s_scratch, dma_sems, tail_sems = refs[1:]
+                         pack: int = 0, pack_off: int = 0,
+                         quant: bool = False):
+    n_out = 2 if (vad is not None or quant) else 1
+    outs = refs[:n_out]
+    s_scratch, dma_sems, tail_sems = refs[n_out:]
 
     frames = _sig_window_frames(
         sig_ref, tailpad_ref, s_scratch, dma_sems, tail_sems,
@@ -1008,9 +1030,16 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, *refs,
     energy = _sig_project(power, mt_ref, mel_precision)
     vals = _sig_natural_order(_sig_out_vals(energy, out_mode, guard),
                               phases, rows_tile)
-    out_ref[0] = vals[:, : out_ref.shape[-1]]
-    if vad is not None:
-        vad_ref[0] = _sig_vad_counts(vals, vad, n_mels_real)
+    if quant:
+        q, rng = _sig_quant_vals(vals, n_mels_real)
+        # Mosaic has no direct f32 -> u8 cast; round-trip through i32
+        # (q is already integer-valued in [0, 255], both casts are exact)
+        outs[0][0] = q.astype(jnp.int32).astype(outs[0].dtype)
+        outs[1][0] = rng
+    else:
+        outs[0][0] = vals[:, : outs[0].shape[-1]]
+        if vad is not None:
+            outs[1][0] = _sig_vad_counts(vals, vad, n_mels_real)
 
 
 def _sig_host_prep(samples: jnp.ndarray, tiles: int, row_w: int,
@@ -1063,7 +1092,7 @@ def _sig_host_prep(samples: jnp.ndarray, tiles: int, row_w: int,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
                      "mel_precision", "n_mels_out", "out_mode", "guard",
                      "row_w", "phases", "rows_tile", "vad", "pack",
-                     "pack_off", "npack"),
+                     "pack_off", "npack", "quant"),
 )
 def _pallas_sig_mel(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
@@ -1085,6 +1114,7 @@ def _pallas_sig_mel(
     pack: int = 0,
     pack_off: int = 0,
     npack: bool = False,
+    quant: bool = False,
 ) -> jnp.ndarray:
     """Whisper log-mel from the raw signal, framing fused into the kernel.
     Returns ``[B, n_frames, n_mels_out or n_mels_pad]`` in natural frame
@@ -1116,7 +1146,10 @@ def _pallas_sig_mel(
         row_w=row_w, phases=phases, rows_tile=rows_tile,
         out_mode=out_mode, guard=guard,
         vad=vad, n_mels_real=out_lanes, pack=pack, pack_off=pack_off,
+        quant=quant,
     )
+    if quant and vad is not None:
+        raise NotImplementedError("quant + fused VAD in one kernel call")
     # final layout directly: the time dim need not divide frames_tile
     # (pallas clips the last block's stores), the lane dim is the real
     # n_mels — no padded intermediate, no epilogue
@@ -1126,6 +1159,19 @@ def _pallas_sig_mel(
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct((b, n_frames, out_lanes), jnp.float32)
+    if quant:
+        # u8 payload + per-frame [lo | hi] range — the wire-record fields
+        out_specs = (pl.BlockSpec(
+            (1, frames_tile, out_lanes), lambda bb, tt: (bb, tt, 0),
+            memory_space=pltpu.VMEM,
+        ), pl.BlockSpec(
+            (1, frames_tile, 2), lambda bb, tt: (bb, tt, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape = (
+            jax.ShapeDtypeStruct((b, n_frames, out_lanes), jnp.uint8),
+            jax.ShapeDtypeStruct((b, n_frames, 2), jnp.float32),
+        )
     if vad is not None:
         out_specs = (out_specs, pl.BlockSpec(
             (1, 8, frames_tile), lambda bb, tt: (bb, 0, tt),
@@ -1153,8 +1199,10 @@ def _pallas_sig_mel(
             flops=2 * b * tiles * frames_tile
             * (m_big.shape[0] * m_big.shape[1]
                + mt.shape[0] * n_mels_pad),
-            bytes_accessed=(b * (rows_tile * tiles + 8) * row_w
-                            + b * n_frames * out_lanes) * 4,
+            bytes_accessed=(b * (rows_tile * tiles + 8) * row_w * 4
+                            + b * n_frames
+                            * ((out_lanes + 8) if quant
+                               else out_lanes * 4)),
             transcendentals=b * tiles * frames_tile * n_mels_pad,
         ),
         interpret=interpret,
@@ -1232,6 +1280,69 @@ def whisper_mel_sig(
         rows_tile=rows_tile, pack=fft_size, npack=npack,
     )
     return out[0] if squeeze else out
+
+
+def whisper_mel_quantized(
+    samples,
+    fft_size: int = 400,
+    hop_size: int = 160,
+    n_mels: int = 80,
+    sampling_rate: float = 16000.0,
+    streaming: bool = False,
+    interpret: bool = False,
+    ks: int = 3,
+    cutoff: int = 2,
+    mel_precision="bf2",
+):
+    """Whisper log-mel emitted DIRECTLY as per-frame 8-bit wire records:
+    ``(q [B, T, n_mels] uint8, lo [B, T] f32, hi [B, T] f32)``.
+
+    The reference's live path quantizes every emitted mel column with its
+    own min/max range before shipping it (``src/wasm.rs:95-145``, the
+    browser worker's ``min | max | u8[n_mels]`` record,
+    ``examples/browser/worker.js:52-58``). Here that quantization runs in
+    the sig kernel's epilogue while the frame values are still VMEM
+    resident, bit-exact with ``ops.quant.quantize_frames_jnp`` — the f32
+    mel tensor never exists in HBM, and the device writes (and any
+    host fetch) shrink from ``4 * n_mels`` bytes/frame to
+    ``n_mels + 8``. Same geometry/accuracy contract as
+    ``whisper_mel_sig``; 1-D input returns unbatched arrays."""
+    x = jnp.asarray(samples, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    offset = 0
+    if streaming:
+        offset = framing.streaming_frame_offset(fft_size, hop_size)
+        n_frames = framing.num_frames_streaming(x.shape[-1], fft_size,
+                                                hop_size)
+    else:
+        n_frames = framing.num_frames_batch(x.shape[-1], fft_size, hop_size)
+    geom = sig_geometry(fft_size, hop_size, offset)
+    if geom is None:
+        raise ValueError(
+            "no macro-row geometry for this (fft, hop) — quantize the "
+            "whisper_mel_pallas output with quantize_frames_jnp instead"
+        )
+    row_w, phases, rows_tile = geom
+    if n_frames <= 0:
+        q = jnp.zeros((x.shape[0], 0, n_mels), jnp.uint8)
+        z = jnp.zeros((x.shape[0], 0), jnp.float32)
+        return (q[0], z[0], z[0]) if squeeze else (q, z, z)
+
+    m_big, pair_i, mt, mt_bf2, _, _, _, npack = _sig_device_matrices(
+        fft_size, n_mels, float(sampling_rate), ks, ks, cutoff
+    )
+    if mel_precision == "bf2":
+        mt = mt_bf2
+    q, rng = _pallas_sig_mel(
+        x, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
+        n_frames=n_frames, offset=offset, mel_precision=mel_precision,
+        n_mels_out=n_mels, row_w=row_w, phases=phases,
+        rows_tile=rows_tile, pack=fft_size, npack=npack, quant=True,
+    )
+    lo, hi = rng[..., 0], rng[..., 1]
+    return (q[0], lo[0], hi[0]) if squeeze else (q, lo, hi)
 
 
 @functools.partial(

@@ -37,7 +37,9 @@ from melspec_tpu.ops.filterbank import (
     mel_to_hz,
     mels_to_hz,
 )
-from melspec_tpu.ops.mel_kernel import whisper_mel_pallas, whisper_mel_sig
+from melspec_tpu.ops.mel_kernel import (whisper_mel_pallas,
+                                        whisper_mel_quantized,
+                                        whisper_mel_sig)
 from melspec_tpu.ops.quant import (
     QuantizationRange,
     dequantize,
@@ -134,6 +136,7 @@ __all__ = [
     "vad_boundaries",
     "vad_on",
     "whisper_mel_pallas",
+    "whisper_mel_quantized",
     "whisper_mel_sig",
     "whisper_norm",
 ]

@@ -287,3 +287,61 @@ def test_sig_builder_rejects_short_window_with_pack_off():
     w[56:456] = hann_periodic(400)
     _sig_frontend_matrices(512, 257, w, filters, ks=3, km=3, cutoff=2,
                            pack=400, pack_off=56)
+
+
+def test_quantized_kernel_matches_xla_quant():
+    """The fused per-frame u8 epilogue (whisper_mel_quantized) must be
+    bit-exact with quantizing the sig kernel's mel output via
+    quantize_frames_jnp — same expression tree, same Rust-round()
+    tie-breaking (src/wasm.rs:95-145 wire-record semantics)."""
+    from melspec_tpu.ops.mel_kernel import (whisper_mel_quantized,
+                                            whisper_mel_sig)
+    from melspec_tpu.ops.quant import quantize_frames_jnp
+
+    rng = np.random.default_rng(11)
+    x = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
+    q, lo, hi = whisper_mel_quantized(x, interpret=True)
+    assert q.dtype == jnp.uint8 and q.shape == (2, 98, 80)
+    mel = whisper_mel_sig(x, interpret=True)
+    q_ref, lo_ref, hi_ref = quantize_frames_jnp(mel)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo_ref))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_ref))
+
+
+def test_quantized_kernel_degenerate_range():
+    """Constant frames (zero signal) have hi == lo; the NaN chain must
+    quantize them to 0 exactly like the host quantizer's
+    NaN.max(0).min(255) (src/quant.rs:140-165)."""
+    from melspec_tpu.ops.mel_kernel import whisper_mel_quantized
+
+    q, lo, hi = whisper_mel_quantized(np.zeros((1, 8000), np.float32),
+                                      interpret=True)
+    assert (np.asarray(q) == 0).all()
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(hi))
+
+
+def test_quantized_kernel_geometry_and_squeeze():
+    """1-D squeeze contract, ragged-tail clip lengths, the empty-clip
+    no-op, and the unsupported-geometry error."""
+    from melspec_tpu.ops.mel_kernel import (whisper_mel_quantized,
+                                            whisper_mel_sig)
+    from melspec_tpu.ops.quant import quantize_frames_jnp
+
+    rng = np.random.default_rng(13)
+    # ragged, non-macro-row length exercises the padded fallback and the
+    # last tile's clipped stores on BOTH quant outputs
+    x = (rng.normal(size=640 * 129 + 7) * 0.2).astype(np.float32)
+    q, lo, hi = whisper_mel_quantized(x, interpret=True)
+    mel = whisper_mel_sig(x, interpret=True)
+    q_ref, lo_ref, hi_ref = quantize_frames_jnp(mel)
+    assert q.shape == np.asarray(q_ref).shape and lo.ndim == 1
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_ref))
+
+    q0, lo0, hi0 = whisper_mel_quantized(np.zeros(100, np.float32),
+                                         interpret=True)
+    assert q0.shape == (0, 80) and lo0.shape == (0,)
+
+    with pytest.raises(ValueError, match="geometry"):
+        whisper_mel_quantized(x, 400, 7, 80, 16000.0, interpret=True)

@@ -150,3 +150,25 @@ def test_npack_fbank_golden_compiled(jfk_samples, testdata):
     )
     assert feats.shape == golden.shape
     assert np.abs(feats - golden).max() < 0.016
+
+
+def test_quantized_emission_parity_compiled(jfk_samples):
+    """The fused u8 wire-record emission (whisper_mel_quantized),
+    Mosaic-compiled, vs quantizing the compiled sig kernel's mel with
+    quantize_frames_jnp. The two PROGRAMS share the same kernel math but
+    compile separately, so the mel values may differ by an ulp at a
+    rounding boundary — decisions are allowed +-1 quantization step
+    (measured 0 on chip); ranges must match to f32 roundoff."""
+    from melspec_tpu.ops.mel_kernel import (whisper_mel_quantized,
+                                            whisper_mel_sig)
+    from melspec_tpu.ops.quant import quantize_frames_jnp
+
+    x = np.asarray(jfk_samples, np.float32)[None]
+    q, lo, hi = jax.device_get(whisper_mel_quantized(x))
+    mel = whisper_mel_sig(x)
+    q_ref, lo_ref, hi_ref = jax.device_get(quantize_frames_jnp(mel))
+    assert q.dtype == np.uint8 and q.shape == q_ref.shape
+    steps = np.abs(q.astype(np.int32) - q_ref.astype(np.int32))
+    assert steps.max() <= 1
+    np.testing.assert_allclose(lo, lo_ref, atol=1e-6)
+    np.testing.assert_allclose(hi, hi_ref, atol=1e-6)
