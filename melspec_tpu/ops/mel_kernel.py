@@ -1420,7 +1420,15 @@ def whisper_mel_vad_sig(
         raise ValueError("Sobel VAD needs n_mels >= 3")
     row_w, phases, rows_tile = geom
     if n_frames < 3:
-        mel = jnp.zeros((x.shape[0], max(n_frames, 0), n_mels), jnp.float32)
+        # too short for any 3x3 Sobel column, but the mel contract still
+        # holds: compute the real 1-2 frames via the plain sig kernel
+        # (returning zeros here would silently corrupt short utterances)
+        if n_frames > 0:
+            mel = whisper_mel_sig(x, fft_size, hop_size, n_mels,
+                                  sampling_rate, streaming=streaming,
+                                  interpret=interpret)
+        else:
+            mel = jnp.zeros((x.shape[0], 0, n_mels), jnp.float32)
         raw = jnp.zeros((x.shape[0], 0), bool)
         return (mel[0], raw[0]) if squeeze else (mel, raw)
 
@@ -1671,6 +1679,10 @@ def whisper_mel_pallas(
     elif impl == "hp_bf16":
         ks = 5 if hp_n_slices is None else hp_n_slices
         cutoff = 5 if hp_max_pair_sum is None else hp_max_pair_sum
+        # slices past the pair-sum budget pair with nothing (i + 0 >
+        # cutoff): without this clamp their full-width matmuls run and
+        # every output is discarded (the bf3/hp8 branches clamp too)
+        ks = min(ks, cutoff + 1)
         cs, ss, mt, _, _, _ = _hp_device_matrices(
             fft_size, n_mels, float(sampling_rate), ks
         )

@@ -41,6 +41,16 @@ def _frames_budget_bytes() -> int:
     return int(os.environ.get("MELSPEC_FRAMES_BUDGET_BYTES", 1 << 30))
 
 
+def _sig_budget_bytes() -> int:
+    """HBM budget for the sig kernel's REAL footprint — input signal +
+    final-layout output; it never materializes a frames tensor — so the
+    single-dispatch ceiling sits near device memory (256 x 300 s =
+    ~7.4 GB in+out runs as one dispatch on a 16 GB v5e)."""
+    import os
+
+    return int(os.environ.get("MELSPEC_SIG_BUDGET_BYTES", 8 << 30))
+
+
 @functools.partial(jax.jit, donate_argnums=0)
 def _acc_update(acc: jnp.ndarray, chunk: jnp.ndarray, i0) -> jnp.ndarray:
     """In-place (donated) write of a batch chunk into the accumulator —
@@ -297,16 +307,24 @@ class WhisperMelPipeline:
         materialized ``[frames, fft]`` tensor stays bounded — the TPU
         analogue of the reference's 64 MiB device-batch policy capped at
         8192 frames (``src/cuda.rs:150-155``). Budget:
-        ``MELSPEC_FRAMES_BUDGET_BYTES`` (default 2 GiB of frame tensor).
+        ``MELSPEC_FRAMES_BUDGET_BYTES`` (default 1 GiB of frame tensor).
+        The fused ``sig`` kernel never materializes frames (in-kernel
+        framing, final-layout output), so its budget is the real
+        input+output footprint instead — ``MELSPEC_SIG_BUDGET_BYTES``
+        (default 8 GiB) — and huge batches stay one dispatch.
         """
         samples = jnp.asarray(samples)
         nf = framing.num_frames_batch(samples.shape[-1], self.fft_size,
                                       self.hop_size)
         if nf == 0:
             return jnp.zeros(samples.shape[:-1] + (0, self.n_mels), dtype=self.dtype)
-        budget = _frames_budget_bytes()
         k_pad = -(-self.fft_size // 128) * 128
-        per_clip = nf * k_pad * 4
+        if self.fft_impl == "sig":
+            budget = _sig_budget_bytes()
+            per_clip = (samples.shape[-1] + nf * self.n_mels) * 4
+        else:
+            budget = _frames_budget_bytes()
+            per_clip = nf * k_pad * 4
         b = samples.shape[0] if samples.ndim > 1 else 1
         if b * per_clip <= budget:
             return self._mel_batch_jit(samples)
@@ -320,7 +338,9 @@ class WhisperMelPipeline:
         # single clip too large: chunk over time at frame boundaries
         # (frame k covers samples [k*hop, k*hop + fft) — chunks overlap by
         # fft - hop samples, outputs concatenate exactly)
-        cf = max(1, int(budget // (k_pad * 4)))
+        per_frame = ((self.hop_size + self.n_mels) * 4
+                     if self.fft_impl == "sig" else k_pad * 4)
+        cf = max(1, int(budget // per_frame))
         squeeze = samples.ndim == 1
         x = samples[None] if squeeze else samples
         outs = []

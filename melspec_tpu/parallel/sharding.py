@@ -217,11 +217,13 @@ def sharded_frontend_step(
         active = jax.lax.psum(active, axis)
         total = jax.lax.psum(total, axis)
 
-        # device-side 8-bit quantization of the mel block (per shard)
-        lo = jnp.min(mel)
-        hi = jnp.max(mel)
-        scale = 255.0 / (hi - lo)
-        q = jnp.clip(jnp.floor((mel - lo) * scale + 0.5), 0, 255).astype(jnp.uint8)
+        # device-side 8-bit quantization of the mel block (per shard) —
+        # the shared quantizer keeps Rust-round() bit-exactness and maps
+        # a degenerate range (e.g. an all-pad shard: constant mel) to 0
+        # instead of NaN->undefined u8
+        from melspec_tpu.ops.quant import quantize_jnp
+
+        q, lo, hi = quantize_jnp(mel)
 
         return {
             "mel": mel,

@@ -142,6 +142,25 @@ class MultiStreamMel:
         return self.step(state, chunks, active)
 
     @functools.partial(jax.jit, static_argnums=0)
+    def _push_many_both_jit(self, state: MultiStreamState,
+                            chunks: jnp.ndarray, active: jnp.ndarray):
+        """Bulk push returning BOTH the unnormalized log10 mel and the
+        whisper-normalized mel: ``(state, log_mel, mels, valid)``. The
+        serving tick's reference-parity wire record quantizes the
+        UNNORMALIZED column (``src/wasm.rs:110-114`` — the ``norm_mel``
+        call there is commented out) while the VAD protocol consumes the
+        normalized frames; one program computes both (the norm is a cheap
+        fused epilogue of the same log-mel). rdft/bf3 only: the sig
+        kernel applies the whisper norm in-kernel and never exposes the
+        log10 tensor."""
+        if self.fft_impl == "sig":
+            raise ValueError(
+                "log10 records need fft_impl 'rdft' or 'bf3' (the sig "
+                "kernel normalizes in-kernel)"
+            )
+        return self._push_many_core(state, chunks, active)
+
+    @functools.partial(jax.jit, static_argnums=0)
     def _push_many_jit(self, state: MultiStreamState, chunks: jnp.ndarray,
                        active: jnp.ndarray):
         """Bulk push: ``H`` hops for every stream in ONE framed matmul
@@ -149,18 +168,17 @@ class MultiStreamMel:
         over ``concat(hop_buf, chunks)`` at offset ``hop`` (see
         ``StreamingMel._bulk``), so the MXU sees ``[S, H, fft]`` frames at
         once instead of H sequential [S, fft] steps."""
-        from melspec_tpu.ops import framing as _framing
-
-        hop = self.config.hop_size
-        fft = self.config.fft_size
-        s, h = chunks.shape[:2]
-        signal = jnp.concatenate(
-            [state.hop_buf, chunks.reshape(s, h * hop).astype(self.dtype)],
-            axis=1,
-        )
         if self.fft_impl == "sig":
             from melspec_tpu.ops.mel_kernel import _pallas_sig_mel
 
+            hop = self.config.hop_size
+            fft = self.config.fft_size
+            s, h = chunks.shape[:2]
+            signal = jnp.concatenate(
+                [state.hop_buf,
+                 chunks.reshape(s, h * hop).astype(self.dtype)],
+                axis=1,
+            )
             row_w, phases, rows_tile = self._sig_geom
             mels = _pallas_sig_mel(
                 signal.astype(jnp.float32), self._sig_m_big, self._sig_mt,
@@ -170,15 +188,41 @@ class MultiStreamMel:
                 row_w=row_w, phases=phases, rows_tile=rows_tile, pack=fft,
                 npack=self._sig_npack,
             ).astype(self.dtype)
-        else:
-            from melspec_tpu.ops.spectrogram import (log_mel_from_power,
-                                                     whisper_norm)
+            hops = (jnp.arange(1, h + 1) * hop).astype(state.idx.dtype)
+            valid = active[:, None] & ((state.idx[:, None] + hops[None, :])
+                                       >= fft)
+            new_buf = jnp.where(active[:, None],
+                                signal[:, h * hop : h * hop + fft],
+                                state.hop_buf)
+            new_idx = jnp.where(
+                active, jnp.minimum(state.idx + h * hop, fft), state.idx
+            )
+            return MultiStreamState(new_buf, new_idx), mels, valid
+        state, _log_mel, mels, valid = self._push_many_core(state, chunks,
+                                                            active)
+        return state, mels, valid
 
-            frames = _framing.frame_signal(signal, fft, hop, h, offset=hop)
-            log_mel = log_mel_from_power(self._power(frames),
-                                         self.filters_t, self.dtype)
-            mels = whisper_norm(log_mel, axis=-1)
+    def _push_many_core(self, state: MultiStreamState, chunks: jnp.ndarray,
+                        active: jnp.ndarray):
+        """Shared bulk-push body for the XLA (rdft/bf3) paths:
+        ``(state, log_mel, mels, valid)`` — see ``_push_many_jit`` for the
+        framing argument and ``_push_many_both_jit`` for why the
+        unnormalized log-mel is exposed."""
+        from melspec_tpu.ops.spectrogram import (log_mel_from_power,
+                                                 whisper_norm)
+        from melspec_tpu.ops import framing as _framing
 
+        hop = self.config.hop_size
+        fft = self.config.fft_size
+        s, h = chunks.shape[:2]
+        signal = jnp.concatenate(
+            [state.hop_buf, chunks.reshape(s, h * hop).astype(self.dtype)],
+            axis=1,
+        )
+        frames = _framing.frame_signal(signal, fft, hop, h, offset=hop)
+        log_mel = log_mel_from_power(self._power(frames),
+                                     self.filters_t, self.dtype)
+        mels = whisper_norm(log_mel, axis=-1)
         hops = (jnp.arange(1, h + 1) * hop).astype(state.idx.dtype)
         valid = active[:, None] & ((state.idx[:, None] + hops[None, :])
                                    >= fft)
@@ -188,7 +232,7 @@ class MultiStreamMel:
         new_idx = jnp.where(
             active, jnp.minimum(state.idx + h * hop, fft), state.idx
         )
-        return MultiStreamState(new_buf, new_idx), mels, valid
+        return MultiStreamState(new_buf, new_idx), log_mel, mels, valid
 
     @functools.partial(jax.jit, static_argnums=0)
     def _push_many_scan(self, state: MultiStreamState, chunks: jnp.ndarray,

@@ -159,17 +159,36 @@ class MultiStreamFrontend:
     (``u32 idx | u8 va | f32 min | f32 max | u8[n_mels]``,
     ``examples/browser/worker.js:52-58``) without touching the float
     mel on the host.
+
+    ``record_norm`` picks the units of the quantized payload:
+    ``"whisper"`` (default) quantizes the whisper-NORMALIZED mel — a
+    deliberate divergence from the reference wire record (documented in
+    ``docs/PARITY.md``): the dequantized frames feed ``set_mel``-style
+    ASR consumers directly, matching this repo's TGA interchange.
+    ``"log10"`` quantizes the UNNORMALIZED log10 column exactly like the
+    reference wasm binding (``src/wasm.rs:110-114`` — its ``norm_mel``
+    call is commented out); rdft/bf3 only. The VAD protocol consumes the
+    normalized frames in both modes, as the reference's detector does.
     """
 
     def __init__(self, config: MelConfig = MelConfig(),
                  n_streams: int = 16,
                  settings: DetectionSettings = DetectionSettings(),
-                 dtype=jnp.float32, fft_impl: str = "rdft"):
+                 dtype=jnp.float32, fft_impl: str = "rdft",
+                 record_norm: str = "whisper"):
+        if record_norm not in ("whisper", "log10"):
+            raise ValueError("record_norm must be 'whisper' or 'log10'")
+        if record_norm == "log10" and fft_impl == "sig":
+            raise ValueError(
+                "record_norm='log10' needs fft_impl 'rdft' or 'bf3' "
+                "(the sig kernel applies the whisper norm in-kernel)"
+            )
         self.mel = MultiStreamMel(config, n_streams, dtype=dtype,
                                   fft_impl=fft_impl)
         self.vad = MultiStreamVad(settings, n_streams, config.n_mels)
         self.config = config
         self.n_streams = n_streams
+        self.record_norm = record_norm
 
     def init(self) -> FrontendState:
         return FrontendState(self.mel.init(), self.vad.init())
@@ -177,10 +196,16 @@ class MultiStreamFrontend:
     @functools.partial(jax.jit, static_argnums=0)
     def _tick_jit(self, state: FrontendState, chunks: jnp.ndarray,
                   active: jnp.ndarray):
-        mstate, mels, valid = self.mel._push_many_jit(state.mel, chunks,
-                                                      active)
+        if self.record_norm == "log10":
+            mstate, record, mels, valid = self.mel._push_many_both_jit(
+                state.mel, chunks, active
+            )
+        else:
+            mstate, mels, valid = self.mel._push_many_jit(state.mel,
+                                                          chunks, active)
+            record = mels
         vstate, va = self.vad._push_jit(state.vad, mels, valid)
-        q, lo, hi = quantize_frames_jnp(mels)
+        q, lo, hi = quantize_frames_jnp(record)
         return FrontendState(mstate, vstate), q, lo, hi, va, valid
 
     def push_many(self, state: FrontendState, chunks, active=None):

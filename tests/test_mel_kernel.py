@@ -345,3 +345,42 @@ def test_quantized_kernel_geometry_and_squeeze():
 
     with pytest.raises(ValueError, match="geometry"):
         whisper_mel_quantized(x, 400, 7, 80, 16000.0, interpret=True)
+
+
+def test_vad_sig_short_clip_returns_real_mel():
+    """Clips with 1-2 frames have no 3x3 Sobel column, but the mel half
+    of the contract still holds: whisper_mel_vad_sig must return the real
+    log-mel (== whisper_mel_sig), not zeros (regression: short utterances
+    used to get silently zeroed features)."""
+    from melspec_tpu.config import DetectionSettings
+    from melspec_tpu.ops.mel_kernel import whisper_mel_sig, whisper_mel_vad_sig
+
+    rng = np.random.default_rng(3)
+    settings = DetectionSettings()
+    for n in (400, 600):  # 1 and 2 frames
+        x = (rng.normal(size=n) * 0.2).astype(np.float32)
+        mel, raw = whisper_mel_vad_sig(x, settings, interpret=True)
+        want = np.asarray(whisper_mel_sig(x, interpret=True))
+        assert raw.shape == (0,)
+        np.testing.assert_array_equal(np.asarray(mel), want)
+        assert np.abs(want).max() > 0.0
+    # and the empty case stays empty
+    mel, raw = whisper_mel_vad_sig(np.zeros(100, np.float32), settings,
+                                   interpret=True)
+    assert mel.shape == (0, 80) and raw.shape == (0,)
+
+
+def test_hp_bf16_pair_budget_clamps_slices():
+    """Slices whose every pair exceeds hp_max_pair_sum contribute nothing;
+    the hp_bf16 route must clamp them away (bf3/hp8 already do) instead of
+    running full-width matmuls whose outputs are all discarded. The
+    clamped call must equal the explicitly-sized one exactly."""
+    rng = np.random.default_rng(4)
+    x = (rng.normal(size=8000) * 0.2).astype(np.float32)
+    a = np.asarray(whisper_mel_pallas(x, 400, 160, 80, 16000.0, hp=True,
+                                      hp_n_slices=5, hp_max_pair_sum=2,
+                                      interpret=True))
+    b = np.asarray(whisper_mel_pallas(x, 400, 160, 80, 16000.0, hp=True,
+                                      hp_n_slices=3, hp_max_pair_sum=2,
+                                      interpret=True))
+    np.testing.assert_array_equal(a, b)

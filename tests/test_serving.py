@@ -167,3 +167,66 @@ def test_serving_input_validation():
         MultiStreamVad(DetectionSettings(min_x=2), 4, 80)
     with pytest.raises(ValueError, match="n_mels"):
         MultiStreamVad(DetectionSettings(), 4, 2)
+
+
+def test_record_norm_log10_matches_reference_record():
+    """record_norm='log10' must quantize the UNNORMALIZED log10 mel —
+    the reference wasm wire record (src/wasm.rs:110-114 quantizes
+    log_mel_spectrogram's output; its norm_mel call is commented out) —
+    while VAD decisions stay identical to the default mode (the detector
+    consumes normalized frames in both). Verified against an independent
+    host re-derivation of the overlap-and-save log mel."""
+    from melspec_tpu.ops import framing
+    from melspec_tpu.ops.spectrogram import log_mel_from_power
+
+    config = MelConfig(400, 160, 80, 16000.0)
+    settings = DetectionSettings(min_energy=0.5, min_y=3, min_x=5)
+    s, h = 3, 9
+    front_log = MultiStreamFrontend(config, s, settings=settings,
+                                    record_norm="log10")
+    front_norm = MultiStreamFrontend(config, s, settings=settings)
+
+    rng = np.random.default_rng(11)
+    chunks = (rng.normal(size=(s, h, config.hop_size)) * 0.3
+              ).astype(np.float32)
+    st_l, q_l, lo_l, hi_l, va_l, valid_l = front_log.push_many(
+        front_log.init(), chunks)
+    st_n, q_n, lo_n, hi_n, va_n, valid_n = front_norm.push_many(
+        front_norm.init(), chunks)
+
+    np.testing.assert_array_equal(valid_l, valid_n)
+    np.testing.assert_array_equal(va_l, va_n)  # VAD unaffected by units
+
+    # independent expectation: frame the concat(zero hop_buf, chunks)
+    # signal at offset=hop and project, WITHOUT whisper_norm
+    signal = np.concatenate(
+        [np.zeros((s, config.fft_size), np.float32),
+         chunks.reshape(s, h * config.hop_size)], axis=1)
+    frames = framing.frame_signal(jnp.asarray(signal), config.fft_size,
+                                  config.hop_size, h,
+                                  offset=config.hop_size)
+    ref = front_log.mel
+    log_mel = np.asarray(log_mel_from_power(
+        ref._power(frames), ref.filters_t, jnp.float32))
+    for i in range(s):
+        for t in range(h):
+            if not valid_l[i, t]:
+                continue
+            want_q, want_rng = quantize(log_mel[i, t])
+            # separately-compiled programs: bytes to one step, range to
+            # an ulp-scale tolerance (see test_frontend_tick docstring)
+            assert np.abs(q_l[i, t].astype(int)
+                          - want_q.astype(int)).max() <= 1
+            assert abs(lo_l[i, t] - np.float32(want_rng.min)) <= 1e-5
+            assert abs(hi_l[i, t] - np.float32(want_rng.max)) <= 1e-5
+    # the two record modes really differ: log10 ranges are unnormalized
+    # (min well below the whisper-norm floor of 0 for quiet frames)
+    assert not np.allclose(lo_l[valid_l], lo_n[valid_n])
+
+    # sig kernel normalizes in-kernel: log10 records are rejected there
+    with pytest.raises(ValueError):
+        MultiStreamFrontend(config, s, settings=settings,
+                            fft_impl="sig", record_norm="log10")
+    with pytest.raises(ValueError):
+        MultiStreamFrontend(config, s, settings=settings,
+                            record_norm="nope")

@@ -104,3 +104,27 @@ def test_frontend_step_configurable_non_default():
     assert out["mel"].shape == (8, (8000 - 512) // 160 + 1, 128)
     assert out["fbank"].shape[2] == 80
     assert int(out["vad_total_columns"]) == 8 * (out["mel"].shape[1] - 2)
+
+
+def test_frontend_step_quantization_matches_host_quantizer():
+    """The step's per-shard mel quantization must ride the shared
+    bit-exact quantizer: Rust-round() tie handling, and a degenerate
+    range (constant mel, e.g. an all-pad shard) maps to 0 instead of a
+    NaN->undefined uint8 cast."""
+    from melspec_tpu.ops.quant import quantize
+
+    settings = DetectionSettings(min_energy=0.5, min_y=2, min_x=5,
+                                 min_mel=0)
+    mesh1 = make_mesh(jax.devices()[:1])
+    step = sharded_frontend_step(mesh1, settings)
+    rng = np.random.default_rng(13)
+    batch = (rng.normal(size=(2, 8000)) * 0.3).astype(np.float32)
+    out = step(batch)
+    want_q, want_rng = quantize(np.asarray(out["mel"]))
+    np.testing.assert_array_equal(np.asarray(out["mel_q8"]), want_q)
+    lo, hi = np.asarray(out["mel_q8_range"])[0]
+    assert lo == np.float32(want_rng.min) and hi == np.float32(want_rng.max)
+
+    # constant input -> constant mel -> degenerate range -> all-zero q
+    out0 = step(np.zeros((2, 8000), np.float32))
+    assert np.asarray(out0["mel_q8"]).max() == 0

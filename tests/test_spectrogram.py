@@ -247,3 +247,31 @@ def test_pipeline_sig_impl_routes_through_fused_kernel(jfk_samples):
     with pytest.raises(ValueError):  # f64 stays rejected
         WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float64,
                            fft_impl="sig")
+
+
+def test_mel_batch_sig_budget_chunking(monkeypatch, jfk_samples):
+    """With fft_impl='sig' the pipeline budgets the kernel's REAL
+    footprint (input signal + final-layout output — it never materializes
+    a [frames, fft] tensor), under MELSPEC_SIG_BUDGET_BYTES; forced
+    chunking over batch and time must reproduce the one-dispatch output
+    exactly."""
+    pipe = WhisperMelPipeline(400, 160, 80, 16000.0, dtype=jnp.float32,
+                              fft_impl="sig")
+    batch = np.stack([jfk_samples[:64000], jfk_samples[16000:80000],
+                      jfk_samples[32000:96000]])
+    want = np.asarray(pipe.mel_batch(batch))
+
+    nf = (64000 - 400) // 160 + 1
+    per_clip = (64000 + nf * 80) * 4
+    # batch-axis chunking: budget fits one clip at a time
+    monkeypatch.setenv("MELSPEC_SIG_BUDGET_BYTES", str(per_clip))
+    np.testing.assert_array_equal(np.asarray(pipe.mel_batch(batch)), want)
+    # time-axis chunking: budget below a single clip
+    monkeypatch.setenv("MELSPEC_SIG_BUDGET_BYTES", str(per_clip // 4))
+    np.testing.assert_array_equal(np.asarray(pipe.mel_batch(batch)), want)
+    # the frames-tensor budget must NOT trigger chunking for sig: a
+    # budget far below the phantom [frames, k_pad] estimate leaves the
+    # sig path one dispatch (regression: it used to chunk on it)
+    monkeypatch.delenv("MELSPEC_SIG_BUDGET_BYTES")
+    monkeypatch.setenv("MELSPEC_FRAMES_BUDGET_BYTES", str(1 << 16))
+    np.testing.assert_array_equal(np.asarray(pipe.mel_batch(batch)), want)
