@@ -76,7 +76,20 @@ def _bench(fn, inputs, iters=16, reps=2, chain="input"):
     else:
 
         def step(i, carry):
-            x = inputs[i % len(inputs)] + carry
+            # carry keeps the on-device serialization dependency, but its
+            # OWN variation cannot carry the distinctness burden: for the
+            # benched workloads |s| is huge, so carry converges to a
+            # per-input constant within ~2 cycles (its ulp-scale wobble
+            # is absorbed by the 0.1-scale add below the input's ulp) and
+            # x would repeat with period len(inputs). The (seed, i)-keyed
+            # term keeps every request bit-distinct by construction:
+            # seeds are spaced 1e-5 apart (>> the 1.9e-6 max iteration
+            # term + 4e-7 carry band, so no (seed, i) pair collides) and
+            # the whole perturbation stays <= 3e-4 — 0.3% of the signal,
+            # irrelevant to timing.
+            sep = jnp.float32((seed_box[0] % 29 + 1) * 1e-5
+                              + (i + 1) * 1e-7)
+            x = inputs[i % len(inputs)] + (carry + sep)
             s = jnp.sum(fn(x).astype(jnp.float32))
             return s * (1e-7 / (jnp.abs(s) + 1.0)) + jnp.float32(1e-7)
 
@@ -99,7 +112,7 @@ def _bench(fn, inputs, iters=16, reps=2, chain="input"):
     return max((t_long - t_short) / iters, 1e-9)
 
 
-BUDGET_S = float(__import__("os").environ.get("MELSPEC_BENCH_BUDGET_S", 1500))
+BUDGET_S = float(os.environ.get("MELSPEC_BENCH_BUDGET_S", 1500))
 
 
 class _BudgetDone(Exception):
@@ -289,6 +302,12 @@ def main() -> None:
                  lambda x: whisper_mel_quantized(x, 400, 160, 80,
                                                  16000.0)[0]),
             ]:
+                # per-entry budget check: each entry can cost minutes of
+                # remote compile, and the JSON line must land regardless
+                if time.perf_counter() - started > BUDGET_S:
+                    print("bench budget exhausted; skipping remaining "
+                          "frontend rows", file=sys.stderr)
+                    raise _BudgetDone
                 try:
                     wall = _bench(ffn, xs, iters=8)
                     rtfx = audio_s / wall

@@ -125,8 +125,10 @@ document.getElementById("wavfile").onchange = async (ev) => {
   ws = new WebSocket(`ws://${location.host}/ws`);
   ws.binaryType = "arraybuffer";
   let pending = new Uint8Array(0);
+  let lastRecordMs = Date.now();
   frames = 0;
   ws.onmessage = document.querySelector("#canvas") && ((e) => {
+    lastRecordMs = Date.now();
     const merged = new Uint8Array(pending.length + e.data.byteLength);
     merged.set(pending);
     merged.set(new Uint8Array(e.data), pending.length);
@@ -145,6 +147,14 @@ document.getElementById("wavfile").onchange = async (ev) => {
     const hop = 160 * 16; // ship 160 ms blocks
     for (let off = 0; off < pcm.length; off += hop) {
       ws.send(pcm.subarray(off, off + hop).slice(0).buffer);
+      await new Promise((r) => setTimeout(r, 100));
+    }
+    // drain before closing: the server still has buffered hops in
+    // flight (plus its eof-drain tick), and records received while the
+    // socket is CLOSING are discarded — wait until it has been quiet
+    // for a while so the waterfall tail actually renders
+    const t0 = Date.now();
+    while (Date.now() - lastRecordMs < 700 && Date.now() - t0 < 15000) {
       await new Promise((r) => setTimeout(r, 100));
     }
     ws.close();

@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import base64
 import hashlib
+import os
 import socket
 import struct
 import sys
@@ -128,7 +129,11 @@ class BrowserBridge:
                     return
                 name = self.path.lstrip("/") or "index.html"
                 target = (_STATIC / name).resolve()
-                if not str(target).startswith(str(_STATIC)) \
+                # containment: target must be _STATIC itself or under
+                # _STATIC + separator (a bare prefix check would also
+                # admit siblings like .../browser-other/)
+                if not (target == _STATIC
+                        or str(target).startswith(str(_STATIC) + os.sep)) \
                         or not target.is_file():
                     self.send_error(404)
                     return

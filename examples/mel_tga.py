@@ -25,6 +25,7 @@ import numpy as np
 
 from melspec_tpu.config import MelConfig
 from melspec_tpu.io.tga import interleave_frames, save_tga_8bit
+from melspec_tpu.io.wav import iter_pcm_f32le
 from melspec_tpu.streaming.pipeline import RingBuffer
 
 
@@ -59,11 +60,7 @@ def main() -> None:
         frames = []
         file_idx += 1
 
-    while True:
-        buf = sys.stdin.buffer.read(4096)
-        if not buf:
-            break
-        samples = np.frombuffer(buf[: len(buf) // 4 * 4], dtype="<f4")
+    for samples in iter_pcm_f32le(sys.stdin.buffer):
         rb.add_frame(samples)
         frames.extend(rb.drain_mels())
         if len(frames) >= args.chunk_frames:

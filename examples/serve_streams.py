@@ -268,6 +268,16 @@ def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
         conn.sendall(pcm[i : i + chunk].tobytes())
     conn.shutdown(socket.SHUT_WR)
     t.join(timeout=timeout)
+    if t.is_alive():
+        # the reader is still appending (e.g. a first-compile stall
+        # longer than `timeout`): a silent truncated return would be
+        # indistinguishable from a completed stream, and the daemon
+        # thread would keep mutating buf while we slice it
+        conn.close()
+        raise TimeoutError(
+            f"server did not finish within {timeout} s; partial "
+            f"{len(buf)} bytes discarded"
+        )
     conn.close()
     rec_size = HEADER.size + n_mels
     for off in range(0, len(buf) - rec_size + 1, rec_size):

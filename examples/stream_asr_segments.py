@@ -31,6 +31,7 @@ import numpy as np
 
 from melspec_tpu.config import DetectionSettings, MelConfig
 from melspec_tpu.io.tga import interleave_frames, save_tga_8bit
+from melspec_tpu.io.wav import iter_pcm_f32le
 from melspec_tpu.streaming.pipeline import RingBuffer
 from melspec_tpu.streaming.vad import VoiceActivityDetector
 from melspec_tpu.utils.timing import format_milliseconds
@@ -108,11 +109,8 @@ def main() -> None:
             text = processor.batch_decode(ids, skip_special_tokens=True)[0]
         print(f"frame [{stamp}] {len(frames)} frames -> {path.name} {text}")
 
-    while True:
-        buf = sys.stdin.buffer.read(4096)
-        if not buf:
-            break
-        rb.add_frame(np.frombuffer(buf[: len(buf) // 4 * 4], dtype="<f4"))
+    for samples in iter_pcm_f32le(sys.stdin.buffer):
+        rb.add_frame(samples)
         for mel_frame in rb.drain_mels():
             decision = vad.add(mel_frame)
             segment.append(mel_frame)

@@ -88,25 +88,19 @@ def main() -> None:
     )
     print()
 
-    if args.print_segments:
-        from melspec_tpu.utils.vad_eval import (
-            evaluate_file,
-            read_labels,
-        )
-        from melspec_tpu.io.wav import read_wav_mono
+    def print_file_segments(wav, rate, decisions):
+        segments = decisions_to_segments(decisions, args.hop_size / rate)
+        print(f"segments {wav.name}")
+        for seg in segments:
+            print(f"  {seg.start:.3f},{seg.end:.3f}")
 
-        wavs = sorted(args.testset.glob("*.wav"))
-        if args.max_files is not None:
-            wavs = wavs[: args.max_files]
-        for wav in wavs:
-            samples, rate = read_wav_mono(wav)
-            labels = read_labels(wav.with_suffix(".scv"))
-            _, decisions = evaluate_file(samples, rate, labels, opts, settings)
-            segments = decisions_to_segments(decisions,
-                                             args.hop_size / rate)
-            print(f"segments {wav.name}")
-            for seg in segments:
-                print(f"  {seg.start:.3f},{seg.end:.3f}")
+    if args.print_segments and args.batched:
+        # the batched path has no per-file decision hook; run the
+        # sequential pipeline once for the printout (the batched pass
+        # below still produces the timed metrics)
+        evaluate_testset(args.testset, opts, settings,
+                         max_files=args.max_files,
+                         on_decisions=print_file_segments)
         print()
 
     if args.batched:
@@ -120,8 +114,13 @@ def main() -> None:
         if args.warmup:
             evaluate_testset(args.testset, opts, settings,
                              max_files=args.max_files)
-        total, rows = evaluate_testset(args.testset, opts, settings,
-                                       max_files=args.max_files)
+        total, rows = evaluate_testset(
+            args.testset, opts, settings, max_files=args.max_files,
+            on_decisions=(print_file_segments if args.print_segments
+                          else None),
+        )
+        if args.print_segments:
+            print()
 
     print("=== Aggregate ===")
     print(

@@ -96,3 +96,23 @@ def read_wav_mono(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
         data = np.frombuffer(payload[: (len(payload) // 4) * 4], dtype="<f4")
         return data.copy(), rate
     raise ValueError(f"unsupported WAV format tag {tag}")
+
+
+def iter_pcm_f32le(stream, chunk_bytes: int = 4096):
+    """Yield float32 sample blocks from a raw f32le byte stream — the
+    reference examples' stdin PCM transport (``examples/mel_tga/src/
+    main.rs:24-40`` reads stdin in 4096-byte chunks). A trailing partial
+    float is carried into the next block instead of truncated, so chunk
+    boundaries never drop bytes; a final dangling 1-3 bytes at EOF are
+    discarded (a malformed tail, exactly like the reference's
+    ``chunks_exact``)."""
+    carry = b""
+    while True:
+        buf = stream.read(chunk_bytes)
+        if not buf:
+            return
+        buf = carry + buf
+        n = len(buf) // 4 * 4
+        carry = buf[n:]
+        if n:
+            yield np.frombuffer(buf[:n], dtype="<f4")

@@ -323,7 +323,12 @@ def evaluate_testset(
     opts: EvalOptions,
     settings: DetectionSettings,
     max_files: Optional[int] = None,
+    on_decisions=None,
 ) -> Tuple[Metrics, List[FileResult]]:
+    """Sequential per-file evaluation. ``on_decisions(wav, rate,
+    decisions)``, when given, is called once per file with the
+    post-processed decision array — diagnostics (e.g. segment printing)
+    ride the same pass instead of re-running the pipeline."""
     wavs = sorted(testset.glob("*.wav"))
     if max_files is not None:
         wavs = wavs[:max_files]
@@ -336,10 +341,13 @@ def evaluate_testset(
         labels = read_labels(wav.with_suffix(".scv"))
         samples, rate = read_wav_mono(wav)
         started = time.perf_counter()
-        metrics, _ = evaluate_file(samples, rate, labels, opts, settings)
+        metrics, decisions = evaluate_file(samples, rate, labels, opts,
+                                           settings)
         wall = time.perf_counter() - started
         total.merge(metrics)
         rows.append(FileResult(wav, len(samples) / rate, wall, metrics))
+        if on_decisions is not None:
+            on_decisions(wav, rate, decisions)
     return total, rows
 
 
