@@ -15,11 +15,11 @@ N concurrent TCP clients from one batched device pipeline:
 
 Wire protocol (little-endian), shaped like the browser worker's mel-ring
 record (n_mels quantized bytes + min/max f32 + VAD bit, worker.js:52-58).
-One deliberate difference: the payload is the whisper-NORMALIZED per-frame
-mel (what MultiStreamMel serves), not the raw log10 column the reference
-record carries — the min/max header makes the record self-describing
-either way, but a consumer expecting reference byte values must dequantize
-and denormalize:
+One deliberate default difference: the payload is the whisper-NORMALIZED
+per-frame mel (what MultiStreamMel serves), not the raw log10 column the
+reference record carries — the min/max header makes the record
+self-describing either way; pass ``--record-norm log10`` for the
+reference-exact payload (see docs/PARITY.md):
   client -> server: raw f32le PCM bytes, then TCP half-close (shutdown).
   server -> client: per emitted mel frame
       u32 frame_idx | u8 va | f32 min | f32 max | u8[n_mels] quantized
@@ -73,13 +73,15 @@ class StreamServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  config: MelConfig = MelConfig(), n_streams: int = 16,
                  hops_per_tick: int = 4,
-                 settings: DetectionSettings = DetectionSettings()):
+                 settings: DetectionSettings = DetectionSettings(),
+                 record_norm: str = "whisper"):
         self.config = config
         self.n_streams = n_streams
         self.hops = hops_per_tick
         self.settings = settings
         self.frontend = MultiStreamFrontend(config, n_streams,
-                                            settings=settings)
+                                            settings=settings,
+                                            record_norm=record_norm)
         self.state = self.frontend.init()
         self.slots: list[_Slot | None] = [None] * n_streams
         self._pending_reset = np.zeros(n_streams, dtype=bool)
@@ -297,6 +299,12 @@ def main() -> None:
     ap.add_argument("--n-streams", type=int, default=16)
     ap.add_argument("--client", type=Path, default=None,
                     help="act as a client: stream this wav, print stats")
+    ap.add_argument("--record-norm", choices=("whisper", "log10"),
+                    default="whisper",
+                    help="units of the quantized record payload: "
+                    "'whisper' (normalized; feeds set_mel-style "
+                    "consumers) or 'log10' (the reference wasm wire "
+                    "record, src/wasm.rs:110-114; see docs/PARITY.md)")
     args = ap.parse_args()
     if args.client is not None:
         from melspec_tpu.io.wav import read_wav_f32le
@@ -306,7 +314,8 @@ def main() -> None:
         va = sum(1 for r in recs if r[1])
         print(f"{len(recs)} frames, {va} voice-active")
         return
-    server = StreamServer(port=args.port, n_streams=args.n_streams)
+    server = StreamServer(port=args.port, n_streams=args.n_streams,
+                          record_norm=args.record_norm)
     server.start()
     print(f"serving on port {server.port} ({args.n_streams} streams)",
           flush=True)
