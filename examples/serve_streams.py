@@ -44,6 +44,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 from melspec_tpu.config import DetectionSettings, MelConfig
+from melspec_tpu.ops.resample import StreamingResampler
 from melspec_tpu.runtime.ringbuffer import SampleRing
 from melspec_tpu.streaming.serving import MultiStreamFrontend
 
@@ -53,9 +54,11 @@ HEADER = struct.Struct("<IBff")  # frame_idx, va, min, max
 class _Slot:
     """One client stream: PCM ring in, framed mel records out."""
 
-    def __init__(self, conn: socket.socket, capacity: int):
+    def __init__(self, conn: socket.socket, capacity: int,
+                 resampler=None):
         self.conn = conn
         self.ring = SampleRing(capacity)
+        self.resampler = resampler  # owned by the recv thread only
         self.frame_idx = 0
         self.eof = False      # client finished sending
         self.closed = False   # slot fully drained and replied
@@ -74,9 +77,16 @@ class StreamServer:
                  config: MelConfig = MelConfig(), n_streams: int = 16,
                  hops_per_tick: int = 4,
                  settings: DetectionSettings = DetectionSettings(),
-                 record_norm: str = "whisper"):
+                 record_norm: str = "whisper",
+                 input_rate: int | None = None):
         self.config = config
         self.n_streams = n_streams
+        # clients may send PCM at a different rate (8 k telephony, 44.1/48 k
+        # sources); each slot's recv thread then runs a StreamingResampler
+        # at ingest so the batched device tick always sees config-rate audio
+        self.input_rate = (None if input_rate is None
+                           or input_rate == int(config.sampling_rate)
+                           else int(input_rate))
         self.hops = hops_per_tick
         self.settings = settings
         self.frontend = MultiStreamFrontend(config, n_streams,
@@ -93,8 +103,16 @@ class StreamServer:
 
     # ---------------- client side ----------------
 
+    def _push_ring(self, slot: _Slot, samples: np.ndarray) -> None:
+        while samples.size and not self._stop.is_set():
+            pushed = slot.ring.push(samples)
+            samples = samples[pushed:]
+            if samples.size:
+                time.sleep(0.001)  # ring full: apply backpressure
+
     def _recv_loop(self, slot: _Slot) -> None:
-        """Reader thread: client PCM -> the slot's ring."""
+        """Reader thread: client PCM (resampled at ingest if the server
+        was configured with a different ``input_rate``) -> the slot's ring."""
         leftover = b""
         while not self._stop.is_set():
             try:
@@ -107,11 +125,14 @@ class StreamServer:
             n = len(data) // 4 * 4
             samples = np.frombuffer(data[:n], dtype=np.float32)
             leftover = data[n:]
-            while samples.size and not self._stop.is_set():
-                pushed = slot.ring.push(samples)
-                samples = samples[pushed:]
-                if samples.size:
-                    time.sleep(0.001)  # ring full: apply backpressure
+            if slot.resampler is not None:
+                samples = slot.resampler.push(samples)
+            self._push_ring(slot, samples)
+        if slot.resampler is not None:
+            # the resampler's zero-extended tail must land in the ring
+            # BEFORE eof becomes visible (same ordering rule as _tick's
+            # eof-before-length read)
+            self._push_ring(slot, slot.resampler.flush())
         slot.eof = True
 
     def _accept_loop(self) -> None:
@@ -120,7 +141,12 @@ class StreamServer:
                 conn, _ = self.sock.accept()
             except OSError:
                 break
-            slot = _Slot(conn, capacity=self.config.hop_size * 1024)
+            resampler = None
+            if self.input_rate is not None:
+                resampler = StreamingResampler(
+                    int(self.config.sampling_rate), self.input_rate)
+            slot = _Slot(conn, capacity=self.config.hop_size * 1024,
+                         resampler=resampler)
             placed = False
             with self._slots_lock:
                 for i in range(self.n_streams):
@@ -305,6 +331,11 @@ def main() -> None:
                     "'whisper' (normalized; feeds set_mel-style "
                     "consumers) or 'log10' (the reference wasm wire "
                     "record, src/wasm.rs:110-114; see docs/PARITY.md)")
+    ap.add_argument("--input-rate", type=int, default=None,
+                    help="sample rate of the clients' PCM (e.g. 48000); "
+                    "each stream is resampled to the mel config's rate "
+                    "at ingest (polyphase, scipy-parity — "
+                    "melspec_tpu.ops.resample)")
     args = ap.parse_args()
     if args.client is not None:
         from melspec_tpu.io.wav import read_wav_f32le
@@ -315,7 +346,8 @@ def main() -> None:
         print(f"{len(recs)} frames, {va} voice-active")
         return
     server = StreamServer(port=args.port, n_streams=args.n_streams,
-                          record_norm=args.record_norm)
+                          record_norm=args.record_norm,
+                          input_rate=args.input_rate)
     server.start()
     print(f"serving on port {server.port} ({args.n_streams} streams)",
           flush=True)

@@ -20,7 +20,7 @@ dense filterbank matmul -> log, fused into one Pallas kernel, with
 data-parallel scale-out via ``shard_map`` over an ICI mesh.
 """
 
-__version__ = "0.3.1"
+__version__ = "0.3.2"
 
 from melspec_tpu.config import (
     BatchLogMelConfig,

@@ -1,0 +1,244 @@
+"""Polyphase sample-rate conversion, TPU-native.
+
+Beyond-parity addition: the reference crate has no resampler — its browser
+demo asks the AudioContext for 16 kHz and lets the browser resample
+(``examples/browser/app.js`` here mirrors that), and every other entry
+point assumes the configured rate.  Production serving ingests 8 kHz
+telephony and 44.1/48 kHz sources, so melspec_tpu ships a TPU-native
+rational resampler whose semantics match ``scipy.signal.resample_poly``
+exactly (kaiser-5.0-windowed sinc, zero-phase, ``ceil(n*up/down)``
+outputs, first output sample aligned with the first input sample, zero
+signal extension at the edges).
+
+TPU-first design: the polyphase identity
+
+    y[q*up + p] = sum_r  x[q*down + r] * h[half_len + p*down - r*up]
+
+says every block of ``up`` consecutive outputs is a fixed ``[K, up]``
+matrix applied to a ``down``-strided window of the input.  We hand that
+to the MXU as ONE strided convolution whose ``up`` output channels are
+the polyphase branches (``lax.conv_general_dilated``, stride ``down``,
+no dilation) — XLA lowers it to an implicit matmul, the filter matrix is
+a host-built numpy constant, and memory overhead is O(1).  This performs
+exactly the nonzero polyphase MACs, unlike the naive dilated-conv
+formulation (``lhs_dilation=up`` with the ``2*10*max(up,down)+1``-tap
+dilated filter — 8 821 taps for 44.1 kHz -> 16 kHz, mostly multiplied
+against stuffed zeros) and unlike scipy's per-phase scalar FIR loops
+(``upfirdn``'s C kernel).
+
+The zero-phase alignment folds to a single constant: scipy's pre/post
+filter padding bookkeeping reduces to ``y[n] = conv_full(h, upsample(x))
+[half_len + n*down]`` — verified tap-for-tap in tests against scipy on
+f64.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "StreamingResampler",
+    "resample_filter",
+    "resample_output_len",
+    "resample_poly",
+]
+
+
+def _kaiser_sinc_filter(half_len: int, cutoff: float, beta: float) -> np.ndarray:
+    """Odd-length linear-phase lowpass: kaiser-windowed sinc, DC gain 1.
+
+    Equivalent to ``scipy.signal.firwin(2*half_len+1, cutoff,
+    window=("kaiser", beta))`` (cutoff in Nyquist units): windowed ideal
+    lowpass, then scaled so the tap sum (the DC response) is exactly 1.
+    Implemented with numpy only so the runtime never imports scipy.
+    """
+    n = np.arange(2 * half_len + 1, dtype=np.float64) - half_len
+    taps = cutoff * np.sinc(cutoff * n) * np.kaiser(2 * half_len + 1, beta)
+    return taps / taps.sum()
+
+
+def resample_filter(up: int, down: int, beta: float = 5.0) -> np.ndarray:
+    """The f64 anti-alias filter ``resample_poly`` uses, after gcd
+    reduction of ``up/down`` — scipy's design: cutoff ``1/max(up,down)``
+    of Nyquist, ``half_len = 10*max(up,down)``, kaiser(beta), scaled by
+    ``up`` so passband gain survives the zero-stuffing."""
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    max_rate = max(up, down)
+    return _kaiser_sinc_filter(10 * max_rate, 1.0 / max_rate, beta) * up
+
+
+@lru_cache(maxsize=None)
+def _phase_matrix(up: int, down: int, beta: float) -> tuple[np.ndarray, int]:
+    """Host-built ``(G[K, up], r_lo)`` for gcd-reduced ``up/down``.
+
+    ``G[j, p] = h[half_len + p*down - (j + r_lo)*up]`` (0 outside the
+    filter support): column ``p`` is phase ``p``'s FIR over the input
+    window ``x[q*down + r_lo : q*down + r_lo + K]``.
+    """
+    h = resample_filter(up, down, beta)
+    half_len = (len(h) - 1) // 2
+    # r bounds where 0 <= half_len + p*down - r*up <= 2*half_len for some p
+    r_lo = -(half_len // up)                                  # p = 0
+    r_hi = ((up - 1) * down + half_len) // up                 # p = up-1
+    k = r_hi - r_lo + 1
+    g = np.zeros((k, up), dtype=np.float64)
+    for p in range(up):
+        idx = half_len + p * down - (np.arange(r_lo, r_hi + 1)) * up
+        valid = (idx >= 0) & (idx < len(h))
+        g[valid, p] = h[idx[valid]]
+    return g, r_lo
+
+
+def resample_output_len(n_in: int, up: int, down: int) -> int:
+    """``ceil(n_in * up / down)`` after gcd reduction (scipy's rule)."""
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    return -(-(n_in * up) // down)
+
+
+def resample_poly(
+    x: jnp.ndarray,
+    up: int,
+    down: int,
+    beta: float = 5.0,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Resample ``x [..., N]`` by the rational factor ``up/down``.
+
+    Matches ``scipy.signal.resample_poly(x, up, down, axis=-1)`` (its
+    default kaiser-5.0 design, ``padtype="constant"``): output length
+    ``ceil(N*up/down)``, zero-phase, edges treated as zero.  Static
+    shapes throughout — jit/vmap/shard_map friendly.  Integer input is
+    resampled in float32 (like scipy's int path filters in float).
+    """
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    gcd = math.gcd(up, down)
+    up, down = up // gcd, down // gcd
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    if up == down:
+        return x
+    n_in = x.shape[-1]
+    n_out = -(-(n_in * up) // down)
+    if n_in == 0:
+        return jnp.zeros(x.shape[:-1] + (0,), dtype=x.dtype)
+
+    g_np, r_lo = _phase_matrix(up, down, beta)
+    k = g_np.shape[0]
+    q = -(-n_out // up)  # strided-conv positions: each yields `up` outputs
+    # conv window q covers padded indices [q*down, q*down + K); the padded
+    # signal is  (-r_lo) zeros | x | right zeros
+    pad_left = -r_lo
+    needed = (q - 1) * down + k
+    pad_right = max(0, needed - pad_left - n_in)
+    batch_shape = x.shape[:-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)])
+    lhs = xp.reshape(-1, 1, xp.shape[-1])[..., :needed]    # [B, 1, L]
+    rhs = jnp.asarray(g_np.T[:, None, :], dtype=x.dtype)   # [up, 1, K]
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(down,), padding=[(0, 0)],
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=precision,
+    )                                                      # [B, up, Q]
+    y = jnp.swapaxes(y, -1, -2).reshape(batch_shape + (q * up,))
+    return y[..., :n_out]
+
+
+class StreamingResampler:
+    """Chunked resampler for serving ingest: push arbitrary-length chunks
+    at the source rate, receive the same samples the offline
+    :func:`resample_poly` would produce (prefix parity up to float
+    associativity; test-enforced), with :meth:`flush` emitting the
+    zero-extended tail and resetting for the next stream.
+
+    Host-side numpy by design: serving ingest handles per-client chunks
+    of a few hundred samples, where a device round trip costs more than
+    the ~``K*up/down`` MACs per sample; the batched device tick
+    downstream stays unchanged.  The SAME ``_phase_matrix`` drives both
+    paths, so parity is structural.
+
+    State is ``O(K)``: the input tail from the next conv window's start,
+    plus the emitted/consumed counts.
+    """
+
+    def __init__(self, up: int, down: int, beta: float = 5.0,
+                 dtype=np.float32):
+        if up < 1 or down < 1:
+            raise ValueError("up and down must be >= 1")
+        gcd = math.gcd(up, down)
+        self.up, self.down = up // gcd, down // gcd
+        self._dtype = np.dtype(dtype)
+        if self.identity:
+            self._n_in = 0
+            return
+        g_np, r_lo = _phase_matrix(self.up, self.down, beta)
+        self._g = g_np.astype(dtype)
+        self._k = g_np.shape[0]
+        self._pad_left = -r_lo
+        # buffer starts at padded index q_next*down; seed the left zero pad
+        self._buf = np.zeros(self._pad_left, dtype=dtype)
+        self._n_in = 0
+        self._n_emitted = 0
+
+    @property
+    def identity(self) -> bool:
+        return self.up == self.down
+
+    def push(self, chunk: np.ndarray) -> np.ndarray:
+        """Consume ``chunk [n]``; return every output sample now fully
+        determined by the input seen so far."""
+        chunk = np.asarray(chunk, dtype=self._dtype)
+        if chunk.ndim != 1:
+            raise ValueError("chunk must be 1-D")
+        self._n_in += len(chunk)
+        if self.identity:
+            return chunk
+        self._buf = np.concatenate([self._buf, chunk])
+        return self._drain()
+
+    def flush(self) -> np.ndarray:
+        """Emit the remaining outputs for the stream seen so far (zero
+        signal extension, like offline's right edge), then reset for a
+        new stream."""
+        if self.identity:
+            self._n_in = 0
+            return np.zeros(0, dtype=self._dtype)
+        n_out = resample_output_len(self._n_in, self.up, self.down)
+        limit = n_out - self._n_emitted
+        q_rem = -(-limit // self.up)
+        needed = (q_rem - 1) * self.down + self._k if q_rem > 0 else 0
+        if needed > len(self._buf):
+            pad = np.zeros(needed - len(self._buf), dtype=self._dtype)
+            self._buf = np.concatenate([self._buf, pad])
+        out = self._drain(limit=limit)
+        self._buf = np.zeros(self._pad_left, dtype=self._dtype)
+        self._n_in = 0
+        self._n_emitted = 0
+        return out
+
+    def _drain(self, limit: int | None = None) -> np.ndarray:
+        avail = len(self._buf)
+        q = (avail - self._k) // self.down + 1 if avail >= self._k else 0
+        if limit is not None:
+            q = min(q, -(-limit // self.up))
+        if q <= 0:
+            return np.zeros(0, dtype=self._dtype)
+        # same windows + same per-row dots as the offline conv
+        stride = self._buf.strides[0]
+        frames = np.lib.stride_tricks.as_strided(
+            self._buf, (q, self._k), (self.down * stride, stride))
+        y = frames @ self._g
+        self._buf = self._buf[q * self.down:].copy()
+        out = y.reshape(-1)
+        if limit is not None:
+            out = out[:limit]
+        self._n_emitted += len(out)
+        return out

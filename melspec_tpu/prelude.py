@@ -45,6 +45,10 @@ from melspec_tpu.ops.quant import (
     dequantize,
     quantize,
 )
+from melspec_tpu.ops.resample import (
+    StreamingResampler,
+    resample_poly,
+)
 from melspec_tpu.ops.spectrogram import (
     MelProjection,
     WhisperMelPipeline,
@@ -96,6 +100,7 @@ __all__ = [
     "SpeechToMel",
     "StftState",
     "StreamingMel",
+    "StreamingResampler",
     "StreamingStft",
     "VadFrameTiming",
     "VoiceActivity",
@@ -128,6 +133,7 @@ __all__ = [
     "quantize",
     "read_wav_f32le",
     "read_wav_mono",
+    "resample_poly",
     "save_tga_8bit",
     "streaming_decisions",
     "tga_8bit",

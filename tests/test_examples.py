@@ -139,6 +139,51 @@ def test_serve_streams_16_concurrent(testdata):
         server.stop()
 
 
+def test_serve_streams_input_rate_resampling(testdata):
+    """``input_rate``: a 48 kHz client is resampled at ingest (polyphase,
+    scipy-parity, zero-extended tail flushed before EOF) and served
+    identically to a 16 kHz client sending the resampled audio."""
+    import importlib.util
+
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.io.wav import read_wav_f32le
+    from melspec_tpu.ops import framing
+    from melspec_tpu.ops.quant import QuantizationRange, dequantize
+    from melspec_tpu.ops.resample import resample_output_len, resample_poly
+    from melspec_tpu.ops.spectrogram import compute_streaming_mel
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_rs", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    pcm16 = read_wav_f32le(REF / "jfk_f32le.wav")[:32000]
+    pcm48 = np.asarray(resample_poly(pcm16, 3, 1)).astype(np.float32)
+    back16 = np.asarray(resample_poly(pcm48, 1, 3)).astype(np.float32)
+    server = serve.StreamServer(port=0, n_streams=2,
+                                config=MelConfig(400, 160, 80, 16000.0),
+                                input_rate=48000)
+    server.start()
+    try:
+        recs = serve.stream_client(server.port, pcm48)
+    finally:
+        server.stop()
+    n16 = resample_output_len(len(pcm48), 1, 3)
+    assert n16 == len(back16)
+    assert len(recs) == framing.num_frames_streaming(n16, 400, 160)
+    assert [r[0] for r in recs] == list(range(len(recs)))
+    want = np.asarray(compute_streaming_mel(back16, 400, 160, 80, 16000.0))
+    got = np.stack([
+        dequantize(r[4], QuantizationRange(r[2], r[3])) for r in recs
+    ]).T
+    assert got.shape == want.shape
+    # per-frame quantization step + the f32-vs-f64 ingest-resampler jitter
+    step = (want.max() - want.min()) / 255.0
+    assert np.abs(got - want).max() <= step * 1.5 + 1e-3
+    assert any(r[1] for r in recs)  # speech still triggers VAD
+
+
 def test_asr_handoff_from_tga(tmp_path, testdata):
     """VERDICT item 7: exercise the ASR handoff for real — TGA features in,
     Whisper decode out. No checkpoint weights exist in this offline
