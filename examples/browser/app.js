@@ -62,14 +62,17 @@ async function start() {
   stream = await navigator.mediaDevices.getUserMedia({
     audio: { channelCount: 1, sampleRate: SAMPLE_RATE },
   });
-  // asking the context for 16 kHz makes the browser resample for us
+  // ask the context for 16 kHz so the browser resamples for us where it
+  // can; some engines (notably Safari) ignore the hint, so report the
+  // ACTUAL rate to the bridge, which then resamples server-side
+  // (melspec_tpu.ops.resample.StreamingResampler)
   audioCtx = new AudioContext({ sampleRate: SAMPLE_RATE });
   await audioCtx.audioWorklet.addModule("worklet.js");
   const src = audioCtx.createMediaStreamSource(stream);
   const node = new AudioWorkletNode(audioCtx, "pcm-capture");
   src.connect(node);
 
-  ws = new WebSocket(`ws://${location.host}/ws`);
+  ws = new WebSocket(`ws://${location.host}/ws?rate=${audioCtx.sampleRate}`);
   ws.binaryType = "arraybuffer";
   let pending = new Uint8Array(0);
   ws.onmessage = (ev) => {
@@ -120,9 +123,10 @@ document.getElementById("wavfile").onchange = async (ev) => {
   const dec = new AudioContext({ sampleRate: SAMPLE_RATE });
   const audio = await dec.decodeAudioData(await file.arrayBuffer());
   const pcm = audio.getChannelData(0);
+  const decodedRate = dec.sampleRate; // actual, in case the hint was ignored
   dec.close();
 
-  ws = new WebSocket(`ws://${location.host}/ws`);
+  ws = new WebSocket(`ws://${location.host}/ws?rate=${decodedRate}`);
   ws.binaryType = "arraybuffer";
   let pending = new Uint8Array(0);
   let lastRecordMs = Date.now();

@@ -121,7 +121,7 @@ class BrowserBridge:
                 pass
 
             def do_GET(self) -> None:
-                if self.path == "/ws":
+                if self.path.split("?", 1)[0] == "/ws":
                     try:
                         bridge._serve_ws(self)
                     except OSError:
@@ -176,6 +176,25 @@ class BrowserBridge:
                 or not key:
             handler.send_error(400, "not a websocket upgrade")
             return
+        # the page reports its ACTUAL AudioContext rate (`/ws?rate=48000`)
+        # — engines may ignore the 16 kHz hint (Safari) — and this bridge
+        # resamples that client's PCM at ingest so the stream server
+        # always sees config-rate audio
+        resampler = None
+        query = dict(
+            kv.split("=", 1)
+            for kv in handler.path.partition("?")[2].split("&") if "=" in kv
+        )
+        cfg_rate = int(self.streams.config.sampling_rate)
+        try:
+            client_rate = int(float(query.get("rate", cfg_rate)))
+        except ValueError:
+            handler.send_error(400, "bad rate")
+            return
+        if client_rate != cfg_rate:
+            from melspec_tpu.ops.resample import StreamingResampler
+
+            resampler = StreamingResampler(cfg_rate, client_rate)
         sock = handler.connection
         sock.sendall(
             b"HTTP/1.1 101 Switching Protocols\r\n"
@@ -219,6 +238,7 @@ class BrowserBridge:
 
         reply = threading.Thread(target=tcp_to_ws, daemon=True)
         reply.start()
+        pcm_tail = b""  # f32 alignment across ws frames (resampling only)
         try:
             in_binary = False
             while True:
@@ -237,9 +257,28 @@ class BrowserBridge:
                 elif opcode != 0x0:
                     in_binary = False
                 if in_binary and payload:
-                    tcp.sendall(payload)
+                    if resampler is None:
+                        tcp.sendall(payload)
+                        continue
+                    import numpy as np
+
+                    data = pcm_tail + payload
+                    n = len(data) // 4 * 4
+                    pcm_tail = data[n:]
+                    out = resampler.push(np.frombuffer(data[:n],
+                                                       dtype=np.float32))
+                    if out.size:
+                        tcp.sendall(out.tobytes())
         except (ConnectionError, OSError):
             pass
+        if resampler is not None:
+            # ship the zero-extended tail before the EOF half-close
+            tail = resampler.flush()
+            if tail.size:
+                try:
+                    tcp.sendall(tail.tobytes())
+                except OSError:
+                    pass
         # half-close signals EOF to the stream server, which then drains
         # the slot and closes the TCP side — letting tcp_to_ws flush the
         # remaining records before the ws close frame

@@ -22,11 +22,11 @@ from examples.browser.server import (  # noqa: E402
 )
 
 
-def _ws_connect(port: int) -> socket.socket:
+def _ws_connect(port: int, path: str = "/ws") -> socket.socket:
     sock = socket.create_connection(("127.0.0.1", port), timeout=30)
     key = "dGhlIHNhbXBsZSBub25jZQ=="
     sock.sendall(
-        (f"GET /ws HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+        (f"GET {path} HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
          "Upgrade: websocket\r\nConnection: Upgrade\r\n"
          f"Sec-WebSocket-Key: {key}\r\n"
          "Sec-WebSocket-Version: 13\r\n\r\n").encode()
@@ -95,6 +95,69 @@ def test_ws_client_matches_tcp_client(pcm):
     assert got == want, (len(got), len(want))
     idx0, va0, lo, hi = HEADER.unpack(want[:HEADER.size])
     assert lo <= hi
+
+
+def test_ws_client_reported_rate_resampled(jfk_samples):
+    """`/ws?rate=48000` (the page reporting an AudioContext whose 16 kHz
+    hint was ignored): the bridge resamples that client at ingest, so its
+    records match a TCP client sending the offline-resampled audio."""
+    from melspec_tpu.ops.quant import QuantizationRange, dequantize
+    from melspec_tpu.ops.resample import resample_poly
+
+    x16 = np.asarray(jfk_samples[: 16000 * 2], np.float32)
+    x48 = np.asarray(resample_poly(x16, 3, 1)).astype(np.float32)
+    back16 = np.asarray(resample_poly(x48, 1, 3)).astype(np.float32)
+
+    streams = StreamServer(n_streams=4, hops_per_tick=4)
+    streams.start()
+    bridge = BrowserBridge(stream_server=streams).start()
+    try:
+        tcp = socket.create_connection(("127.0.0.1", streams.port),
+                                       timeout=30)
+        tcp.sendall(back16.tobytes())
+        tcp.shutdown(socket.SHUT_WR)
+        want = b""
+        while True:
+            d = tcp.recv(65536)
+            if not d:
+                break
+            want += d
+        tcp.close()
+
+        ws = _ws_connect(bridge.port, path="/ws?rate=48000")
+        raw = x48.tobytes()
+        for off in range(0, len(raw), 31997):  # splits floats across frames
+            ws.sendall(ws_encode_frame(raw[off : off + 31997], mask=True))
+        ws.sendall(ws_encode_frame(b"", opcode=0x8, mask=True))
+        got = _drain_records(ws, streams.config.n_mels)
+        ws.close()
+    finally:
+        bridge.stop()
+        streams.stop()
+
+    rec = HEADER.size + streams.config.n_mels
+
+    def parse(buf):
+        out = []
+        for off in range(0, len(buf), rec):
+            idx, va, lo, hi = HEADER.unpack(buf[off : off + HEADER.size])
+            q = np.frombuffer(buf[off + HEADER.size : off + rec], np.uint8)
+            out.append((idx, va, dequantize(q, QuantizationRange(lo, hi))))
+        return out
+
+    assert len(got) % rec == 0 and len(want) % rec == 0
+    a, b = parse(got), parse(want)
+    assert len(a) == len(b) and len(a) > 0
+    assert [r[0] for r in a] == [r[0] for r in b]
+    # the bridge's streaming f32 resampler vs the offline op differ by
+    # ulps, so bytes may move one quantization step and a borderline VAD
+    # frame may flip — bound both instead of requiring identity
+    va_flips = sum(ra[1] != rb[1] for ra, rb in zip(a, b))
+    assert va_flips <= max(2, len(a) // 50)
+    mel_a = np.stack([r[2] for r in a])
+    mel_b = np.stack([r[2] for r in b])
+    step = (mel_b.max() - mel_b.min()) / 255.0
+    assert np.abs(mel_a - mel_b).max() <= 2 * step + 1e-3
 
 
 def test_static_pages_served():
