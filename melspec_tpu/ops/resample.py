@@ -74,24 +74,36 @@ def resample_filter(up: int, down: int, beta: float = 5.0) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _phase_matrix(up: int, down: int, beta: float) -> tuple[np.ndarray, int]:
-    """Host-built ``(G[K, up], r_lo)`` for gcd-reduced ``up/down``.
+def _phase_matrix(up: int, down: int, beta: float,
+                  m: int = 1) -> tuple[np.ndarray, int]:
+    """Host-built ``(G[K', up*m], r_lo)`` for gcd-reduced ``up/down``.
 
-    ``G[j, p] = h[half_len + p*down - (j + r_lo)*up]`` (0 outside the
-    filter support): column ``p`` is phase ``p``'s FIR over the input
-    window ``x[q*down + r_lo : q*down + r_lo + K]``.
+    With ``m == 1``: ``G[j, p] = h[half_len + p*down - (j + r_lo)*up]``
+    (0 outside the filter support) — column ``p`` is phase ``p``'s FIR
+    over the input window ``x[q*down + r_lo : q*down + r_lo + K]``.
+
+    ``m > 1`` is the MXU lane-blocking variant: ``m`` consecutive
+    windows become extra output channels (column ``b*up + p`` is phase
+    ``p`` of window ``b``, its taps shifted by ``b*down``), so the conv
+    runs with stride ``m*down`` and ``m*up ≥ 128`` channels.  The matrix
+    is banded — ``((m-1)*down + K)/K``-fold more MACs than the
+    unblocked form — but a 1-output-channel conv uses 1/128th of the
+    MXU's lanes, so for small ``up`` (48 k->16 k is ``up=1``) blocking
+    wins by an order of magnitude (measured on chip: 37 k-> >200 k x RT).
     """
     h = resample_filter(up, down, beta)
     half_len = (len(h) - 1) // 2
     # r bounds where 0 <= half_len + p*down - r*up <= 2*half_len for some p
     r_lo = -(half_len // up)                                  # p = 0
     r_hi = ((up - 1) * down + half_len) // up                 # p = up-1
-    k = r_hi - r_lo + 1
-    g = np.zeros((k, up), dtype=np.float64)
-    for p in range(up):
-        idx = half_len + p * down - (np.arange(r_lo, r_hi + 1)) * up
-        valid = (idx >= 0) & (idx < len(h))
-        g[valid, p] = h[idx[valid]]
+    k = (m - 1) * down + r_hi - r_lo + 1
+    g = np.zeros((k, up * m), dtype=np.float64)
+    r = np.arange(r_lo, r_lo + k)
+    for b in range(m):
+        for p in range(up):
+            idx = half_len + p * down - (r - b * down) * up
+            valid = (idx >= 0) & (idx < len(h))
+            g[valid, b * up + p] = h[idx[valid]]
     return g, r_lo
 
 
@@ -131,24 +143,29 @@ def resample_poly(
     if n_in == 0:
         return jnp.zeros(x.shape[:-1] + (0,), dtype=x.dtype)
 
-    g_np, r_lo = _phase_matrix(up, down, beta)
+    # lane blocking: give the conv >= 128 output channels (m consecutive
+    # windows as extra channels) so the MXU's output lanes are full even
+    # for pure decimation (up=1)
+    m = max(1, -(-128 // up))
+    g_np, r_lo = _phase_matrix(up, down, beta, m)
     k = g_np.shape[0]
-    q = -(-n_out // up)  # strided-conv positions: each yields `up` outputs
-    # conv window q covers padded indices [q*down, q*down + K); the padded
-    # signal is  (-r_lo) zeros | x | right zeros
+    ch, stride = up * m, down * m
+    q = -(-n_out // ch)  # strided-conv positions: each yields `ch` outputs
+    # conv window q covers padded indices [q*stride, q*stride + K'); the
+    # padded signal is  (-r_lo) zeros | x | right zeros
     pad_left = -r_lo
-    needed = (q - 1) * down + k
+    needed = (q - 1) * stride + k
     pad_right = max(0, needed - pad_left - n_in)
     batch_shape = x.shape[:-1]
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)])
     lhs = xp.reshape(-1, 1, xp.shape[-1])[..., :needed]    # [B, 1, L]
-    rhs = jnp.asarray(g_np.T[:, None, :], dtype=x.dtype)   # [up, 1, K]
+    rhs = jnp.asarray(g_np.T[:, None, :], dtype=x.dtype)   # [ch, 1, K']
     y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(down,), padding=[(0, 0)],
+        lhs, rhs, window_strides=(stride,), padding=[(0, 0)],
         dimension_numbers=("NCW", "OIW", "NCW"),
         precision=precision,
-    )                                                      # [B, up, Q]
-    y = jnp.swapaxes(y, -1, -2).reshape(batch_shape + (q * up,))
+    )                                                      # [B, ch, Q]
+    y = jnp.swapaxes(y, -1, -2).reshape(batch_shape + (q * ch,))
     return y[..., :n_out]
 
 

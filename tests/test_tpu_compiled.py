@@ -152,6 +152,26 @@ def test_npack_fbank_golden_compiled(jfk_samples, testdata):
     assert np.abs(feats - golden).max() < 0.016
 
 
+def test_resample_parity_compiled(jfk_samples):
+    """The polyphase resampler's strided-conv path (precision=HIGHEST),
+    XLA-compiled on chip, vs the f64 host polyphase reference (which the
+    CPU suite pins to scipy.signal.resample_poly at 1e-12). Covers the
+    serving ingest ratios: 48 k->16 k and 44.1 k->16 k."""
+    from melspec_tpu.ops.resample import StreamingResampler, resample_poly
+
+    x = np.asarray(jfk_samples[: 16000 * 3], np.float32)
+    for up, down in ((1, 3), (160, 441)):
+        host = StreamingResampler(up, down, dtype=np.float64)
+        ref = np.concatenate([host.push(x.astype(np.float64)),
+                              host.flush()])
+        got = np.asarray(jax.jit(
+            lambda a, u=up, d=down: resample_poly(a, u, d)
+        )(x))
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() <= 1e-5 * scale, (up, down)
+
+
 def test_quantized_emission_parity_compiled(jfk_samples):
     """The fused u8 wire-record emission (whisper_mel_quantized),
     Mosaic-compiled, vs quantizing the compiled sig kernel's mel with
