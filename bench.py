@@ -316,6 +316,35 @@ def main() -> None:
                           f"{rtfx:,.0f}x RT", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
                     print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
+            # ingest resampling (beyond-parity: the reference has no
+            # resampler) — RTFx vs INPUT seconds. 48k->16k is the pure
+            # decimation the lane-blocked matrix exists for; 44.1k->16k
+            # (up=160, down=441) is the dense-rational case.
+            from melspec_tpu.ops.resample import resample_poly
+
+            for fname, up, down, in_sr in [
+                ("resample_48k_16k", 1, 3, 48000),
+                ("resample_44k1_16k", 160, 441, 44100),
+            ]:
+                if time.perf_counter() - started > BUDGET_S:
+                    print("bench budget exhausted; skipping resample rows",
+                          file=sys.stderr)
+                    raise _BudgetDone
+                rs = jax.jit(lambda x, u=up, d=down: resample_poly(x, u, d))
+                rxs = [jax.random.normal(k, (64, 10 * in_sr),
+                                         jnp.float32) * 0.1
+                       for k in jax.random.split(jax.random.PRNGKey(up), 2)]
+                jax.block_until_ready(rxs)
+                try:
+                    wall = _bench(rs, rxs, iters=8)
+                    rtfx = 640.0 / wall
+                    results[f"{fname}_64x10s"] = round(rtfx, 1)
+                    print(f"{fname} 64x10s: {wall*1e3:.2f} ms -> "
+                          f"{rtfx:,.0f}x RT", file=sys.stderr)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
+                del rxs
+
             # multistream serving at production scale (256 streams x 500
             # hops = 1,280 s of audio per dispatch — small configs are
             # dispatch-floor-bound through the tunnel and say nothing):
