@@ -36,6 +36,9 @@ import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
+from urllib.parse import parse_qs, urlsplit
+
+import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
@@ -181,14 +184,17 @@ class BrowserBridge:
         # resamples that client's PCM at ingest so the stream server
         # always sees config-rate audio
         resampler = None
-        query = dict(
-            kv.split("=", 1)
-            for kv in handler.path.partition("?")[2].split("&") if "=" in kv
-        )
+        query = parse_qs(urlsplit(handler.path).query)
         cfg_rate = int(self.streams.config.sampling_rate)
         try:
-            client_rate = int(float(query.get("rate", cfg_rate)))
-        except ValueError:
+            # client-controlled: parse AND bound before construction — a
+            # rate coprime with cfg_rate (e.g. ?rate=44101) would build a
+            # multi-gigabyte polyphase matrix (validate_ratio's docstring)
+            client_rate = int(float(query.get("rate", [cfg_rate])[0]))
+            from melspec_tpu.ops.resample import validate_ratio
+
+            validate_ratio(cfg_rate, client_rate)
+        except (ValueError, OverflowError):
             handler.send_error(400, "bad rate")
             return
         if client_rate != cfg_rate:
@@ -260,8 +266,6 @@ class BrowserBridge:
                     if resampler is None:
                         tcp.sendall(payload)
                         continue
-                    import numpy as np
-
                     data = pcm_tail + payload
                     n = len(data) // 4 * 4
                     pcm_tail = data[n:]

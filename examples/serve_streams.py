@@ -44,7 +44,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 from melspec_tpu.config import DetectionSettings, MelConfig
-from melspec_tpu.ops.resample import StreamingResampler
+from melspec_tpu.ops.resample import StreamingResampler, validate_ratio
 from melspec_tpu.runtime.ringbuffer import SampleRing
 from melspec_tpu.streaming.serving import MultiStreamFrontend
 
@@ -87,6 +87,12 @@ class StreamServer:
         self.input_rate = (None if input_rate is None
                            or input_rate == int(config.sampling_rate)
                            else int(input_rate))
+        if self.input_rate is not None:
+            # fail fast on a bad --input-rate (a ValueError raised later
+            # in _accept_loop would silently kill the accept thread) and
+            # warm the polyphase-matrix cache off the accept path
+            validate_ratio(int(config.sampling_rate), self.input_rate)
+            StreamingResampler(int(config.sampling_rate), self.input_rate)
         self.hops = hops_per_tick
         self.settings = settings
         self.frontend = MultiStreamFrontend(config, n_streams,

@@ -42,11 +42,44 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "MAX_REDUCED_PRODUCT",
     "StreamingResampler",
     "resample_filter",
     "resample_output_len",
     "resample_poly",
+    "validate_ratio",
 ]
+
+# The phase matrix is ~(down + 20)*up f64 entries, so its host memory and
+# build time scale with the REDUCED product up*down. Every standard
+# audio-rate pair (8/11.025/16/22.05/24/32/44.1/48/88.2/96/176.4/192 kHz
+# against any other) reduces to a product <= 564,480 (11.025k <-> 32k);
+# 2**20 leaves headroom (a ~10 MB matrix) without admitting hostile
+# ratios (44101/16000 is coprime: product 7.1e8, a 5.6 GB matrix).
+MAX_REDUCED_PRODUCT = 1 << 20
+
+
+def validate_ratio(up: int, down: int,
+                   max_product: int = MAX_REDUCED_PRODUCT
+                   ) -> tuple[int, int]:
+    """Gcd-reduce ``up/down`` and reject ratios unsafe to construct.
+
+    Serving boundaries that accept a client-controlled rate MUST call
+    this before constructing a resampler: ``_phase_matrix`` allocates
+    ``O(up*down)`` f64 host memory and caches it forever.  Returns the
+    reduced ``(up, down)``; raises ``ValueError`` otherwise.
+    """
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    if up * down > max_product:
+        raise ValueError(
+            f"resample ratio reduces to {up}/{down}: the polyphase matrix"
+            f" would be ~{up * down * 8 / 1e6:.0f} MB of host memory"
+            f" (bound {max_product * 8 / 1e6:.0f} MB); use a standard"
+            f" rate pair")
+    return up, down
 
 
 def _kaiser_sinc_filter(half_len: int, cutoff: float, beta: float) -> np.ndarray:

@@ -160,6 +160,48 @@ def test_ws_client_reported_rate_resampled(jfk_samples):
     assert np.abs(mel_a - mel_b).max() <= 2 * step + 1e-3
 
 
+def test_bad_ws_rate_rejected_with_400():
+    """Client-controlled ``?rate=`` must be bounded BEFORE a resampler is
+    constructed: a coprime pair would build (and cache) a multi-gigabyte
+    polyphase matrix, and 0/inf/garbage used to escape the handler as an
+    uncaught exception instead of a 400."""
+    bridge = BrowserBridge(n_streams=2).start()
+    try:
+        for rate in ["0", "-8000", "inf", "nan", "abc", "44101", "1e99"]:
+            sock = socket.create_connection(("127.0.0.1", bridge.port),
+                                            timeout=30)
+            sock.sendall(
+                (f"GET /ws?rate={rate} HTTP/1.1\r\n"
+                 f"Host: 127.0.0.1:{bridge.port}\r\n"
+                 "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                 "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                 "Sec-WebSocket-Version: 13\r\n\r\n").encode()
+            )
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                chunk = sock.recv(4096)
+                if not chunk:
+                    break
+                resp += chunk
+            sock.close()
+            status = resp.split(b"\r\n", 1)[0].decode(errors="replace")
+            assert " 400 " in status, (rate, status)
+        # the server must still accept a good client afterwards
+        ws = _ws_connect(bridge.port, path="/ws?rate=48000")
+        ws.close()
+    finally:
+        bridge.stop()
+
+
+def test_bad_input_rate_fails_at_startup():
+    """An invalid --input-rate must raise at construction, not kill the
+    accept thread on the first connection."""
+    with pytest.raises(ValueError):
+        StreamServer(n_streams=2, input_rate=0)
+    with pytest.raises(ValueError):
+        StreamServer(n_streams=2, input_rate=44101)  # coprime with 16000
+
+
 def test_static_pages_served():
     bridge = BrowserBridge(n_streams=2).start()
     try:

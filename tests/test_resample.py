@@ -17,6 +17,7 @@ from melspec_tpu.ops.resample import (
     resample_filter,
     resample_output_len,
     resample_poly,
+    validate_ratio,
 )
 
 # the ratios serving actually sees: 48k->16k, 44.1k->16k, 8k->16k, plus
@@ -70,6 +71,26 @@ def test_output_len_and_edges():
         resample_poly(x, 0, 3)
     with pytest.raises(ValueError):
         StreamingResampler(1, 0)
+
+
+def test_validate_ratio_bounds_untrusted_rates():
+    """Serving boundaries gate client rates through validate_ratio: every
+    standard audio-rate pair passes (reduced), while a coprime hostile
+    pair — whose polyphase matrix would be gigabytes of host f64 — and
+    non-positive values raise."""
+    standards = [8000, 11025, 16000, 22050, 24000, 32000, 44100, 48000,
+                 88200, 96000, 176400, 192000]
+    for a in standards:
+        for b in standards:
+            up, down = validate_ratio(a, b)
+            assert up * down <= 1 << 20
+            assert a * down == b * up  # reduced, same ratio
+    for bad in [(16000, 44101), (16000, 48001), (1, 2_000_000)]:
+        with pytest.raises(ValueError):
+            validate_ratio(*bad)
+    for bad in [(0, 3), (3, 0), (-16000, 48000)]:
+        with pytest.raises(ValueError):
+            validate_ratio(*bad)
 
 
 def test_int_input_filters_in_float():
