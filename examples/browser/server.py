@@ -83,8 +83,14 @@ def _read_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
-def ws_read_frame(sock: socket.socket):
-    """Read one frame -> (opcode, payload). Raises on close/EOF."""
+def ws_read_frame(sock: socket.socket, max_payload: int = 1 << 24):
+    """Read one frame -> (opcode, payload). Raises on close/EOF.
+
+    ``max_payload`` bounds the declared frame length BEFORE buffering:
+    the length field is client-controlled (up to 2**64), and accepting it
+    verbatim would let one hostile frame grow an unbounded host buffer.
+    16 MiB is ~260 s of f32 mono PCM — far above any sane capture chunk.
+    """
     b0, b1 = _read_exact(sock, 2)
     opcode = b0 & 0x0F
     masked = b1 & 0x80
@@ -93,6 +99,9 @@ def ws_read_frame(sock: socket.socket):
         (n,) = struct.unpack(">H", _read_exact(sock, 2))
     elif n == 127:
         (n,) = struct.unpack(">Q", _read_exact(sock, 8))
+    if n > max_payload:
+        raise ConnectionError(f"websocket frame of {n} bytes exceeds the"
+                              f" {max_payload}-byte bound")
     mk = _read_exact(sock, 4) if masked else None
     payload = _read_exact(sock, n)
     if mk:

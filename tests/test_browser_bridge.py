@@ -193,6 +193,37 @@ def test_bad_ws_rate_rejected_with_400():
         bridge.stop()
 
 
+def test_oversized_ws_frame_disconnects_without_buffering():
+    """The frame-length field is client-controlled (up to 2**64); a
+    declared terabyte frame must drop the connection instead of growing
+    an unbounded host buffer."""
+    bridge = BrowserBridge(n_streams=2).start()
+    try:
+        ws = _ws_connect(bridge.port)
+        # header only: FIN+binary, masked, 64-bit length = 1 TiB
+        ws.sendall(bytes([0x82, 0x80 | 127]) + struct.pack(">Q", 1 << 40)
+                   + b"\x00\x01\x02\x03")
+        ws.settimeout(30)
+        # server must close (ws close frame then EOF) without waiting for
+        # the payload
+        saw_close_or_eof = False
+        try:
+            while True:
+                opcode, _ = ws_read_frame(ws)
+                if opcode == 0x8:
+                    saw_close_or_eof = True
+                    break
+        except (ConnectionError, OSError):
+            saw_close_or_eof = True
+        assert saw_close_or_eof
+        ws.close()
+        # and keep serving others
+        ws2 = _ws_connect(bridge.port)
+        ws2.close()
+    finally:
+        bridge.stop()
+
+
 def test_bad_input_rate_fails_at_startup():
     """An invalid --input-rate must raise at construction, not kill the
     accept thread on the first connection."""
