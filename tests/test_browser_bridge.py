@@ -224,6 +224,26 @@ def test_oversized_ws_frame_disconnects_without_buffering():
         bridge.stop()
 
 
+def test_ws_garbage_bytes_survive():
+    """Random post-handshake garbage (misparsed opcodes, bogus lengths,
+    truncated frames) must never wedge or crash the bridge — each
+    connection ends, and the server keeps serving."""
+    bridge = BrowserBridge(n_streams=2).start()
+    rng = np.random.default_rng(3)
+    try:
+        for trial in range(4):
+            ws = _ws_connect(bridge.port)
+            ws.settimeout(30)
+            ws.sendall(rng.bytes(257 + 97 * trial))
+            ws.close()  # abrupt close mid-frame
+        # still serving
+        ws = _ws_connect(bridge.port)
+        ws.sendall(ws_encode_frame(b"", opcode=0x8, mask=True))
+        ws.close()
+    finally:
+        bridge.stop()
+
+
 def test_bad_input_rate_fails_at_startup():
     """An invalid --input-rate must raise at construction, not kill the
     accept thread on the first connection."""

@@ -93,6 +93,29 @@ def test_validate_ratio_bounds_untrusted_rates():
             validate_ratio(*bad)
 
 
+def test_sharded_batch_resample_matches_single_device():
+    """Ingest resampling scales out like every other frontend op: a
+    batch-sharded resample over the 8-device mesh equals the
+    single-device result (the strided conv is batch-parallel, so the
+    sharding needs no collectives)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from melspec_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=(16, 4800)) * 0.3).astype(np.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("batch", None)))
+    fn = jax.jit(lambda v: resample_poly(v, 1, 3),
+                 out_shardings=NamedSharding(mesh, P("batch", None)))
+    got = fn(xs)
+    assert len(got.sharding.device_set) == 8
+    want = np.asarray(resample_poly(x, 1, 3))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
 def test_int_input_filters_in_float():
     y = np.asarray(resample_poly(np.arange(100, dtype=np.int32), 1, 2))
     assert jnp.issubdtype(y.dtype, jnp.floating)
