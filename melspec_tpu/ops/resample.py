@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "MAX_REDUCED_PRODUCT",
+    "MAX_MATRIX_ENTRIES",
     "StreamingResampler",
     "resample_filter",
     "resample_output_len",
@@ -50,34 +50,36 @@ __all__ = [
     "validate_ratio",
 ]
 
-# The phase matrix is ~(down + 20)*up f64 entries, so its host memory and
-# build time scale with the REDUCED product up*down. Every standard
-# audio-rate pair (8/11.025/16/22.05/24/32/44.1/48/88.2/96/176.4/192 kHz
-# against any other) reduces to a product <= 564,480 (11.025k <-> 32k);
-# 2**20 leaves headroom (a ~10 MB matrix) without admitting hostile
-# ratios (44101/16000 is coprime: product 7.1e8, a 5.6 GB matrix).
-MAX_REDUCED_PRODUCT = 1 << 20
+# The phase matrix holds K*up ~= up*down + 2*half_len f64 entries
+# (half_len = 10*max(up, down)), so its host memory and build time scale
+# with the REDUCED pair. Every standard audio-rate pair (8/11.025/16/
+# 22.05/24/32/44.1/48/88.2/96/176.4/192 kHz against any other) reduces to
+# <= 615,680 entries (11.025k <-> 32k); 2**20 (an 8 MB matrix) leaves
+# headroom without admitting hostile ratios (44101/16000 is coprime:
+# 7.1e8 entries, a 5.6 GB matrix).
+MAX_MATRIX_ENTRIES = 1 << 20
 
 
 def validate_ratio(up: int, down: int,
-                   max_product: int = MAX_REDUCED_PRODUCT
+                   max_entries: int = MAX_MATRIX_ENTRIES
                    ) -> tuple[int, int]:
     """Gcd-reduce ``up/down`` and reject ratios unsafe to construct.
 
     Serving boundaries that accept a client-controlled rate MUST call
-    this before constructing a resampler: ``_phase_matrix`` allocates
-    ``O(up*down)`` f64 host memory and caches it forever.  Returns the
-    reduced ``(up, down)``; raises ``ValueError`` otherwise.
+    this before constructing a resampler: ``_phase_matrix`` allocates the
+    matrix in f64 host memory and caches it.  Returns the reduced
+    ``(up, down)``; raises ``ValueError`` otherwise.
     """
     if up < 1 or down < 1:
         raise ValueError("up and down must be >= 1")
     g = math.gcd(up, down)
     up, down = up // g, down // g
-    if up * down > max_product:
+    entries = up * down + 20 * max(up, down)
+    if entries > max_entries:
         raise ValueError(
             f"resample ratio reduces to {up}/{down}: the polyphase matrix"
-            f" would be ~{up * down * 8 / 1e6:.0f} MB of host memory"
-            f" (bound {max_product * 8 / 1e6:.0f} MB); use a standard"
+            f" would be ~{entries * 8 / 1e6:.0f} MB of host memory"
+            f" (bound {max_entries * 8 / 1e6:.0f} MB); use a standard"
             f" rate pair")
     return up, down
 
@@ -106,7 +108,10 @@ def resample_filter(up: int, down: int, beta: float = 5.0) -> np.ndarray:
     return _kaiser_sinc_filter(10 * max_rate, 1.0 / max_rate, beta) * up
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)  # bounded: a serving boundary cycling through
+# many distinct (validated) rates must not accumulate matrices without
+# limit; jitted callers bake the matrix as a constant at trace time, so
+# eviction only costs a rebuild on the next cold construction
 def _phase_matrix(up: int, down: int, beta: float,
                   m: int = 1) -> tuple[np.ndarray, int]:
     """Host-built ``(G[K', up*m], r_lo)`` for gcd-reduced ``up/down``.

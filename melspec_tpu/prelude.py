@@ -48,6 +48,7 @@ from melspec_tpu.ops.quant import (
 from melspec_tpu.ops.resample import (
     StreamingResampler,
     resample_poly,
+    validate_ratio,
 )
 from melspec_tpu.ops.spectrogram import (
     MelProjection,
@@ -134,6 +135,7 @@ __all__ = [
     "read_wav_f32le",
     "read_wav_mono",
     "resample_poly",
+    "validate_ratio",
     "save_tga_8bit",
     "streaming_decisions",
     "tga_8bit",

@@ -83,9 +83,12 @@ def test_validate_ratio_bounds_untrusted_rates():
     for a in standards:
         for b in standards:
             up, down = validate_ratio(a, b)
-            assert up * down <= 1 << 20
+            assert up * down + 20 * max(up, down) <= 1 << 20
             assert a * down == b * up  # reduced, same ratio
-    for bad in [(16000, 44101), (16000, 48001), (1, 2_000_000)]:
+    # hostile: coprime pairs, and an extreme decimation whose matrix is
+    # dominated by the 20*max filter-length term rather than up*down
+    for bad in [(16000, 44101), (16000, 48001), (1, 2_000_000),
+                (1, 100_000)]:
         with pytest.raises(ValueError):
             validate_ratio(*bad)
     for bad in [(0, 3), (3, 0), (-16000, 48000)]:
