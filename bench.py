@@ -407,6 +407,35 @@ def main() -> None:
                           f"{rtfx:,.0f}x RT", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
                     print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
+            del ms_xs
+            # source-rate serving tick: 48 kHz clients, resample + mel +
+            # VAD + quant in ONE dispatch (SourceRateFrontend). Audio
+            # seconds are identical to serving_tick_full (1,280 s), so
+            # the delta vs that row IS the on-device resampling cost.
+            if time.perf_counter() - started > BUDGET_S:
+                print("bench budget exhausted; skipping source-rate tick",
+                      file=sys.stderr)
+                raise _BudgetDone
+            from melspec_tpu.streaming.serving import SourceRateFrontend
+
+            sfront = SourceRateFrontend(MelConfig(400, 160, 80, 16000.0),
+                                        n_s, input_rate=48000)
+            sfstate = sfront.init()
+            src_xs = [jax.random.normal(k, (n_s, n_h, sfront.hop_src),
+                                        jnp.float32) * 0.1
+                      for k in jax.random.split(jax.random.PRNGKey(9), 2)]
+            jax.block_until_ready(src_xs)
+            try:
+                wall = _bench(
+                    lambda x: sfront._tick_jit(sfstate, x, active)[1]
+                    .astype(jnp.float32), src_xs, iters=8)
+                rtfx = ms_audio / wall
+                results[f"serving_tick_src48_{n_s}sx{n_h}h"] = round(rtfx, 1)
+                print(f"serving_tick_src48 {n_s}sx{n_h}h: {wall*1e3:.2f} ms"
+                      f" -> {rtfx:,.0f}x RT", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"serving_tick_src48 failed: {e!r}"[:300],
+                      file=sys.stderr)
         except _BudgetDone:
             pass
         except Exception as e:  # noqa: BLE001

@@ -46,7 +46,8 @@ import numpy as np
 from melspec_tpu.config import DetectionSettings, MelConfig
 from melspec_tpu.ops.resample import StreamingResampler, validate_ratio
 from melspec_tpu.runtime.ringbuffer import SampleRing
-from melspec_tpu.streaming.serving import MultiStreamFrontend
+from melspec_tpu.streaming.serving import (MultiStreamFrontend,
+                                           SourceRateFrontend)
 
 HEADER = struct.Struct("<IBff")  # frame_idx, va, min, max
 
@@ -78,16 +79,25 @@ class StreamServer:
                  hops_per_tick: int = 4,
                  settings: DetectionSettings = DetectionSettings(),
                  record_norm: str = "whisper",
-                 input_rate: int | None = None):
+                 input_rate: int | None = None,
+                 device_resample: bool = False):
         self.config = config
         self.n_streams = n_streams
         # clients may send PCM at a different rate (8 k telephony, 44.1/48 k
-        # sources); each slot's recv thread then runs a StreamingResampler
-        # at ingest so the batched device tick always sees config-rate audio
+        # sources). Two ingest modes:
+        # - host (default): each slot's recv thread runs a
+        #   StreamingResampler, so the device tick sees config-rate audio
+        #   (works for ANY valid ratio);
+        # - device (--device-resample): rings hold SOURCE-rate samples and
+        #   the tick is a SourceRateFrontend — resample + mel + VAD + quant
+        #   in ONE dispatch, no host FIR work (needs an integral source
+        #   hop, which every standard rate with hop=160 has)
         self.input_rate = (None if input_rate is None
                            or input_rate == int(config.sampling_rate)
                            else int(input_rate))
-        if self.input_rate is not None:
+        self._host_resample = self.input_rate is not None \
+            and not device_resample
+        if self._host_resample:
             # fail fast on a bad --input-rate (a ValueError raised later
             # in _accept_loop would silently kill the accept thread) and
             # warm the polyphase-matrix cache off the accept path
@@ -95,9 +105,17 @@ class StreamServer:
             StreamingResampler(int(config.sampling_rate), self.input_rate)
         self.hops = hops_per_tick
         self.settings = settings
-        self.frontend = MultiStreamFrontend(config, n_streams,
-                                            settings=settings,
-                                            record_norm=record_norm)
+        if self.input_rate is not None and device_resample:
+            self.frontend = SourceRateFrontend(config, n_streams,
+                                               input_rate=self.input_rate,
+                                               settings=settings,
+                                               record_norm=record_norm)
+            self.ingest_hop = self.frontend.hop_src
+        else:
+            self.frontend = MultiStreamFrontend(config, n_streams,
+                                                settings=settings,
+                                                record_norm=record_norm)
+            self.ingest_hop = config.hop_size
         self.state = self.frontend.init()
         self.slots: list[_Slot | None] = [None] * n_streams
         self._pending_reset = np.zeros(n_streams, dtype=bool)
@@ -148,10 +166,10 @@ class StreamServer:
             except OSError:
                 break
             resampler = None
-            if self.input_rate is not None:
+            if self._host_resample:
                 resampler = StreamingResampler(
                     int(self.config.sampling_rate), self.input_rate)
-            slot = _Slot(conn, capacity=self.config.hop_size * 1024,
+            slot = _Slot(conn, capacity=self.ingest_hop * 1024,
                          resampler=resampler)
             placed = False
             with self._slots_lock:
@@ -173,7 +191,7 @@ class StreamServer:
 
     def _tick(self) -> int:
         """One serving tick: drain ready slots, bulk-push, reply."""
-        hop, hops = self.config.hop_size, self.hops
+        hop, hops = self.ingest_hop, self.hops
         need = hop * hops
         chunks = np.zeros((self.n_streams, hops, hop), dtype=np.float32)
         active = np.zeros(self.n_streams, dtype=bool)
@@ -260,7 +278,7 @@ class StreamServer:
         # mel + VAD + quant program's first jit can take minutes on a
         # remote backend, and the first client would otherwise stall
         # behind it. An all-inactive zero push advances no stream state.
-        zeros = np.zeros((self.n_streams, self.hops, self.config.hop_size),
+        zeros = np.zeros((self.n_streams, self.hops, self.ingest_hop),
                          np.float32)
         self.frontend.push_many(self.state, zeros,
                                 np.zeros(self.n_streams, dtype=bool))
@@ -342,6 +360,11 @@ def main() -> None:
                     "each stream is resampled to the mel config's rate "
                     "at ingest (polyphase, scipy-parity — "
                     "melspec_tpu.ops.resample)")
+    ap.add_argument("--device-resample", action="store_true",
+                    help="resample ON DEVICE inside the serving tick "
+                    "(SourceRateFrontend: resample + mel + VAD + quant "
+                    "in one dispatch) instead of per-stream host FIRs; "
+                    "requires --input-rate with an integral source hop")
     args = ap.parse_args()
     if args.client is not None:
         from melspec_tpu.io.wav import read_wav_f32le
@@ -353,7 +376,8 @@ def main() -> None:
         return
     server = StreamServer(port=args.port, n_streams=args.n_streams,
                           record_norm=args.record_norm,
-                          input_rate=args.input_rate)
+                          input_rate=args.input_rate,
+                          device_resample=args.device_resample)
     server.start()
     print(f"serving on port {server.port} ({args.n_streams} streams)",
           flush=True)

@@ -114,6 +114,7 @@ def sharded_serving(
     n_streams: int = 64,
     settings: Optional[DetectionSettings] = None,
     axis: str = "batch",
+    input_rate: Optional[int] = None,
 ):
     """The COMPLETE serving tick — mel + batched streaming-VAD decisions
     + per-frame u8 quantization (``streaming/serving.py``) — over the
@@ -121,19 +122,32 @@ def sharded_serving(
     independent; no collectives). Returns ``(front, init_fn, tick_fn)``;
     ``tick_fn(state, chunks [S, H, hop], active [S])`` ->
     ``(state, q u8, lo, hi, va, valid)`` with every array sharded on its
-    leading (stream) axis."""
+    leading (stream) axis. With ``input_rate`` set, the tick is a
+    ``SourceRateFrontend`` — chunks carry ``hop_src`` SOURCE-rate samples
+    per hop and on-device resampling rides the same dispatch."""
     from melspec_tpu.config import MelConfig
     from melspec_tpu.streaming.multistream import MultiStreamState
     from melspec_tpu.streaming.serving import (FrontendState,
                                                MultiStreamFrontend,
+                                               SourceRateFrontend,
                                                VadStreamState)
 
     config = config or MelConfig()
     settings = settings or DetectionSettings()
     spec = _stream_axis_spec(mesh, axis, n_streams)
-    front = MultiStreamFrontend(config, n_streams, settings=settings)
-    st_shard = FrontendState(MultiStreamState(spec, spec),
+    fe_shard = FrontendState(MultiStreamState(spec, spec),
                              VadStreamState(spec, spec))
+    if input_rate is not None:
+        from melspec_tpu.streaming.resample import MultiResampleState
+        from melspec_tpu.streaming.serving import SourceRateState
+
+        front = SourceRateFrontend(config, n_streams,
+                                   input_rate=input_rate,
+                                   settings=settings)
+        st_shard = SourceRateState(MultiResampleState(spec), fe_shard)
+    else:
+        front = MultiStreamFrontend(config, n_streams, settings=settings)
+        st_shard = fe_shard
 
     def init_fn():
         return jax.device_put(front.init(), st_shard)

@@ -71,7 +71,10 @@ from melspec_tpu.ops.vad import (
 from melspec_tpu.runtime import SampleRing
 from melspec_tpu.streaming.multistream import MultiStreamMel, MultiStreamState
 from melspec_tpu.streaming.pipeline import RingBuffer
-from melspec_tpu.streaming.serving import MultiStreamFrontend, MultiStreamVad
+from melspec_tpu.streaming.resample import MultiStreamResampler
+from melspec_tpu.streaming.serving import (MultiStreamFrontend,
+                                           MultiStreamVad,
+                                           SourceRateFrontend)
 from melspec_tpu.streaming.speech_to_mel import SpeechToMel
 from melspec_tpu.streaming.stft import StftState, StreamingMel, StreamingStft
 from melspec_tpu.streaming.vad import VoiceActivityDetector
@@ -92,8 +95,10 @@ __all__ = [
     "MelProjection",
     "MultiStreamFrontend",
     "MultiStreamMel",
+    "MultiStreamResampler",
     "MultiStreamState",
     "MultiStreamVad",
+    "SourceRateFrontend",
     "QuantizationRange",
     "RingBuffer",
     "SampleRing",

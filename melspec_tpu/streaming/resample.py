@@ -1,0 +1,138 @@
+"""Batched ON-DEVICE streaming resampler for many concurrent streams.
+
+``examples/serve_streams.py`` resamples each client on the HOST (one
+``ops.resample.StreamingResampler`` per recv thread) — fine for a demo,
+but at hundreds of streams the per-sample FIR work lands on the single
+serving core. The TPU-native shape is the same as the rest of the
+serving tick (``streaming/serving.py``): carry the per-stream input tail
+as batched device state and advance ALL streams with one framed matmul
+per tick, so ingest rate conversion rides the same dispatch as
+mel/VAD/quant.
+
+Design notes (mirrors ``MultiStreamMel``'s carried-pytree protocol):
+
+- State is ``buf [S, L]`` — the last ``L`` source-rate samples, seeded
+  with zeros standing in for the offline op's left zero-extension. ``L``
+  is chosen so (a) every tick consumes exactly the pushed samples
+  (``L >= K - down``), (b) the window grid aligns with
+  ``scipy.signal.resample_poly``'s (``L ≡ pad_left (mod down)``), and
+  (c) the spurious leading outputs — windows that start before the
+  offline op's first window — total an exact multiple of ``align`` (the
+  downstream hop size), so a composed frontend's frame grid matches a
+  host-resampled stream's exactly after skipping whole hops.
+- A fresh stream's first :attr:`spurious_out` output samples are
+  garbage by construction; composed consumers absorb them with the mel
+  warmup counter (``SourceRateFrontend`` starts ``idx`` at
+  ``-spurious_out``), standalone consumers drop them.
+- Parity: real outputs (index >= ``spurious_out``) equal the host
+  ``StreamingResampler``'s prefix output to f32 matmul associativity
+  (test-enforced) — both paths share ``ops.resample._phase_matrix``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from melspec_tpu.ops.framing import frame_signal
+from melspec_tpu.ops.resample import _phase_matrix
+
+__all__ = ["MultiResampleState", "MultiStreamResampler"]
+
+
+class MultiResampleState(NamedTuple):
+    buf: jnp.ndarray  # [S, L] carried source-rate tail
+
+
+class MultiStreamResampler:
+    """Rational ``up/down`` resampling of ``S`` concurrent streams as one
+    device step.
+
+    - ``init()`` -> fresh state (all streams at their zero left-pad)
+    - ``step(state, chunks [S, n], active [S])`` ->
+      ``(state, y [S, n*up//down])`` — ``n`` must be a multiple of the
+      reduced ``down``; inactive streams keep their state and their
+      output lanes are meaningless (mask downstream, exactly like
+      ``MultiStreamMel``).
+    - ``reset(state, mask [S])`` -> masked streams back to stream start.
+
+    The first :attr:`spurious_out` outputs of each stream's lifetime are
+    garbage (see module docstring); with ``align`` set they total an
+    exact multiple of ``align`` samples.
+    """
+
+    def __init__(self, up: int, down: int, n_streams: int = 16,
+                 align: int = 1, beta: float = 5.0):
+        g = math.gcd(up, down)
+        up, down = up // g, down // g
+        if up == down:
+            raise ValueError("identity ratio: no resampler needed")
+        if align < 1:
+            raise ValueError("align must be >= 1")
+        self.up, self.down = up, down
+        self.n_streams = n_streams
+        g_np, r_lo = _phase_matrix(up, down, beta)
+        self._g = jnp.asarray(g_np, jnp.float32)
+        self._k = g_np.shape[0]
+        pad_left = -r_lo
+        # smallest n_spur with L = pad_left + n_spur*down >= K - down and
+        # n_spur*up ≡ 0 (mod align)  [grid + hop alignment, see module doc]
+        step = align // math.gcd(up, align)  # n_spur granularity for
+        # n_spur*up ≡ 0 (mod align)
+        min_spur = max(0, -(-(self._k - down - pad_left) // down))
+        n_spur = -(-min_spur // step) * step
+        self._len = pad_left + n_spur * down
+        self.spurious_out = n_spur * up
+
+    def init(self) -> MultiResampleState:
+        return MultiResampleState(
+            buf=jnp.zeros((self.n_streams, self._len), jnp.float32)
+        )
+
+    def step(self, state: MultiResampleState, chunks: jnp.ndarray,
+             active: jnp.ndarray):
+        """One unjitted step (compose inside your own jit): consume
+        ``chunks [S, n]`` source-rate samples, emit ``[S, n*up//down]``."""
+        n = chunks.shape[-1]
+        q = n // self.down
+        sig = jnp.concatenate([state.buf, chunks.astype(jnp.float32)],
+                              axis=-1)
+        frames = frame_signal(sig, self._k, self.down, q)   # [S, q, K]
+        y = jnp.matmul(frames, self._g,
+                       precision=jax.lax.Precision.HIGHEST)  # [S, q, up]
+        y = y.reshape(y.shape[0], q * self.up)
+        new_buf = jnp.where(active[:, None], sig[:, n:], state.buf)
+        return MultiResampleState(new_buf), y
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _step_jit(self, state, chunks, active):
+        return self.step(state, chunks, active)
+
+    def push(self, state: MultiResampleState, chunks, active=None
+             ) -> Tuple[MultiResampleState, np.ndarray]:
+        chunks = jnp.asarray(chunks, jnp.float32)
+        if chunks.ndim != 2 or chunks.shape[0] != self.n_streams:
+            raise ValueError("chunks must be [n_streams, n]")
+        if chunks.shape[1] % self.down:
+            raise ValueError(
+                f"chunk length must be a multiple of down={self.down}")
+        if chunks.shape[1] == 0:
+            return state, np.zeros((self.n_streams, 0), np.float32)
+        if active is None:
+            active = jnp.ones(self.n_streams, dtype=bool)
+        state, y = self._step_jit(state, chunks, jnp.asarray(active, bool))
+        return state, jax.device_get(y)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _reset_jit(self, state, mask):
+        return MultiResampleState(
+            buf=jnp.where(mask[:, None], 0.0, state.buf)
+        )
+
+    def reset(self, state: MultiResampleState, mask) -> MultiResampleState:
+        return self._reset_jit(state, jnp.asarray(mask, bool))

@@ -31,6 +31,7 @@ from melspec_tpu.config import DetectionSettings, MelConfig
 from melspec_tpu.ops.quant import quantize_frames_jnp
 from melspec_tpu.ops.vad import streaming_decision_fields_batched
 from melspec_tpu.streaming.multistream import MultiStreamMel, MultiStreamState
+from melspec_tpu.streaming.resample import MultiResampleState
 
 
 class VadStreamState(NamedTuple):
@@ -232,3 +233,114 @@ class MultiStreamFrontend:
         mask = jnp.asarray(mask, bool)
         return FrontendState(self.mel.reset(state.mel, mask),
                              self.vad.reset(state.vad, mask))
+
+
+class SourceRateState(NamedTuple):
+    rs: MultiResampleState
+    fe: FrontendState
+
+
+class SourceRateFrontend:
+    """The complete serving tick for a rate-homogeneous fleet whose
+    clients send SOURCE-rate PCM (8 k telephony, 44.1/48 k media): one
+    device dispatch runs resample -> mel -> streaming VAD -> u8 quant
+    for all ``S`` streams, so ingest rate conversion costs no host FIR
+    work at all (``examples/serve_streams.py --input-rate`` does that
+    per-stream on the host).
+
+    ``push_many(state, chunks [S, H, hop_src], active)`` takes
+    ``hop_src = hop * down / up`` SOURCE samples per hop and returns the
+    exact ``MultiStreamFrontend`` output tuple. Frame-grid parity with
+    host-side resampling is structural: the resampler's spurious warm-up
+    prefix is an exact multiple of the hop (``align=hop``) and the mel
+    warm-up counter starts at ``-spurious_out``, so every VALID frame
+    equals the host-resampled pipeline's frame at the same index (to f32
+    matmul associativity; test-enforced).
+    """
+
+    def __init__(self, config: MelConfig = MelConfig(),
+                 n_streams: int = 16, input_rate: int = 48000,
+                 settings: DetectionSettings = DetectionSettings(),
+                 dtype=jnp.float32, fft_impl: str = "rdft",
+                 record_norm: str = "whisper", beta: float = 5.0):
+        from melspec_tpu.ops.resample import validate_ratio
+        from melspec_tpu.streaming.resample import MultiStreamResampler
+
+        up, down = validate_ratio(int(config.sampling_rate),
+                                  int(input_rate))
+        if up == down:
+            raise ValueError(
+                "input_rate equals the config rate; use MultiStreamFrontend"
+            )
+        hop = config.hop_size
+        if (hop * down) % up:
+            raise ValueError(
+                f"one {hop}-sample hop at {config.sampling_rate:.0f} Hz is "
+                f"not a whole number of samples at {input_rate} Hz"
+            )
+        self.hop_src = hop * down // up
+        self.front = MultiStreamFrontend(config, n_streams, settings,
+                                         dtype, fft_impl, record_norm)
+        self.rs = MultiStreamResampler(up, down, n_streams, align=hop,
+                                       beta=beta)
+        assert self.rs.spurious_out % hop == 0
+        self.config = config
+        self.n_streams = n_streams
+
+    def _delay_idx(self, mel_state, mask=None):
+        """Start (or restart) the mel warm-up counter at
+        ``-spurious_out`` so frames touching the resampler's garbage
+        prefix are never marked valid."""
+        d = jnp.int32(self.rs.spurious_out)
+        idx = mel_state.idx - d if mask is None else jnp.where(
+            mask, mel_state.idx - d, mel_state.idx)
+        return mel_state._replace(idx=idx)
+
+    def init(self) -> SourceRateState:
+        fe = self.front.init()
+        return SourceRateState(
+            self.rs.init(), FrontendState(self._delay_idx(fe.mel), fe.vad)
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _tick_jit(self, state: SourceRateState, chunks: jnp.ndarray,
+                  active: jnp.ndarray):
+        s, h, _ = chunks.shape
+        rstate, y = self.rs.step(state.rs,
+                                 chunks.reshape(s, h * self.hop_src),
+                                 active)
+        chunks16 = y.reshape(s, h, self.config.hop_size)
+        fstate, q, lo, hi, va, valid = self.front._tick_jit(
+            state.fe, chunks16, active
+        )
+        return SourceRateState(rstate, fstate), q, lo, hi, va, valid
+
+    def push_many(self, state: SourceRateState, chunks, active=None):
+        chunks = jnp.asarray(chunks, jnp.float32)
+        if chunks.ndim != 3 or chunks.shape[0] != self.n_streams \
+                or chunks.shape[2] != self.hop_src:
+            raise ValueError(
+                f"chunks must be [n_streams, n_hops, {self.hop_src}]")
+        h = chunks.shape[1]
+        n_mels = self.config.n_mels
+        if h == 0:
+            z = np.zeros((self.n_streams, 0), np.float32)
+            return (state, np.zeros((self.n_streams, 0, n_mels), np.uint8),
+                    z, z, z.astype(bool), z.astype(bool))
+        # any whole number of hops consumes whole resampler windows:
+        # hop_src integral means up | hop (gcd(up, down) = 1), so
+        # h*hop_src = h*hop*down/up is always a multiple of down
+        if active is None:
+            active = jnp.ones(self.n_streams, dtype=bool)
+        state, q, lo, hi, va, valid = self._tick_jit(
+            state, chunks, jnp.asarray(active, bool)
+        )
+        return (state, *jax.device_get((q, lo, hi, va, valid)))
+
+    def reset(self, state: SourceRateState, mask) -> SourceRateState:
+        mask = jnp.asarray(mask, bool)
+        fe = self.front.reset(state.fe, mask)
+        return SourceRateState(
+            self.rs.reset(state.rs, mask),
+            FrontendState(self._delay_idx(fe.mel, mask), fe.vad),
+        )

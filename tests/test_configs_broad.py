@@ -189,3 +189,40 @@ def test_sharded_serving_tick_runs():
         np.testing.assert_allclose(np.asarray(lo), rlo, atol=1e-5)
         np.testing.assert_allclose(np.asarray(hi), rhi, atol=1e-5)
         assert np.abs(np.asarray(q).astype(int) - rq.astype(int)).max() <= 1
+
+
+def test_sharded_source_rate_serving_tick_runs():
+    """sharded_serving(input_rate=...): the on-device-resampling tick
+    (SourceRateFrontend) over the mesh matches its own single-device
+    run — bytes within one quantization step."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    from melspec_tpu.config import DetectionSettings, MelConfig
+    from melspec_tpu.parallel import make_mesh
+    from melspec_tpu.parallel.sharding import sharded_serving
+    from melspec_tpu.streaming.serving import SourceRateFrontend
+
+    mesh = make_mesh()
+    settings = DetectionSettings(min_energy=0.5, min_y=3, min_x=5)
+    front, init_fn, tick_fn = sharded_serving(
+        mesh, MelConfig(400, 160, 80, 16000.0), n_streams=16,
+        settings=settings, input_rate=48000,
+    )
+    state = init_fn()
+    ref = SourceRateFrontend(MelConfig(400, 160, 80, 16000.0), 16,
+                             input_rate=48000, settings=settings)
+    rstate = ref.init()
+    rng = np.random.default_rng(13)
+    for _ in range(3):
+        chunks = (rng.normal(size=(16, 4, front.hop_src)) * 0.3
+                  ).astype(np.float32)
+        active = jnp.ones(16, dtype=bool)
+        state, q, lo, hi, va, valid = tick_fn(state, jnp.asarray(chunks),
+                                              active)
+        rstate, rq, rlo, rhi, rva, rvalid = ref.push_many(rstate, chunks,
+                                                          active)
+        assert int(np.sum(np.asarray(va) != rva)) <= 1
+        np.testing.assert_array_equal(np.asarray(valid), rvalid)
+        assert np.abs(np.asarray(q).astype(int) - rq.astype(int)).max() <= 1

@@ -184,6 +184,59 @@ def test_serve_streams_input_rate_resampling(testdata):
     assert any(r[1] for r in recs)  # speech still triggers VAD
 
 
+def test_serve_streams_device_resample(testdata):
+    """``--device-resample``: the tick is a SourceRateFrontend (resample +
+    mel + VAD + quant in ONE dispatch, rings hold 48 kHz samples). The
+    records match the host-resampled reference mel frame-for-frame — the
+    resampler's hop-aligned warm-up shifts the grid by exactly
+    spurious_out/hop hops, so record j still equals reference frame j;
+    only the tail differs (no EOF zero-extension flush on device;
+    leftover source samples below one hop are dropped, like the host
+    path's sub-hop leftover)."""
+    import importlib.util
+
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.io.wav import read_wav_f32le
+    from melspec_tpu.ops.quant import QuantizationRange, dequantize
+    from melspec_tpu.ops.resample import resample_poly
+    from melspec_tpu.ops.spectrogram import compute_streaming_mel
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_dr", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    pcm16 = read_wav_f32le(REF / "jfk_f32le.wav")[:32000]
+    pcm48 = np.asarray(resample_poly(pcm16, 3, 1)).astype(np.float32)
+    back16 = np.asarray(resample_poly(pcm48, 1, 3)).astype(np.float32)
+    server = serve.StreamServer(port=0, n_streams=2,
+                                config=MelConfig(400, 160, 80, 16000.0),
+                                input_rate=48000, device_resample=True)
+    assert server.ingest_hop == 480
+    server.start()
+    try:
+        recs = serve.stream_client(server.port, pcm48)
+    finally:
+        server.stop()
+    k = len(pcm48) // 480          # full source hops the ring can drain
+    spur_hops = server.frontend.rs.spurious_out // 160
+    # frames: k output hops, validity delayed by spur_hops extra hops
+    assert len(recs) == (k - 2) - spur_hops
+    assert [r[0] for r in recs] == list(range(len(recs)))
+    want = np.asarray(
+        compute_streaming_mel(back16[: k * 160], 400, 160, 80, 16000.0))
+    got = np.stack([
+        dequantize(r[4], QuantizationRange(r[2], r[3])) for r in recs
+    ]).T
+    # record j == reference frame j (the warm-up shift cancels in the
+    # index); the device path just stops spur_hops frames earlier
+    assert got.shape == (80, want.shape[1] - spur_hops)
+    step = (want.max() - want.min()) / 255.0
+    assert np.abs(got - want[:, : got.shape[1]]).max() <= step * 1.5 + 1e-3
+    assert any(r[1] for r in recs)  # speech still triggers VAD
+
+
 def test_asr_handoff_from_tga(tmp_path, testdata):
     """VERDICT item 7: exercise the ASR handoff for real — TGA features in,
     Whisper decode out. No checkpoint weights exist in this offline

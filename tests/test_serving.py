@@ -230,3 +230,132 @@ def test_record_norm_log10_matches_reference_record():
     with pytest.raises(ValueError):
         MultiStreamFrontend(config, s, settings=settings,
                             record_norm="nope")
+
+
+def test_multistream_resampler_prefix_parity_and_reset():
+    """Device batched streaming resampler == the host StreamingResampler
+    per stream (after the documented hop-aligned spurious prefix), with
+    a slot reset restarting the stream cleanly."""
+    from melspec_tpu.ops.resample import StreamingResampler
+    from melspec_tpu.streaming.resample import MultiStreamResampler
+
+    rng = np.random.default_rng(11)
+    for up, down in [(1, 3), (160, 441), (2, 1)]:
+        s = 3
+        mr = MultiStreamResampler(up, down, s, align=160)
+        assert mr.spurious_out % 160 == 0 and mr.spurious_out > 0
+        state = mr.init()
+        streams = [(rng.normal(size=down * 720) * 0.3).astype(np.float32)
+                   for _ in range(s)]
+        outs = [[] for _ in range(s)]
+        pos = [0] * s  # per-stream cursor (slot 2 restarts after reset)
+        for t in range(3):
+            chunk = np.stack([streams[i][pos[i]:pos[i] + down * 240]
+                              for i in range(s)])
+            pos = [p + down * 240 for p in pos]
+            state, y = mr.push(state, chunk)
+            for i in range(s):
+                outs[i].append(y[i])
+            if t == 1:
+                # slot 2 is replaced by a NEW stream mid-run
+                state = mr.reset(state, np.asarray([False, False, True]))
+                streams[2] = (rng.normal(size=down * 720) * 0.3
+                              ).astype(np.float32)
+                outs[2], pos[2] = [], 0
+        for i in range(s):
+            got = np.concatenate(outs[i])[mr.spurious_out:]
+            host = StreamingResampler(up, down)
+            n_seen = down * 720 if i != 2 else down * 240
+            ref = host.push(streams[i][:n_seen])
+            m = min(len(got), len(ref))
+            assert m > 0
+            np.testing.assert_allclose(got[:m], ref[:m], atol=2e-6)
+
+    with pytest.raises(ValueError, match="identity"):
+        MultiStreamResampler(3, 3, 2)
+    mr = MultiStreamResampler(1, 3, 2)
+    with pytest.raises(ValueError, match="multiple of down"):
+        mr.push(mr.init(), np.zeros((2, 100), np.float32))
+    with pytest.raises(ValueError, match="n_streams"):
+        mr.push(mr.init(), np.zeros((3, 99), np.float32))
+
+
+def test_source_rate_frontend_matches_host_resampled_pipeline():
+    """The composed source-rate tick (resample->mel->VAD->quant, one
+    dispatch) produces, at every VALID frame, the same record a plain
+    MultiStreamFrontend fed host-resampled audio produces ONE HOP
+    EARLIER — the resampler's spurious warm-up prefix is exactly
+    spurious_out/hop hops, so composed global hop g corresponds to plain
+    hop g - spur_hops."""
+    from melspec_tpu.ops.resample import resample_poly
+    from melspec_tpu.streaming.serving import SourceRateFrontend
+
+    config = MelConfig(400, 160, 80, 16000.0)
+    settings = DetectionSettings(min_energy=0.5, min_y=3, min_x=5)
+    s, hops, ticks = 3, 4, 6
+    src = SourceRateFrontend(config, s, input_rate=48000,
+                             settings=settings)
+    plain = MultiStreamFrontend(config, s, settings=settings)
+    spur_hops = src.rs.spurious_out // config.hop_size
+    assert spur_hops >= 1
+
+    rng = np.random.default_rng(5)
+    x48 = (rng.normal(size=(s, ticks * hops * src.hop_src)) * 0.3
+           ).astype(np.float32)
+    y16 = np.asarray(resample_poly(x48, 1, 3)).astype(np.float32)
+
+    sstate, pstate = src.init(), plain.init()
+    gq, gva, gvalid = [], [], []
+    pq, pva, pvalid = [], [], []
+    for t in range(ticks):
+        chunk = x48[:, t * hops * src.hop_src:(t + 1) * hops * src.hop_src]
+        sstate, q, lo, hi, va, valid = src.push_many(
+            sstate, chunk.reshape(s, hops, src.hop_src))
+        gq.append(q), gva.append(va), gvalid.append(valid)
+        pchunk = y16[:, t * hops * 160:(t + 1) * hops * 160]
+        pstate, q, lo, hi, va, valid = plain.push_many(
+            pstate, pchunk.reshape(s, hops, 160))
+        pq.append(q), pva.append(va), pvalid.append(valid)
+    gq = np.concatenate(gq, axis=1)          # [S, G, 80]
+    gva = np.concatenate(gva, axis=1)
+    gvalid = np.concatenate(gvalid, axis=1)  # [S, G]
+    pq = np.concatenate(pq, axis=1)
+    pva = np.concatenate(pva, axis=1)
+    pvalid = np.concatenate(pvalid, axis=1)
+
+    n_hops = ticks * hops
+    # the spurious prefix makes the first spur_hops frames invalid...
+    assert not gvalid[:, :spur_hops].any()
+    # ...and shifts the grid: composed hop g == plain hop g - spur_hops
+    np.testing.assert_array_equal(gvalid[:, spur_hops:],
+                                  pvalid[:, :n_hops - spur_hops])
+    checked, va_flips = 0, 0
+    for g in range(spur_hops, n_hops):
+        for i in range(s):
+            if not gvalid[i, g]:
+                continue
+            checked += 1
+            # two separately compiled programs + resample associativity:
+            # bytes to one quantization step, decisions with a 1-flip
+            # budget (same rationale as the fused-tick parity test above)
+            assert np.abs(gq[i, g].astype(int)
+                          - pq[i, g - spur_hops].astype(int)).max() <= 1
+            va_flips += int(gva[i, g] != pva[i, g - spur_hops])
+    assert checked > 40 and va_flips <= 1, (checked, va_flips)
+
+    # reset: a reused slot restarts with the full warm-up (spurious
+    # prefix + fft) — the next tick after reset emits no valid frames
+    sstate = src.reset(sstate, np.asarray([True, False, False]))
+    chunk = x48[:, :hops * src.hop_src]
+    sstate, q, lo, hi, va, valid = src.push_many(
+        sstate, chunk.reshape(s, hops, src.hop_src))
+    assert not valid[0, : spur_hops + 1].any()
+    assert valid[1].all()   # undisturbed streams stay warm
+
+    # constructor validation: non-integral source hop
+    with pytest.raises(ValueError, match="not a whole number"):
+        SourceRateFrontend(config, s, input_rate=22050)
+    with pytest.raises(ValueError, match="use MultiStreamFrontend"):
+        SourceRateFrontend(config, s, input_rate=16000)
+    with pytest.raises(ValueError, match="chunks must be"):
+        src.push_many(sstate, np.zeros((s, 2, 160), np.float32))
