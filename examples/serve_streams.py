@@ -40,6 +40,11 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from _platform import apply_platform_flag  # noqa: E402
+
+apply_platform_flag()
 
 import numpy as np
 
@@ -347,6 +352,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--port", type=int, default=9377)
     ap.add_argument("--n-streams", type=int, default=16)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (already applied at "
+                    "import; declared so argparse accepts it)")
     ap.add_argument("--client", type=Path, default=None,
                     help="act as a client: stream this wav, print stats")
     ap.add_argument("--record-norm", choices=("whisper", "log10"),

@@ -76,6 +76,8 @@ from melspec_tpu.streaming.serving import (MultiStreamFrontend,
                                            MultiStreamVad,
                                            SourceRateFrontend)
 from melspec_tpu.streaming.speech_to_mel import SpeechToMel
+from melspec_tpu.streaming.state_io import (load_stream_state,
+                                            save_stream_state)
 from melspec_tpu.streaming.stft import StftState, StreamingMel, StreamingStft
 from melspec_tpu.streaming.vad import VoiceActivityDetector
 from melspec_tpu.utils.timing import (
@@ -125,6 +127,7 @@ __all__ = [
     "interleave_frames",
     "kaldi_filterbank",
     "load_tga_8bit",
+    "load_stream_state",
     "log_mel_spectrogram",
     "mel",
     "mel_filterbank",
@@ -141,6 +144,7 @@ __all__ = [
     "read_wav_mono",
     "resample_poly",
     "validate_ratio",
+    "save_stream_state",
     "save_tga_8bit",
     "streaming_decisions",
     "tga_8bit",

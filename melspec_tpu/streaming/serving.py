@@ -32,6 +32,21 @@ from melspec_tpu.ops.quant import quantize_frames_jnp
 from melspec_tpu.ops.vad import streaming_decision_fields_batched
 from melspec_tpu.streaming.multistream import MultiStreamMel, MultiStreamState
 from melspec_tpu.streaming.resample import MultiResampleState
+from melspec_tpu.streaming.state_io import (load_stream_state,
+                                            save_stream_state)
+
+
+def _frontend_meta(front: "MultiStreamFrontend") -> dict:
+    cfg, s = front.config, front.vad.settings
+    return {
+        "kind": "MultiStreamFrontend",
+        "n_streams": front.n_streams,
+        "fft_size": cfg.fft_size, "hop_size": cfg.hop_size,
+        "n_mels": cfg.n_mels, "sampling_rate": float(cfg.sampling_rate),
+        "dtype": jnp.dtype(front.mel.dtype).name,
+        "fft_impl": front.mel.fft_impl, "record_norm": front.record_norm,
+        "vad": [float(s.min_energy), s.min_y, s.min_x, s.min_mel],
+    }
 
 
 class VadStreamState(NamedTuple):
@@ -114,11 +129,14 @@ class MultiStreamVad:
         # j of that eligible list lives at seq position j for j < k and
         # k + (H - v) + (j - k) after the gap. The new history is
         # eligible elements v .. v+k-1 — tail-aligned, zeros ahead.
-        v = jnp.sum(valid.astype(jnp.int32), axis=1)        # [S]
+        # dtype pinned: under x64, sum(int32) accumulates to int64, which
+        # would drift the carried count's dtype across pushes
+        v = jnp.sum(valid, axis=1, dtype=state.count.dtype)  # [S]
         j = v[:, None] + jnp.arange(k)[None, :]             # [S, k]
         pos = jnp.where(j < k, j, (h - v)[:, None] + j)     # [S, k]
         hist = jnp.take_along_axis(seq, pos[:, :, None], axis=1)
-        count = jnp.minimum(state.count + v, jnp.int32(min_x))
+        count = jnp.minimum(state.count + v,
+                            jnp.asarray(min_x, state.count.dtype))
         return VadStreamState(hist, count), va
 
     def push(self, state: VadStreamState, mels, valid
@@ -234,6 +252,18 @@ class MultiStreamFrontend:
         return FrontendState(self.mel.reset(state.mel, mask),
                              self.vad.reset(state.vad, mask))
 
+    # -- checkpoint/resume (streaming/state_io.py): persist every live
+    # stream's carried window + VAD history across a process restart
+    def state_meta(self) -> dict:
+        return _frontend_meta(self)
+
+    def save_state(self, path, state: FrontendState) -> None:
+        save_stream_state(path, state, meta=self.state_meta())
+
+    def load_state(self, path) -> FrontendState:
+        return load_stream_state(path, like=self.init(),
+                                 meta=self.state_meta())
+
 
 class SourceRateState(NamedTuple):
     rs: MultiResampleState
@@ -286,6 +316,7 @@ class SourceRateFrontend:
         assert self.rs.spurious_out % hop == 0
         self.config = config
         self.n_streams = n_streams
+        self.beta = float(beta)
 
     def _delay_idx(self, mel_state, mask=None):
         """Start (or restart) the mel warm-up counter at
@@ -344,3 +375,17 @@ class SourceRateFrontend:
             self.rs.reset(state.rs, mask),
             FrontendState(self._delay_idx(fe.mel, mask), fe.vad),
         )
+
+    def state_meta(self) -> dict:
+        meta = _frontend_meta(self.front)
+        meta.update(kind="SourceRateFrontend",
+                    up=self.rs.up, down=self.rs.down, beta=self.beta,
+                    spurious_out=self.rs.spurious_out)
+        return meta
+
+    def save_state(self, path, state: SourceRateState) -> None:
+        save_stream_state(path, state, meta=self.state_meta())
+
+    def load_state(self, path) -> SourceRateState:
+        return load_stream_state(path, like=self.init(),
+                                 meta=self.state_meta())

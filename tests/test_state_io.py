@@ -1,0 +1,113 @@
+"""Serving-fleet checkpoint/resume (streaming/state_io.py).
+
+The property that matters: a frontend restored from a checkpoint produces
+BIT-IDENTICAL outputs to the uninterrupted run — mid-utterance windows,
+VAD history, warm-up counters, and resampler tails all survive the
+round-trip. Plus the guard rails: structure, shape, and config-meta
+mismatches fail loudly instead of resuming on a corrupted frame grid.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from melspec_tpu.config import DetectionSettings, MelConfig
+from melspec_tpu.streaming.serving import (MultiStreamFrontend,
+                                           SourceRateFrontend)
+from melspec_tpu.streaming.state_io import (load_stream_state,
+                                            save_stream_state)
+
+S, H = 4, 6
+CFG = MelConfig(400, 160, 80, 16000.0)
+
+
+def _chunks(rng, n_hops, width=CFG.hop_size):
+    return rng.standard_normal((S, n_hops, width)).astype(np.float32) * 0.1
+
+
+def _outputs(front, state, chunks):
+    state, q, lo, hi, va, valid = front.push_many(state, chunks)
+    return state, (q, lo, hi, va, valid)
+
+
+def test_frontend_resume_bit_identical(tmp_path):
+    rng = np.random.default_rng(0)
+    a, b = _chunks(rng, H), _chunks(rng, H)
+    front = MultiStreamFrontend(CFG, S)
+
+    state, _ = _outputs(front, front.init(), a)
+    front.save_state(tmp_path / "ck.npz", state)
+
+    # uninterrupted continuation
+    _, ref = _outputs(front, state, b)
+
+    # a fresh process would build a fresh frontend: same config, new object
+    front2 = MultiStreamFrontend(CFG, S)
+    resumed = front2.load_state(tmp_path / "ck.npz")
+    _, got = _outputs(front2, resumed, b)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_source_rate_resume_bit_identical(tmp_path):
+    rng = np.random.default_rng(1)
+    front = SourceRateFrontend(CFG, S, input_rate=48000)
+    a = _chunks(rng, H, front.hop_src)
+    b = _chunks(rng, H, front.hop_src)
+
+    state, _ = _outputs(front, front.init(), a)
+    front.save_state(tmp_path / "ck.npz", state)
+    _, ref = _outputs(front, state, b)
+
+    front2 = SourceRateFrontend(CFG, S, input_rate=48000)
+    _, got = _outputs(front2, front2.load_state(tmp_path / "ck.npz"), b)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_reject_wrong_fleet_size(tmp_path):
+    front = MultiStreamFrontend(CFG, S)
+    front.save_state(tmp_path / "ck.npz", front.init())
+    bigger = MultiStreamFrontend(CFG, S + 1)
+    with pytest.raises(ValueError, match="n_streams|leaf|meta|mismatch"):
+        bigger.load_state(tmp_path / "ck.npz")
+
+
+def test_reject_wrong_structure(tmp_path):
+    plain = MultiStreamFrontend(CFG, S)
+    src = SourceRateFrontend(CFG, S, input_rate=48000)
+    plain.save_state(tmp_path / "ck.npz", plain.init())
+    with pytest.raises(ValueError, match="structure|meta|mismatch"):
+        src.load_state(tmp_path / "ck.npz")
+
+
+def test_reject_config_drift(tmp_path):
+    front = MultiStreamFrontend(CFG, S)
+    front.save_state(tmp_path / "ck.npz", front.init())
+    # same state SHAPES (hop size is not part of the state), different
+    # frame grid — only the meta check can catch this
+    other = MultiStreamFrontend(MelConfig(400, 200, 80, 16000.0), S)
+    with pytest.raises(ValueError, match="config mismatch"):
+        other.load_state(tmp_path / "ck.npz")
+    # and different VAD settings change decision semantics
+    other2 = MultiStreamFrontend(
+        CFG, S, settings=DetectionSettings(min_energy=0.5))
+    with pytest.raises(ValueError, match="config mismatch"):
+        other2.load_state(tmp_path / "ck.npz")
+
+
+def test_reject_non_checkpoint(tmp_path):
+    np.savez(tmp_path / "junk.npz", a=np.zeros(3))
+    front = MultiStreamFrontend(CFG, S)
+    with pytest.raises(ValueError, match="not a melspec stream checkpoint"):
+        front.load_state(tmp_path / "junk.npz")
+
+
+def test_generic_roundtrip_no_meta(tmp_path):
+    state = {"x": jnp.arange(5, dtype=jnp.int32),
+             "y": (jnp.ones((2, 3)), jnp.zeros(1, bool))}
+    save_stream_state(tmp_path / "s.npz", state)
+    out = load_stream_state(tmp_path / "s.npz", like=state)
+    for r, g in zip((state["x"], *state["y"]), (out["x"], *out["y"])):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+        assert np.asarray(r).dtype == np.asarray(g).dtype
