@@ -12,6 +12,11 @@ advances every connected stream). This module is the missing bridge:
         -> [this bridge] -> StreamServer TCP slot
         -> wire records back -> WebSocket -> canvas waterfall + VAD dot
 
+Non-browser clients (telephony/media gateways) can declare their stream's
+shape per connection: ``/ws?rate=8000&fmt=s16`` ingests int16 PCM at
+8 kHz — decoded and resampled at this edge, so the stream server always
+sees config-rate f32.
+
 It is a dependency-free stdlib implementation: a tiny HTTP static server
 (COOP/COEP headers like the reference's ``server.js:5-10``) plus an
 RFC 6455 WebSocket endpoint at ``/ws``. Each WebSocket client gets its own
@@ -123,6 +128,11 @@ class BrowserBridge:
             self._owned = stream_server
         else:
             self._owned = None
+        if getattr(stream_server, "pcm_format", "f32le") != "f32le":
+            raise ValueError(
+                "BrowserBridge forwards f32le PCM to the stream server; "
+                "per-client formats are handled at the ws edge (?fmt=s16)"
+            )
         self.streams = stream_server
         bridge = self
 
@@ -194,6 +204,13 @@ class BrowserBridge:
         # always sees config-rate audio
         resampler = None
         query = parse_qs(urlsplit(handler.path).query)
+        # per-client sample format (`/ws?fmt=s16`): non-browser clients
+        # (telephony gateways) send int16 PCM; it is decoded to f32 here
+        # so the stream server always sees its own configured format
+        fmt = query.get("fmt", ["f32"])[0].lower().removesuffix("le")
+        if fmt not in ("f32", "s16"):
+            handler.send_error(400, "bad fmt (f32 or s16)")
+            return
         cfg_rate = int(self.streams.config.sampling_rate)
         try:
             # client-controlled: parse AND bound before construction — a
@@ -253,7 +270,11 @@ class BrowserBridge:
 
         reply = threading.Thread(target=tcp_to_ws, daemon=True)
         reply.start()
-        pcm_tail = b""  # f32 alignment across ws frames (resampling only)
+        # decode path: needed when samples must be touched (s16 -> f32,
+        # and/or resampling); pure f32 pass-through forwards bytes as-is
+        itemsize = 2 if fmt == "s16" else 4
+        decode = fmt == "s16" or resampler is not None
+        pcm_tail = b""  # sample alignment across ws frames (decode only)
         try:
             in_binary = False
             while True:
@@ -272,16 +293,21 @@ class BrowserBridge:
                 elif opcode != 0x0:
                     in_binary = False
                 if in_binary and payload:
-                    if resampler is None:
+                    if not decode:
                         tcp.sendall(payload)
                         continue
                     data = pcm_tail + payload
-                    n = len(data) // 4 * 4
+                    n = len(data) // itemsize * itemsize
                     pcm_tail = data[n:]
-                    out = resampler.push(np.frombuffer(data[:n],
-                                                       dtype=np.float32))
+                    if fmt == "s16":
+                        out = np.frombuffer(data[:n], dtype="<i2").astype(
+                            np.float32) / 32768.0
+                    else:
+                        out = np.frombuffer(data[:n], dtype="<f4")
+                    if resampler is not None:
+                        out = resampler.push(out)
                     if out.size:
-                        tcp.sendall(out.tobytes())
+                        tcp.sendall(out.astype("<f4", copy=False).tobytes())
         except (ConnectionError, OSError):
             pass
         if resampler is not None:

@@ -20,7 +20,8 @@ per-frame mel (what MultiStreamMel serves), not the raw log10 column the
 reference record carries — the min/max header makes the record
 self-describing either way; pass ``--record-norm log10`` for the
 reference-exact payload (see docs/PARITY.md):
-  client -> server: raw f32le PCM bytes, then TCP half-close (shutdown).
+  client -> server: raw PCM bytes (f32le by default; --pcm-format s16le
+      for int16 telephony/gateway fleets), then TCP half-close (shutdown).
   server -> client: per emitted mel frame
       u32 frame_idx | u8 va | f32 min | f32 max | u8[n_mels] quantized
 
@@ -57,6 +58,14 @@ from melspec_tpu.streaming.serving import (MultiStreamFrontend,
 HEADER = struct.Struct("<IBff")  # frame_idx, va, min, max
 
 
+def decode_pcm(data: bytes, pcm_format: str) -> np.ndarray:
+    """Whole-sample PCM bytes -> f32 samples. ``s16le`` scales by 1/32768
+    (the usual symmetric convention: -32768 -> -1.0, 32767 -> ~0.99997)."""
+    if pcm_format == "s16le":
+        return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    return np.frombuffer(data, dtype="<f4").astype(np.float32, copy=False)
+
+
 class _Slot:
     """One client stream: PCM ring in, framed mel records out."""
 
@@ -85,9 +94,18 @@ class StreamServer:
                  settings: DetectionSettings = DetectionSettings(),
                  record_norm: str = "whisper",
                  input_rate: int | None = None,
-                 device_resample: bool = False):
+                 device_resample: bool = False,
+                 pcm_format: str = "f32le"):
         self.config = config
         self.n_streams = n_streams
+        # ingest sample format. "s16le" is the telephony/gateway staple
+        # (pairs with --input-rate 8000): samples are decoded to f32 in
+        # [-1, 1) at the recv boundary (x / 32768), so everything past
+        # the ring is format-agnostic.
+        if pcm_format not in ("f32le", "s16le"):
+            raise ValueError("pcm_format must be 'f32le' or 's16le'")
+        self.pcm_format = pcm_format
+        self._itemsize = 2 if pcm_format == "s16le" else 4
         # clients may send PCM at a different rate (8 k telephony, 44.1/48 k
         # sources). Two ingest modes:
         # - host (default): each slot's recv thread runs a
@@ -151,8 +169,8 @@ class StreamServer:
             if not data:
                 break
             data = leftover + data
-            n = len(data) // 4 * 4
-            samples = np.frombuffer(data[:n], dtype=np.float32)
+            n = len(data) // self._itemsize * self._itemsize
+            samples = decode_pcm(data[:n], self.pcm_format)
             leftover = data[n:]
             if slot.resampler is not None:
                 samples = slot.resampler.push(samples)
@@ -203,9 +221,15 @@ class StreamServer:
         ticked: list[tuple[int, _Slot, int]] = []  # (slot idx, slot, hops)
         with self._slots_lock:
             if self._pending_reset.any():
-                self.state = self.frontend.reset(self.state,
-                                                 self._pending_reset)
+                # hand the jitted reset a PRIVATE copy: jax's CPU backend
+                # ingests numpy buffers zero-copy, and dispatch is async —
+                # clearing the shared flags array in place could rewrite
+                # the mask to all-False before the queued reset executes
+                # (observed: a reused slot kept the previous stream's
+                # warm-up counter and VAD history under load)
+                mask = self._pending_reset.copy()
                 self._pending_reset[:] = False
+                self.state = self.frontend.reset(self.state, mask)
             for i, slot in enumerate(self.slots):
                 if slot is None or slot.closed:
                     continue
@@ -299,10 +323,11 @@ class StreamServer:
 
 def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
                   host: str = "127.0.0.1", timeout: float = 600.0,
-                  n_mels: int = 80):
+                  n_mels: int = 80, pcm_format: str = "f32le"):
     """Send PCM to the server; return the parsed framed records.
     ``n_mels`` must match the server's MelConfig — the record payload is
-    that many quantized bytes."""
+    that many quantized bytes. ``pcm_format`` must match the server's:
+    ``s16le`` sends the f32 input re-quantized to int16."""
     conn = socket.create_connection((host, port))
     recs = []
     buf = b""
@@ -321,8 +346,12 @@ def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
     t = threading.Thread(target=reader, daemon=True)
     t.start()
     pcm = np.asarray(pcm, np.float32)
-    for i in range(0, len(pcm), chunk):
-        conn.sendall(pcm[i : i + chunk].tobytes())
+    if pcm_format == "s16le":
+        wire = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2")
+    else:
+        wire = pcm.astype("<f4", copy=False)
+    for i in range(0, len(wire), chunk):
+        conn.sendall(wire[i : i + chunk].tobytes())
     conn.shutdown(socket.SHUT_WR)
     t.join(timeout=timeout)
     if t.is_alive():
@@ -368,6 +397,12 @@ def main() -> None:
                     "each stream is resampled to the mel config's rate "
                     "at ingest (polyphase, scipy-parity — "
                     "melspec_tpu.ops.resample)")
+    ap.add_argument("--pcm-format", choices=("f32le", "s16le"),
+                    default="f32le",
+                    help="sample format of the clients' PCM bytes; "
+                    "'s16le' is the telephony/gateway staple (pairs "
+                    "with --input-rate 8000). Applies to client mode "
+                    "too (the wav is converted before sending).")
     ap.add_argument("--device-resample", action="store_true",
                     help="resample ON DEVICE inside the serving tick "
                     "(SourceRateFrontend: resample + mel + VAD + quant "
@@ -378,14 +413,15 @@ def main() -> None:
         from melspec_tpu.io.wav import read_wav_f32le
 
         pcm = read_wav_f32le(args.client)
-        recs = stream_client(args.port, pcm)
+        recs = stream_client(args.port, pcm, pcm_format=args.pcm_format)
         va = sum(1 for r in recs if r[1])
         print(f"{len(recs)} frames, {va} voice-active")
         return
     server = StreamServer(port=args.port, n_streams=args.n_streams,
                           record_norm=args.record_norm,
                           input_rate=args.input_rate,
-                          device_resample=args.device_resample)
+                          device_resample=args.device_resample,
+                          pcm_format=args.pcm_format)
     server.start()
     print(f"serving on port {server.port} ({args.n_streams} streams)",
           flush=True)

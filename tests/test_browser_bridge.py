@@ -160,6 +160,85 @@ def test_ws_client_reported_rate_resampled(jfk_samples):
     assert np.abs(mel_a - mel_b).max() <= 2 * step + 1e-3
 
 
+def test_ws_s16_matches_f32(jfk_samples):
+    """``/ws?fmt=s16`` (telephony-gateway clients): int16 PCM is decoded
+    at the ws edge (x / 32768 — exact in f32), so the records are
+    BYTE-IDENTICAL to an f32 client sending the decoded samples."""
+    x = np.asarray(jfk_samples[: 16000 * 2], np.float32)
+    s16 = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    dec = s16.astype(np.float32) / 32768.0
+
+    streams = StreamServer(n_streams=4, hops_per_tick=4)
+    streams.start()
+    bridge = BrowserBridge(stream_server=streams).start()
+    try:
+        tcp = socket.create_connection(("127.0.0.1", streams.port),
+                                       timeout=30)
+        tcp.sendall(dec.tobytes())
+        tcp.shutdown(socket.SHUT_WR)
+        want = b""
+        while True:
+            d = tcp.recv(65536)
+            if not d:
+                break
+            want += d
+        tcp.close()
+
+        ws = _ws_connect(bridge.port, path="/ws?fmt=s16")
+        raw = s16.tobytes()
+        for off in range(0, len(raw), 31997):  # splits int16s across frames
+            ws.sendall(ws_encode_frame(raw[off : off + 31997], mask=True))
+        ws.sendall(ws_encode_frame(b"", opcode=0x8, mask=True))
+        got = _drain_records(ws, streams.config.n_mels)
+        ws.close()
+    finally:
+        bridge.stop()
+        streams.stop()
+
+    rec = HEADER.size + streams.config.n_mels
+    assert len(want) > 0 and len(want) % rec == 0
+    assert got == want, (len(got), len(want))
+
+
+def test_bad_ws_fmt_rejected_with_400():
+    bridge = BrowserBridge(n_streams=2).start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", bridge.port),
+                                        timeout=30)
+        sock.sendall(
+            (f"GET /ws?fmt=u8 HTTP/1.1\r\n"
+             f"Host: 127.0.0.1:{bridge.port}\r\n"
+             "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+             "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+             "Sec-WebSocket-Version: 13\r\n\r\n").encode()
+        )
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+        sock.close()
+        status = resp.split(b"\r\n", 1)[0].decode(errors="replace")
+        assert " 400 " in status, status
+        # still serving afterwards (s16le alias accepted too)
+        ws = _ws_connect(bridge.port, path="/ws?fmt=s16le")
+        ws.close()
+    finally:
+        bridge.stop()
+
+
+def test_bridge_requires_f32_stream_server():
+    """The bridge forwards f32le to its stream server; wiring it to an
+    s16le-ingest server would corrupt every stream."""
+    streams = StreamServer(n_streams=2, pcm_format="s16le")
+    try:
+        with pytest.raises(ValueError, match="f32le"):
+            BrowserBridge(stream_server=streams)
+    finally:
+        streams.stop()
+
+
 def test_bad_ws_rate_rejected_with_400():
     """Client-controlled ``?rate=`` must be bounded BEFORE a resampler is
     constructed: a coprime pair would build (and cache) a multi-gigabyte

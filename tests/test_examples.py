@@ -237,6 +237,52 @@ def test_serve_streams_device_resample(testdata):
     assert any(r[1] for r in recs)  # speech still triggers VAD
 
 
+def test_serve_streams_s16le_ingest(testdata):
+    """``--pcm-format s16le`` (telephony/gateway fleets): an int16 client's
+    records are BYTE-IDENTICAL to an f32 client sending the decoded
+    samples — the decode (x / 32768) is exact in f32, everything past the
+    recv boundary is shared."""
+    import importlib.util
+
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.io.wav import read_wav_f32le
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_s16", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    pcm = read_wav_f32le(REF / "jfk_f32le.wav")[:32000]
+    s16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+    dec = s16.astype(np.float32) / 32768.0
+
+    srv16 = serve.StreamServer(port=0, n_streams=2,
+                               config=MelConfig(400, 160, 80, 16000.0),
+                               pcm_format="s16le")
+    srv16.start()
+    try:
+        # odd chunk size: int16 samples split across TCP sends must be
+        # reassembled by the recv loop's leftover handling
+        recs16 = serve.stream_client(srv16.port, pcm, chunk=4093,
+                                     pcm_format="s16le")
+    finally:
+        srv16.stop()
+    srv32 = serve.StreamServer(port=0, n_streams=2,
+                               config=MelConfig(400, 160, 80, 16000.0))
+    srv32.start()
+    try:
+        recs32 = serve.stream_client(srv32.port, dec)
+    finally:
+        srv32.stop()
+    assert len(recs16) == len(recs32) > 0
+    for a, b in zip(recs16, recs32):
+        assert a[:4] == b[:4]
+        assert np.array_equal(a[4], b[4])
+    with pytest.raises(ValueError, match="pcm_format"):
+        serve.StreamServer(port=0, n_streams=2, pcm_format="u8")
+
+
 def test_asr_handoff_from_tga(tmp_path, testdata):
     """VERDICT item 7: exercise the ASR handoff for real — TGA features in,
     Whisper decode out. No checkpoint weights exist in this offline
