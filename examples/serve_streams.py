@@ -141,6 +141,11 @@ class StreamServer:
             self.ingest_hop = config.hop_size
         self.state = self.frontend.init()
         self.slots: list[_Slot | None] = [None] * n_streams
+        # serving counters (compute thread writes, any thread reads —
+        # whole-int writes under the GIL; stats() snapshots under the lock)
+        self._ticks = 0
+        self._frames_sent = 0
+        self._clients_served = 0
         self._pending_reset = np.zeros(n_streams, dtype=bool)
         self._slots_lock = threading.Lock()
         self._stop = threading.Event()
@@ -259,8 +264,10 @@ class StreamServer:
                         except OSError:
                             pass
                         self.slots[i] = None
+                        self._clients_served += 1
         if not ticked:
             return 0
+        self._ticks += 1
 
         # ONE device dispatch computes mel + VAD decisions + per-frame u8
         # quantization for every ticked stream; the loop below only packs
@@ -293,7 +300,29 @@ class StreamServer:
                         pass
                     with self._slots_lock:
                         self.slots[i] = None
+                        self._clients_served += 1
+        self._frames_sent += sent
         return sent
+
+    def stats(self) -> dict:
+        """Serving counters + a per-slot snapshot — the observability
+        surface a deployment scrapes (the reference's browser UI surfaces
+        the analogous ring `dropped` counter,
+        ``examples/browser/ringbuffer.js:5-67``)."""
+        with self._slots_lock:
+            slots = [
+                {"slot": i, "frames": s.frame_idx, "ring": len(s.ring),
+                 "ring_dropped": s.ring.dropped(), "eof": s.eof}
+                for i, s in enumerate(self.slots) if s is not None
+            ]
+            return {
+                "n_streams": self.n_streams,
+                "in_use": len(slots),
+                "ticks": self._ticks,
+                "frames_sent": self._frames_sent,
+                "clients_served": self._clients_served,
+                "slots": slots,
+            }
 
     def _serve_loop(self) -> None:
         while not self._stop.is_set():
@@ -397,6 +426,9 @@ def main() -> None:
                     "each stream is resampled to the mel config's rate "
                     "at ingest (polyphase, scipy-parity — "
                     "melspec_tpu.ops.resample)")
+    ap.add_argument("--stats-interval", type=float, default=0.0,
+                    help="print a serving-stats line every N seconds "
+                    "(streams in use, frames sent, ticks, clients)")
     ap.add_argument("--pcm-format", choices=("f32le", "s16le"),
                     default="f32le",
                     help="sample format of the clients' PCM bytes; "
@@ -426,8 +458,16 @@ def main() -> None:
     print(f"serving on port {server.port} ({args.n_streams} streams)",
           flush=True)
     try:
+        last = time.monotonic()
         while True:
-            time.sleep(1)
+            time.sleep(min(1.0, args.stats_interval or 1.0))
+            if args.stats_interval \
+                    and time.monotonic() - last >= args.stats_interval:
+                s = server.stats()
+                print(f"stats: {s['in_use']}/{s['n_streams']} streams | "
+                      f"{s['frames_sent']} frames | {s['ticks']} ticks | "
+                      f"{s['clients_served']} clients served", flush=True)
+                last = time.monotonic()
     except KeyboardInterrupt:
         server.stop()
 

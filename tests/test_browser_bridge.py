@@ -200,6 +200,70 @@ def test_ws_s16_matches_f32(jfk_samples):
     assert got == want, (len(got), len(want))
 
 
+def test_ws_s16_8k_telephony_combo(jfk_samples):
+    """``/ws?rate=8000&fmt=s16`` — the telephony staple: int16 at 8 kHz
+    is decoded AND resampled at the ws edge. Records must match a TCP
+    client sending the host-resampled decoded audio (same tolerance as
+    the rate-only test: the streaming-vs-offline resampler differs by
+    ulps, so allow one quantization step and rare VAD flips)."""
+    from melspec_tpu.ops.quant import QuantizationRange, dequantize
+    from melspec_tpu.ops.resample import resample_poly
+
+    x16 = np.asarray(jfk_samples[: 16000 * 2], np.float32)
+    x8 = np.asarray(resample_poly(x16, 1, 2)).astype(np.float32)
+    s16 = np.clip(np.round(x8 * 32768.0), -32768, 32767).astype("<i2")
+    dec8 = s16.astype(np.float32) / 32768.0
+    back16 = np.asarray(resample_poly(dec8, 2, 1)).astype(np.float32)
+
+    streams = StreamServer(n_streams=4, hops_per_tick=4)
+    streams.start()
+    bridge = BrowserBridge(stream_server=streams).start()
+    try:
+        tcp = socket.create_connection(("127.0.0.1", streams.port),
+                                       timeout=30)
+        tcp.sendall(back16.tobytes())
+        tcp.shutdown(socket.SHUT_WR)
+        want = b""
+        while True:
+            d = tcp.recv(65536)
+            if not d:
+                break
+            want += d
+        tcp.close()
+
+        ws = _ws_connect(bridge.port, path="/ws?rate=8000&fmt=s16")
+        raw = s16.tobytes()
+        for off in range(0, len(raw), 9973):
+            ws.sendall(ws_encode_frame(raw[off : off + 9973], mask=True))
+        ws.sendall(ws_encode_frame(b"", opcode=0x8, mask=True))
+        got = _drain_records(ws, streams.config.n_mels)
+        ws.close()
+    finally:
+        bridge.stop()
+        streams.stop()
+
+    rec = HEADER.size + streams.config.n_mels
+
+    def parse(buf):
+        out = []
+        for off in range(0, len(buf), rec):
+            idx, va, lo, hi = HEADER.unpack(buf[off : off + HEADER.size])
+            q = np.frombuffer(buf[off + HEADER.size : off + rec], np.uint8)
+            out.append((idx, va, dequantize(q, QuantizationRange(lo, hi))))
+        return out
+
+    assert len(got) % rec == 0 and len(want) % rec == 0
+    a, b = parse(got), parse(want)
+    assert len(a) == len(b) > 0
+    assert [r[0] for r in a] == [r[0] for r in b]
+    va_flips = sum(ra[1] != rb[1] for ra, rb in zip(a, b))
+    assert va_flips <= max(2, len(a) // 50)
+    mel_a = np.stack([r[2] for r in a])
+    mel_b = np.stack([r[2] for r in b])
+    step = (mel_b.max() - mel_b.min()) / 255.0
+    assert np.abs(mel_a - mel_b).max() <= 2 * step + 1e-3
+
+
 def test_bad_ws_fmt_rejected_with_400():
     bridge = BrowserBridge(n_streams=2).start()
     try:

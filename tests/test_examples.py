@@ -283,6 +283,40 @@ def test_serve_streams_s16le_ingest(testdata):
         serve.StreamServer(port=0, n_streams=2, pcm_format="u8")
 
 
+def test_serve_streams_stats(testdata):
+    """``stats()``: the observability snapshot a deployment scrapes —
+    counters must reflect the streams actually served."""
+    import importlib.util
+
+    from melspec_tpu.io.wav import read_wav_f32le
+    from melspec_tpu.ops import framing
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_stats", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    pcm = read_wav_f32le(REF / "jfk_f32le.wav")[:32000]
+    server = serve.StreamServer(port=0, n_streams=4)
+    server.start()
+    try:
+        s0 = server.stats()
+        assert s0 == {"n_streams": 4, "in_use": 0, "ticks": 0,
+                      "frames_sent": 0, "clients_served": 0, "slots": []}
+        recs1 = serve.stream_client(server.port, pcm)
+        recs2 = serve.stream_client(server.port, pcm)
+        s = server.stats()
+    finally:
+        server.stop()
+    n = framing.num_frames_streaming(32000, 400, 160)
+    assert len(recs1) == len(recs2) == n
+    assert s["frames_sent"] == 2 * n
+    assert s["clients_served"] == 2
+    assert s["in_use"] == 0 and s["slots"] == []
+    assert s["ticks"] >= 2
+
+
 def test_asr_handoff_from_tga(tmp_path, testdata):
     """VERDICT item 7: exercise the ASR handoff for real — TGA features in,
     Whisper decode out. No checkpoint weights exist in this offline
