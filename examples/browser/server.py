@@ -143,11 +143,22 @@ class BrowserBridge:
                 pass
 
             def do_GET(self) -> None:
-                if self.path.split("?", 1)[0] == "/ws":
+                route = self.path.split("?", 1)[0]
+                if route == "/ws":
                     try:
                         bridge._serve_ws(self)
                     except OSError:
                         pass  # peer vanished mid-upgrade; thread exits
+                    return
+                if route == "/stats":
+                    import json
+
+                    body = json.dumps(bridge.streams.stats()).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 name = self.path.lstrip("/") or "index.html"
                 target = (_STATIC / name).resolve()

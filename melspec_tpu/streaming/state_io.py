@@ -30,6 +30,13 @@ Use via the convenience methods (``MultiStreamFrontend.save_state`` /
     save_stream_state(path, state, meta=front.state_meta())
     state = load_stream_state(path, like=front.init(),
                               meta=front.state_meta())
+
+Scale-out: saving GATHERS a mesh-sharded state (``np.asarray`` on each
+leaf); to resume on a mesh, re-apply the shardings derived from a live
+state (test-enforced in ``tests/test_configs_broad.py``)::
+
+    shardings = jax.tree_util.tree_map(lambda a: a.sharding, state)
+    state = jax.device_put(front.load_state(path), shardings)
 """
 
 from __future__ import annotations

@@ -417,5 +417,16 @@ def test_static_pages_served():
             urllib.request.urlopen(
                 f"http://127.0.0.1:{bridge.port}/../secret"
             )
+        # /stats: the serving counters as JSON (deployment scrape point)
+        import json
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{bridge.port}/stats"
+        ) as r:
+            assert r.status == 200
+            stats = json.loads(r.read())
+        assert stats["n_streams"] == 2
+        assert {"in_use", "ticks", "frames_sent", "clients_served",
+                "slots"} <= stats.keys()
     finally:
         bridge.stop()

@@ -226,3 +226,42 @@ def test_sharded_source_rate_serving_tick_runs():
         assert int(np.sum(np.asarray(va) != rva)) <= 1
         np.testing.assert_array_equal(np.asarray(valid), rvalid)
         assert np.abs(np.asarray(q).astype(int) - rq.astype(int)).max() <= 1
+
+
+def test_sharded_serving_checkpoint_resume(tmp_path):
+    """Checkpoint/resume at scale-out: save gathers the sharded fleet
+    state; resume re-applies the shardings derived from a live state
+    (``tree_map(lambda a: a.sharding, state)``) and continues
+    bit-identically on the mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    from melspec_tpu.config import DetectionSettings, MelConfig
+    from melspec_tpu.parallel import make_mesh
+    from melspec_tpu.parallel.sharding import sharded_serving
+
+    mesh = make_mesh()
+    front, init_fn, tick_fn = sharded_serving(
+        mesh, MelConfig(400, 160, 80, 16000.0), n_streams=16,
+        settings=DetectionSettings(min_energy=0.5, min_y=3, min_x=5),
+    )
+    rng = np.random.default_rng(17)
+    a = (rng.normal(size=(16, 4, 160)) * 0.3).astype(np.float32)
+    b = (rng.normal(size=(16, 4, 160)) * 0.3).astype(np.float32)
+    active = jnp.ones(16, dtype=bool)
+
+    state = init_fn()
+    state, *_ = tick_fn(state, jnp.asarray(a), active)
+    front.save_state(tmp_path / "fleet.npz", state)
+    _, *ref = tick_fn(state, jnp.asarray(b), active)
+
+    shardings = jax.tree_util.tree_map(lambda x: x.sharding, state)
+    resumed = jax.device_put(front.load_state(tmp_path / "fleet.npz"),
+                             shardings)
+    chex = jax.tree_util.tree_map(lambda x: x.sharding, resumed)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda s, t: s == t, shardings, chex))
+    _, *got = tick_fn(resumed, jnp.asarray(b), active)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
