@@ -283,6 +283,47 @@ def test_serve_streams_s16le_ingest(testdata):
         serve.StreamServer(port=0, n_streams=2, pcm_format="u8")
 
 
+def test_serve_streams_slot_churn_resets_state(testdata):
+    """Regression for the zero-copy reset race: the tick used to clear
+    the shared `_pending_reset` numpy array in place after handing it to
+    the async jitted reset, so a reused slot could inherit the previous
+    stream's warm-up counter and VAD history once the jit cache was warm
+    (fast ticks). Churn one slot with sequential clients: every client
+    must get exactly the fresh-stream frame count, with the warm-up
+    frames absent and record indices restarting at 0."""
+    import importlib.util
+
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.io.wav import read_wav_f32le
+    from melspec_tpu.ops import framing
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_churn", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    pcm = read_wav_f32le(REF / "jfk_f32le.wav")[:24000]
+    n = framing.num_frames_streaming(24000, 400, 160)
+    server = serve.StreamServer(port=0, n_streams=1)
+    server.start()
+    try:
+        first = None
+        for k in range(6):
+            recs = serve.stream_client(server.port, pcm)
+            # a stale warm-up counter yields EXTRA leading frames; a
+            # stale VAD history flips the first decisions
+            assert len(recs) == n, f"client {k}: {len(recs)} != {n}"
+            assert [r[0] for r in recs] == list(range(n))
+            got = [(r[1], r[2], r[3], r[4].tobytes()) for r in recs]
+            if first is None:
+                first = got
+            else:
+                assert got == first, f"client {k} diverged from client 0"
+    finally:
+        server.stop()
+
+
 def test_serve_streams_stats(testdata):
     """``stats()``: the observability snapshot a deployment scrapes —
     counters must reflect the streams actually served."""
