@@ -133,6 +133,12 @@ class BrowserBridge:
                 "BrowserBridge forwards f32le PCM to the stream server; "
                 "per-client formats are handled at the ws edge (?fmt=s16)"
             )
+        if getattr(stream_server, "input_rate", None) is not None:
+            raise ValueError(
+                "BrowserBridge forwards config-rate PCM; wire it to a "
+                "stream server without input_rate — per-client rates are "
+                "handled at the ws edge (?rate=...)"
+            )
         self.streams = stream_server
         bridge = self
 
@@ -285,6 +291,9 @@ class BrowserBridge:
         # and/or resampling); pure f32 pass-through forwards bytes as-is
         itemsize = 2 if fmt == "s16" else 4
         decode = fmt == "s16" or resampler is not None
+        # one decoder for both ingest edges (serve_streams recv loop and
+        # this ws edge): the s16 scaling convention must never diverge
+        from examples.serve_streams import decode_pcm
         pcm_tail = b""  # sample alignment across ws frames (decode only)
         try:
             in_binary = False
@@ -310,11 +319,7 @@ class BrowserBridge:
                     data = pcm_tail + payload
                     n = len(data) // itemsize * itemsize
                     pcm_tail = data[n:]
-                    if fmt == "s16":
-                        out = np.frombuffer(data[:n], dtype="<i2").astype(
-                            np.float32) / 32768.0
-                    else:
-                        out = np.frombuffer(data[:n], dtype="<f4")
+                    out = decode_pcm(data[:n], fmt + "le")
                     if resampler is not None:
                         out = resampler.push(out)
                     if out.size:

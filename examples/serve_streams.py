@@ -312,7 +312,7 @@ class StreamServer:
         with self._slots_lock:
             slots = [
                 {"slot": i, "frames": s.frame_idx, "ring": len(s.ring),
-                 "ring_dropped": s.ring.dropped(), "eof": s.eof}
+                 "ring_dropped": s.ring.dropped, "eof": s.eof}
                 for i, s in enumerate(self.slots) if s is not None
             ]
             return {

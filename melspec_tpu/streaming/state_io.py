@@ -42,6 +42,7 @@ state (test-enforced in ``tests/test_configs_broad.py``)::
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Mapping, Optional
 
 import numpy as np
@@ -52,6 +53,14 @@ __all__ = ["save_stream_state", "load_stream_state"]
 
 _FORMAT_VERSION = 1
 _META_KEY = "__melspec_state_meta__"
+
+
+def _canon_path(path) -> str:
+    """``np.savez`` appends ``.npz`` to extensionless paths while
+    ``np.load`` reads the exact path — normalize once so a save/load pair
+    given the same argument always refers to the same file."""
+    path = os.fspath(path)
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def _canon_meta(meta: Optional[Mapping[str, Any]]) -> dict:
@@ -86,7 +95,17 @@ def save_stream_state(path, state, meta: Optional[Mapping[str, Any]] = None
         "meta": _canon_meta(meta),
     }, sort_keys=True)
     arrays[_META_KEY] = np.frombuffer(header.encode("utf-8"), np.uint8)
-    np.savez(path, **arrays)
+    # atomic replace: the natural usage re-saves to the same path
+    # periodically, and a preemption mid-write must not destroy the
+    # previous good checkpoint (the exact failure this module exists for)
+    path = _canon_path(path)
+    tmp = path + ".tmp.npz"  # .npz suffix: savez would append it anyway
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_stream_state(path, like, meta: Optional[Mapping[str, Any]] = None):
@@ -99,7 +118,7 @@ def load_stream_state(path, like, meta: Optional[Mapping[str, Any]] = None):
     device arrays, unflattened into ``like``'s structure.
     """
     like_leaves, like_treedef = jax.tree_util.tree_flatten(like)
-    with np.load(path) as z:
+    with np.load(_canon_path(path)) as z:
         if _META_KEY not in z:
             raise ValueError(f"{path}: not a melspec stream checkpoint")
         header = json.loads(bytes(z[_META_KEY]).decode("utf-8"))

@@ -293,11 +293,18 @@ def test_bad_ws_fmt_rejected_with_400():
 
 
 def test_bridge_requires_f32_stream_server():
-    """The bridge forwards f32le to its stream server; wiring it to an
-    s16le-ingest server would corrupt every stream."""
+    """The bridge forwards config-rate f32le to its stream server;
+    wiring it to an s16le-ingest or resampling server would corrupt
+    every stream (double-resampled or misdecoded PCM, no error)."""
     streams = StreamServer(n_streams=2, pcm_format="s16le")
     try:
         with pytest.raises(ValueError, match="f32le"):
+            BrowserBridge(stream_server=streams)
+    finally:
+        streams.stop()
+    streams = StreamServer(n_streams=2, input_rate=8000)
+    try:
+        with pytest.raises(ValueError, match="input_rate"):
             BrowserBridge(stream_server=streams)
     finally:
         streams.stop()

@@ -345,17 +345,42 @@ def test_serve_streams_stats(testdata):
         s0 = server.stats()
         assert s0 == {"n_streams": 4, "in_use": 0, "ticks": 0,
                       "frames_sent": 0, "clients_served": 0, "slots": []}
+        # live-slot snapshot: keep a connection open mid-stream (the
+        # per-slot fields — frames/ring/ring_dropped/eof — are only
+        # reachable with a slot in use; a stats() crash here used to
+        # kill the whole server via the daemon-thread main loop)
+        import socket as _socket
+        import time as _time
+
+        live = _socket.create_connection(("127.0.0.1", server.port),
+                                         timeout=30)
+        live.sendall(pcm[:8000].tobytes())
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            s_live = server.stats()
+            if s_live["in_use"] == 1 and s_live["slots"]:
+                break
+            _time.sleep(0.01)
+        assert s_live["in_use"] == 1
+        (slot,) = s_live["slots"]
+        assert slot["ring_dropped"] == 0 and not slot["eof"]
+        live.shutdown(_socket.SHUT_WR)
+        while live.recv(65536):
+            pass
+        live.close()
+
         recs1 = serve.stream_client(server.port, pcm)
         recs2 = serve.stream_client(server.port, pcm)
         s = server.stats()
     finally:
         server.stop()
     n = framing.num_frames_streaming(32000, 400, 160)
+    n_live = framing.num_frames_streaming(8000, 400, 160)
     assert len(recs1) == len(recs2) == n
-    assert s["frames_sent"] == 2 * n
-    assert s["clients_served"] == 2
+    assert s["frames_sent"] == 2 * n + n_live
+    assert s["clients_served"] == 3
     assert s["in_use"] == 0 and s["slots"] == []
-    assert s["ticks"] >= 2
+    assert s["ticks"] >= 3
 
 
 def test_asr_handoff_from_tga(tmp_path, testdata):

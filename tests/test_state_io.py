@@ -103,6 +103,39 @@ def test_reject_non_checkpoint(tmp_path):
         front.load_state(tmp_path / "junk.npz")
 
 
+def test_extensionless_path_roundtrip(tmp_path):
+    """np.savez appends '.npz' to extensionless paths; save/load must
+    agree on the final filename instead of saving to one file and
+    loading another."""
+    front = MultiStreamFrontend(CFG, S)
+    front.save_state(tmp_path / "ckpt", front.init())
+    assert (tmp_path / "ckpt.npz").is_file()
+    st = front.load_state(tmp_path / "ckpt")  # validates structure itself
+    assert np.asarray(st.mel.hop_buf).shape == (S, CFG.fft_size)
+    # and no stray temp file from the atomic-replace path
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["ckpt.npz"]
+
+
+def test_save_preserves_previous_checkpoint_on_failure(tmp_path, monkeypatch):
+    """Atomicity: a crash mid-save must leave the previous good
+    checkpoint intact (write-to-temp + os.replace)."""
+    import melspec_tpu.streaming.state_io as sio
+
+    front = MultiStreamFrontend(CFG, S)
+    path = tmp_path / "fleet.npz"
+    front.save_state(path, front.init())
+    good = path.read_bytes()
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(sio.np, "savez", boom)
+    with pytest.raises(OSError, match="disk full"):
+        front.save_state(path, front.init())
+    assert path.read_bytes() == good
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["fleet.npz"]
+
+
 def test_generic_roundtrip_no_meta(tmp_path):
     state = {"x": jnp.arange(5, dtype=jnp.int32),
              "y": (jnp.ones((2, 3)), jnp.zeros(1, bool))}
