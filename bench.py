@@ -157,7 +157,31 @@ def main() -> None:
 
     cache_dir = enable_compilation_cache()
     print(f"compile cache: {cache_dir}", file=sys.stderr)
+
+    # Device-init watchdog: with the tunnel DOWN, jax.devices() blocks
+    # forever inside backend init (observed: >40 min with no progress) and
+    # the bench would emit NO JSON line at all. A timed-out init instead
+    # reports an honest error row. The timeout only covers init — it is
+    # cancelled the moment the backend responds — so a slow-but-alive
+    # tunnel session is never killed.
+    import threading
+
+    init_done = threading.Event()
+    init_timeout = float(os.environ.get("MELSPEC_BENCH_INIT_TIMEOUT_S", 900))
+
+    def _watchdog():
+        if not init_done.wait(timeout=init_timeout):
+            print(f"device init exceeded {init_timeout:.0f} s — tunnel "
+                  "down?", file=sys.stderr)
+            print(json.dumps({"metric": "whisper_mel_rtfx", "value": 0,
+                              "unit": "x_realtime", "vs_baseline": 0,
+                              "error": "device init timed out"}),
+                  flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     dev = jax.devices()[0]
+    init_done.set()
     print(f"bench device: {dev}", file=sys.stderr)
 
     # compiled-mode golden gates FIRST: a timing headline whose numerics
