@@ -77,6 +77,8 @@ class _Slot:
         self.frame_idx = 0
         self.eof = False      # client finished sending
         self.closed = False   # slot fully drained and replied
+        self.last_rx = time.monotonic()  # recv-thread progress marker
+        self.timed_out = False
 
 
 class StreamServer:
@@ -95,7 +97,8 @@ class StreamServer:
                  record_norm: str = "whisper",
                  input_rate: int | None = None,
                  device_resample: bool = False,
-                 pcm_format: str = "f32le"):
+                 pcm_format: str = "f32le",
+                 idle_timeout_s: float | None = None):
         self.config = config
         self.n_streams = n_streams
         # ingest sample format. "s16le" is the telephony/gateway staple
@@ -146,6 +149,14 @@ class StreamServer:
         self._ticks = 0
         self._frames_sent = 0
         self._clients_served = 0
+        # a connected-but-silent client would otherwise hold its slot
+        # forever (capacity denial): after idle_timeout_s without any
+        # received bytes the connection is closed, which rides the normal
+        # teardown (recv loop exits -> eof -> ring drains -> slot freed)
+        if idle_timeout_s is not None and idle_timeout_s <= 0:
+            raise ValueError("idle_timeout_s must be positive")
+        self.idle_timeout_s = idle_timeout_s
+        self._idle_timeouts = 0
         self._pending_reset = np.zeros(n_streams, dtype=bool)
         self._slots_lock = threading.Lock()
         self._stop = threading.Event()
@@ -173,6 +184,7 @@ class StreamServer:
                 break
             if not data:
                 break
+            slot.last_rx = time.monotonic()
             data = leftover + data
             n = len(data) // self._itemsize * self._itemsize
             samples = decode_pcm(data[:n], self.pcm_format)
@@ -244,6 +256,25 @@ class StreamServer:
                 # close the slot while >= 1 hop sits in the ring)
                 eof = slot.eof
                 avail = len(slot.ring)
+                if self.idle_timeout_s is not None and not eof \
+                        and not slot.timed_out \
+                        and time.monotonic() - slot.last_rx \
+                        > self.idle_timeout_s:
+                    # silent client: close the connection; teardown rides
+                    # the normal path (recv loop errors out -> eof ->
+                    # remaining full hops drain -> slot freed). shutdown
+                    # BEFORE close: close() alone does not wake a thread
+                    # blocked in recv() on the same fd
+                    slot.timed_out = True
+                    self._idle_timeouts += 1
+                    try:
+                        slot.conn.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
+                    try:
+                        slot.conn.close()
+                    except OSError:
+                        pass
                 if avail >= need:
                     chunks[i] = slot.ring.pop(need).reshape(hops, hop)
                     active[i] = True
@@ -321,6 +352,7 @@ class StreamServer:
                 "ticks": self._ticks,
                 "frames_sent": self._frames_sent,
                 "clients_served": self._clients_served,
+                "idle_timeouts": self._idle_timeouts,
                 "slots": slots,
             }
 
@@ -345,9 +377,22 @@ class StreamServer:
             t.start()
             self._threads.append(t)
 
-    def stop(self) -> None:
+    def stop(self, drain: bool = False, timeout: float = 30.0) -> None:
+        """Stop serving. ``drain=True`` performs a graceful shutdown:
+        stop accepting, keep ticking until every in-flight stream has
+        been fully drained and replied (bounded by ``timeout`` seconds),
+        then halt — clients that already half-closed receive every
+        remaining record instead of being cut mid-stream."""
+        self.sock.close()  # no new clients in either mode
+        if drain:
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                with self._slots_lock:
+                    busy = any(s is not None for s in self.slots)
+                if not busy:
+                    break
+                time.sleep(0.01)
         self._stop.set()
-        self.sock.close()
 
 
 def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
@@ -426,6 +471,10 @@ def main() -> None:
                     "each stream is resampled to the mel config's rate "
                     "at ingest (polyphase, scipy-parity — "
                     "melspec_tpu.ops.resample)")
+    ap.add_argument("--idle-timeout", type=float, default=None,
+                    help="free a slot whose client has sent nothing for "
+                    "N seconds (a silent connection otherwise holds its "
+                    "slot forever)")
     ap.add_argument("--stats-interval", type=float, default=0.0,
                     help="print a serving-stats line every N seconds "
                     "(streams in use, frames sent, ticks, clients)")
@@ -453,7 +502,8 @@ def main() -> None:
                           record_norm=args.record_norm,
                           input_rate=args.input_rate,
                           device_resample=args.device_resample,
-                          pcm_format=args.pcm_format)
+                          pcm_format=args.pcm_format,
+                          idle_timeout_s=args.idle_timeout)
     server.start()
     print(f"serving on port {server.port} ({args.n_streams} streams)",
           flush=True)

@@ -324,6 +324,85 @@ def test_serve_streams_slot_churn_resets_state(testdata):
         server.stop()
 
 
+def test_serve_streams_idle_timeout_frees_slot(testdata):
+    """A connected-but-silent client must not hold its slot forever:
+    after ``idle_timeout_s`` the server closes it (counting it in
+    stats) and the freed slot serves the next client normally."""
+    import importlib.util
+    import socket
+    import time
+
+    from melspec_tpu.io.wav import read_wav_f32le
+    from melspec_tpu.ops import framing
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_idle", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    pcm = read_wav_f32le(REF / "jfk_f32le.wav")[:24000]
+    server = serve.StreamServer(port=0, n_streams=1, idle_timeout_s=0.4)
+    server.start()
+    try:
+        silent = socket.create_connection(("127.0.0.1", server.port),
+                                          timeout=30)
+        silent.sendall(pcm[:800].tobytes())  # 5 hops, then go silent
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            s = server.stats()
+            if s["idle_timeouts"] == 1 and s["in_use"] == 0:
+                break
+            time.sleep(0.02)
+        assert s["idle_timeouts"] == 1 and s["in_use"] == 0, s
+        silent.close()
+        # the single slot is free again: a real client streams through
+        recs = serve.stream_client(server.port, pcm)
+        assert len(recs) == framing.num_frames_streaming(24000, 400, 160)
+        assert [r[0] for r in recs] == list(range(len(recs)))
+    finally:
+        server.stop()
+
+
+def test_serve_streams_graceful_drain(testdata):
+    """``stop(drain=True)``: in-flight half-closed streams finish — the
+    client receives every record — before the server halts."""
+    import importlib.util
+    import threading
+    import time
+
+    from melspec_tpu.io.wav import read_wav_f32le
+    from melspec_tpu.ops import framing
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_drain", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    pcm = read_wav_f32le(REF / "jfk_f32le.wav")[:48000]
+    server = serve.StreamServer(port=0, n_streams=2)
+    server.start()
+    result = {}
+
+    def go():
+        result["recs"] = serve.stream_client(server.port, pcm)
+
+    t = threading.Thread(target=go)
+    t.start()
+    # wait until the stream is actually in flight, then drain-stop
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if server.stats()["in_use"] or "recs" in result:
+            break
+        time.sleep(0.005)
+    server.stop(drain=True, timeout=120)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    n = framing.num_frames_streaming(48000, 400, 160)
+    assert len(result["recs"]) == n, len(result["recs"])
+
+
 def test_serve_streams_stats(testdata):
     """``stats()``: the observability snapshot a deployment scrapes —
     counters must reflect the streams actually served."""
@@ -344,7 +423,8 @@ def test_serve_streams_stats(testdata):
     try:
         s0 = server.stats()
         assert s0 == {"n_streams": 4, "in_use": 0, "ticks": 0,
-                      "frames_sent": 0, "clients_served": 0, "slots": []}
+                      "frames_sent": 0, "clients_served": 0,
+                      "idle_timeouts": 0, "slots": []}
         # live-slot snapshot: keep a connection open mid-stream (the
         # per-slot fields — frames/ring/ring_dropped/eof — are only
         # reachable with a slot in use; a stats() crash here used to
