@@ -324,6 +324,51 @@ def test_serve_streams_slot_churn_resets_state(testdata):
         server.stop()
 
 
+def test_pack_records_batch_matches_struct_loop():
+    """The vectorized whole-tick record packer must be byte-identical to
+    the per-record struct.pack formulation, for arbitrary valid masks
+    and per-stream frame counters."""
+    import importlib.util
+    import struct
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_pack", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    rng = np.random.default_rng(5)
+    for s, h, n_mels in [(1, 1, 80), (3, 4, 80), (16, 7, 128), (5, 1, 3)]:
+        q = rng.integers(0, 256, (s, h, n_mels)).astype(np.uint8)
+        lo = rng.normal(size=(s, h)).astype(np.float32)
+        hi = (lo + 1).astype(np.float32)
+        va = rng.integers(0, 2, (s, h)).astype(bool)
+        mask = rng.integers(0, 2, (s, h)).astype(bool)
+        fidx0 = rng.integers(0, 1 << 20, s).astype(np.int64)
+
+        want = bytearray()
+        want_counts = []
+        for i in range(s):
+            fidx, m = int(fidx0[i]), 0
+            for j in range(h):
+                if not mask[i, j]:
+                    continue
+                want += struct.pack("<IBff", fidx, int(va[i, j]),
+                                    float(lo[i, j]), float(hi[i, j]))
+                want += q[i, j].tobytes()
+                fidx += 1
+                m += 1
+            want_counts.append(m)
+        got, counts = serve.pack_records_batch(fidx0, q, lo, hi, va, mask)
+        assert got == bytes(want), (s, h, n_mels)
+        assert counts.tolist() == want_counts
+    # empty mask: no bytes, zero counts
+    got, counts = serve.pack_records_batch(
+        np.zeros(2, np.int64), q[:2], lo[:2], hi[:2], va[:2],
+        np.zeros((2, h), bool))
+    assert got == b"" and counts.tolist() == [0, 0]
+
+
 def test_serve_streams_idle_timeout_frees_slot(testdata):
     """A connected-but-silent client must not hold its slot forever:
     after ``idle_timeout_s`` the server closes it (counting it in
