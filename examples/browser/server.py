@@ -272,10 +272,15 @@ class BrowserBridge:
                     if not data:
                         break
                     buf += data
-                    while len(buf) >= rec:
+                    if len(buf) >= rec:
+                        # ship ALL complete records as ONE ws frame: the
+                        # page reassembles across frame boundaries anyway
+                        # (app.js), and per-record frames cost a syscall
+                        # + 2-8 header bytes each at frame rate
+                        n = len(buf) // rec * rec
                         with send_lock:
-                            sock.sendall(ws_encode_frame(buf[:rec]))
-                        buf = buf[rec:]
+                            sock.sendall(ws_encode_frame(buf[:n]))
+                        buf = buf[n:]
             except OSError:
                 pass
             try:
