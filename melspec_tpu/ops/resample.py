@@ -59,6 +59,27 @@ __all__ = [
 # 7.1e8 entries, a 5.6 GB matrix).
 MAX_MATRIX_ENTRIES = 1 << 20
 
+# resample_poly's m-blocked variant scales the matrix by up to
+# ~m^2*down/K beyond the m=1 bound above (m = ceil(128/up) lane blocks),
+# so its m selection is SEPARATELY bounded: a ratio that passes
+# validate_ratio must never explode only because the MXU wants full
+# lanes. 2**22 f64 entries (32 MB) never binds for any standard rate
+# pair (their blocked matrices stay <= ~0.5M entries) but caps e.g.
+# up=1/down=49000 at m=2 (16 MB) instead of a 7.4 GB m=128 build.
+MAX_BLOCKED_ENTRIES = 1 << 22
+
+
+def _lane_blocks(up: int, down: int) -> int:
+    """How many consecutive windows to fold into conv output channels
+    (gcd-reduced ``up/down``): enough for >= 128 MXU lanes, halved until
+    the blocked matrix fits :data:`MAX_BLOCKED_ENTRIES`."""
+    half_len = 10 * max(up, down)
+    k1 = ((up - 1) * down + half_len) // up + half_len // up + 1
+    m = max(1, -(-128 // up))
+    while m > 1 and ((m - 1) * down + k1) * up * m > MAX_BLOCKED_ENTRIES:
+        m //= 2
+    return m
+
 
 def validate_ratio(up: int, down: int,
                    max_entries: int = MAX_MATRIX_ENTRIES
@@ -145,6 +166,19 @@ def _phase_matrix(up: int, down: int, beta: float,
     return g, r_lo
 
 
+@lru_cache(maxsize=64)
+def _phase_matrix_cast(up: int, down: int, beta: float,
+                       dtype_str: str) -> tuple[np.ndarray, int]:
+    """``_phase_matrix`` cast to the working dtype, cached: a serving
+    boundary builds one ``StreamingResampler`` PER CLIENT, and a private
+    0.3–2.5 MB f32 copy per connection is pure waste. The returned array
+    is shared read-only — callers must never mutate it."""
+    g, r_lo = _phase_matrix(up, down, beta)
+    g = g.astype(dtype_str)
+    g.setflags(write=False)
+    return g, r_lo
+
+
 def resample_output_len(n_in: int, up: int, down: int) -> int:
     """``ceil(n_in * up / down)`` after gcd reduction (scipy's rule)."""
     g = math.gcd(up, down)
@@ -183,8 +217,9 @@ def resample_poly(
 
     # lane blocking: give the conv >= 128 output channels (m consecutive
     # windows as extra channels) so the MXU's output lanes are full even
-    # for pure decimation (up=1)
-    m = max(1, -(-128 // up))
+    # for pure decimation (up=1) — bounded so a validated ratio can never
+    # trigger a multi-GB blocked-matrix build (MAX_BLOCKED_ENTRIES)
+    m = _lane_blocks(up, down)
     g_np, r_lo = _phase_matrix(up, down, beta, m)
     k = g_np.shape[0]
     ch, stride = up * m, down * m
@@ -234,9 +269,9 @@ class StreamingResampler:
         if self.identity:
             self._n_in = 0
             return
-        g_np, r_lo = _phase_matrix(self.up, self.down, beta)
-        self._g = g_np.astype(dtype)
-        self._k = g_np.shape[0]
+        self._g, r_lo = _phase_matrix_cast(self.up, self.down, beta,
+                                           self._dtype.name)
+        self._k = self._g.shape[0]
         self._pad_left = -r_lo
         # buffer starts at padded index q_next*down; seed the left zero pad
         self._buf = np.zeros(self._pad_left, dtype=dtype)

@@ -99,6 +99,12 @@ class MultiStreamResampler:
         """One unjitted step (compose inside your own jit): consume
         ``chunks [S, n]`` source-rate samples, emit ``[S, n*up//down]``."""
         n = chunks.shape[-1]
+        # n is static at trace time, so this guard is free under jit; a
+        # silent floor would consume-but-never-filter n % down samples
+        # and misalign every stream's window grid for its whole lifetime
+        if n % self.down:
+            raise ValueError(
+                f"chunk length {n} must be a multiple of down={self.down}")
         q = n // self.down
         sig = jnp.concatenate([state.buf, chunks.astype(jnp.float32)],
                               axis=-1)

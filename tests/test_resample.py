@@ -206,3 +206,62 @@ def test_mel_pipeline_on_resampled_audio(jfk_samples):
     # only bound the rest.
     assert np.max(np.abs(a[:, :70] - b[:, :70])) < 0.02
     assert np.max(np.abs(a - b)) < 0.2
+
+
+def test_lane_blocking_bounded_for_extreme_ratios():
+    """A ratio that passes validate_ratio must never explode only because
+    the MXU wants 128 output lanes: _lane_blocks halves m until the
+    blocked matrix fits MAX_BLOCKED_ENTRIES (up=1/down=49000 would build
+    a 7.4 GB matrix at m=128)."""
+    from melspec_tpu.ops.resample import (MAX_BLOCKED_ENTRIES, _lane_blocks,
+                                          validate_ratio)
+
+    assert _lane_blocks(1, 3) == 128      # 48k -> 16k: full lanes
+    assert _lane_blocks(1, 2) == 128
+    assert _lane_blocks(160, 441) == 1    # up >= 128: no blocking needed
+    validate_ratio(1, 49000)              # passes the m=1 bound...
+    assert _lane_blocks(1, 49000) <= 2    # ...and must stay near-unblocked
+    # (m=128 would be a 922M-entry, 7.4 GB build)
+    # the bound itself holds for every blocking the selector returns
+    for up, down in [(1, 3), (1, 2), (1, 320), (2, 3), (1, 49000),
+                     (3, 1000), (1, 999)]:
+        m = _lane_blocks(up, down)
+        half = 10 * max(up, down)
+        k1 = ((up - 1) * down + half) // up + half // up + 1
+        assert m == 1 or ((m - 1) * down + k1) * up * m \
+            <= MAX_BLOCKED_ENTRIES, (up, down, m)
+
+
+def test_extreme_validated_ratio_runs_without_blocked_build():
+    """End-to-end: a hostile-but-validated pure decimation completes on
+    the m=1 path (the m=128 build would allocate gigabytes)."""
+    from melspec_tpu.ops.resample import resample_poly
+
+    x = np.zeros(98000, np.float32)
+    y = np.asarray(resample_poly(x, 1, 49000))
+    assert y.shape == (2,)
+
+
+def test_streaming_resamplers_share_cast_matrix():
+    """One f32 phase matrix per (ratio, beta, dtype), shared read-only
+    across instances — a serving boundary builds one StreamingResampler
+    PER CLIENT connection."""
+    from melspec_tpu.ops.resample import StreamingResampler
+
+    a = StreamingResampler(160, 441)
+    b = StreamingResampler(160, 441)
+    assert a._g is b._g
+    assert not a._g.flags.writeable
+
+
+def test_multistream_step_rejects_misaligned_chunks():
+    """step() is the documented jit-composition entry point; a silent
+    floor of n // down would misalign the stream's window grid forever."""
+    import pytest
+
+    from melspec_tpu.streaming.resample import MultiStreamResampler
+
+    rs = MultiStreamResampler(1, 3, n_streams=2)
+    state = rs.init()
+    with pytest.raises(ValueError, match="multiple of down"):
+        rs.step(state, jnp.zeros((2, 7)), jnp.ones(2, bool))
