@@ -324,6 +324,59 @@ def test_serve_streams_slot_churn_resets_state(testdata):
         server.stop()
 
 
+def test_serve_streams_s16_8k_telephony_combo(testdata):
+    """``--pcm-format s16le --input-rate 8000`` together (the TCP
+    telephony shape): the recv loop decodes int16 THEN feeds the host
+    resampler. Records match a plain 16 kHz f32 server fed the
+    host-resampled decoded audio, within one quantization step (the
+    streaming-vs-offline resampler ulp class, as in the ws combo test)."""
+    import importlib.util
+
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.io.wav import read_wav_f32le
+    from melspec_tpu.ops.quant import QuantizationRange, dequantize
+    from melspec_tpu.ops.resample import resample_poly
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_tel", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    x16 = read_wav_f32le(REF / "jfk_f32le.wav")[:32000]
+    x8 = np.asarray(resample_poly(x16, 1, 2)).astype(np.float32)
+    s16 = np.clip(np.round(x8 * 32768.0), -32768, 32767).astype(np.int16)
+    dec8 = s16.astype(np.float32) / 32768.0
+    back16 = np.asarray(resample_poly(dec8, 2, 1)).astype(np.float32)
+
+    srv = serve.StreamServer(port=0, n_streams=2,
+                             config=MelConfig(400, 160, 80, 16000.0),
+                             pcm_format="s16le", input_rate=8000)
+    srv.start()
+    try:
+        recs = serve.stream_client(srv.port, dec8, chunk=4093,
+                                   pcm_format="s16le")
+    finally:
+        srv.stop()
+    ref_srv = serve.StreamServer(port=0, n_streams=2,
+                                 config=MelConfig(400, 160, 80, 16000.0))
+    ref_srv.start()
+    try:
+        want = serve.stream_client(ref_srv.port, back16)
+    finally:
+        ref_srv.stop()
+    assert len(recs) == len(want) > 0
+    assert [r[0] for r in recs] == [r[0] for r in want]
+    va_flips = sum(a[1] != b[1] for a, b in zip(recs, want))
+    assert va_flips <= max(2, len(recs) // 50)
+    mel_a = np.stack([dequantize(r[4], QuantizationRange(r[2], r[3]))
+                      for r in recs])
+    mel_b = np.stack([dequantize(r[4], QuantizationRange(r[2], r[3]))
+                      for r in want])
+    step = (mel_b.max() - mel_b.min()) / 255.0
+    assert np.abs(mel_a - mel_b).max() <= 2 * step + 1e-3
+
+
 def test_pack_records_batch_matches_struct_loop():
     """The vectorized whole-tick record packer must be byte-identical to
     the per-record struct.pack formulation, for arbitrary valid masks
