@@ -164,3 +164,19 @@ document.getElementById("wavfile").onchange = async (ev) => {
     ws.close();
   };
 };
+
+// Server-side serving counters (/stats, the StreamServer.stats() JSON):
+// streams in use across ALL clients, frames and ticks — the analogue of
+// the reference page surfacing its SAB ring's dropped counter.
+const statsEl = document.getElementById("serverstats");
+if (statsEl) {
+  setInterval(async () => {
+    try {
+      const s = await (await fetch("/stats")).json();
+      statsEl.textContent =
+        `server: ${s.in_use}/${s.n_streams} streams | ` +
+        `${s.frames_sent} frames | ${s.ticks} ticks | ` +
+        `${s.clients_served} clients | ${s.idle_timeouts} idle-timeouts`;
+    } catch (e) { /* bridge restarting; keep the last reading */ }
+  }, 1000);
+}

@@ -46,6 +46,11 @@ from urllib.parse import parse_qs, urlsplit
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from _platform import apply_platform_flag  # noqa: E402
+
+apply_platform_flag()
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 _STATIC = Path(__file__).resolve().parent
@@ -359,6 +364,9 @@ def main() -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8137)
     ap.add_argument("--n-streams", type=int, default=16)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (already applied at "
+                    "import; declared so argparse accepts it)")
     args = ap.parse_args()
 
     bridge = BrowserBridge(args.host, args.port,
