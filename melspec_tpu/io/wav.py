@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import struct
 from pathlib import Path
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
@@ -96,6 +96,25 @@ def read_wav_mono(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
         data = np.frombuffer(payload[: (len(payload) // 4) * 4], dtype="<f4")
         return data.copy(), rate
     raise ValueError(f"unsupported WAV format tag {tag}")
+
+
+def load_audio(path: Union[str, Path],
+               target_rate: Optional[int] = 16000) -> np.ndarray:
+    """Read a mono WAV and resample it to ``target_rate`` — the
+    librosa-``load``-shaped convenience for feeding a frontend whose
+    config expects one rate (the reference leaves rate conversion to the
+    embedder; melspec_tpu ships a scipy-parity polyphase resampler,
+    ``ops/resample.py``). ``target_rate=None`` returns the file's native
+    samples unresampled. The rate pair is validated (gcd-reduced, bounded
+    matrix) before any resampler is built."""
+    samples, rate = read_wav_mono(path)
+    if target_rate is None or int(rate) == int(target_rate):
+        return samples
+    from melspec_tpu.ops.resample import resample_poly, validate_ratio
+
+    up, down = validate_ratio(int(target_rate), int(rate))
+    return np.asarray(resample_poly(samples, up, down),
+                      dtype=np.float32)
 
 
 def iter_pcm_f32le(stream, chunk_bytes: int = 4096):

@@ -23,7 +23,7 @@ from melspec_tpu.io.tga import (
     tga_8bit_data,
     to_array2,
 )
-from melspec_tpu.io.wav import read_wav_f32le, read_wav_mono
+from melspec_tpu.io.wav import load_audio, read_wav_f32le, read_wav_mono
 from melspec_tpu.ops.batch_logmel import BatchLogMel, mel_tensor
 from melspec_tpu.ops.fbank import Fbank
 from melspec_tpu.ops.filterbank import (
@@ -127,6 +127,7 @@ __all__ = [
     "interleave_frames",
     "kaldi_filterbank",
     "load_tga_8bit",
+    "load_audio",
     "load_stream_state",
     "log_mel_spectrogram",
     "mel",

@@ -265,3 +265,36 @@ def test_sharded_serving_checkpoint_resume(tmp_path):
     _, *got = tick_fn(resumed, jnp.asarray(b), active)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_load_audio_resamples_to_target(tmp_path):
+    """``load_audio``: read a mono WAV at its native rate and resample to
+    the target (librosa-load shape; the reference leaves rate conversion
+    to the embedder). Validated ratios only; native passthrough when the
+    rates already match or target is None."""
+    import struct
+
+    from melspec_tpu.io.wav import load_audio
+    from melspec_tpu.ops.resample import resample_poly
+
+    t = np.arange(48000 * 2, dtype=np.float32) / 48000
+    tone = (0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    payload = tone.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 48000,
+                                   48000 * 4, 4, 32)
+           + b"data" + struct.pack("<I", len(payload)))
+    p = tmp_path / "tone48k.wav"
+    p.write_bytes(hdr + payload)
+
+    got = load_audio(p)  # default target 16 kHz
+    want = np.asarray(resample_poly(tone, 1, 3), dtype=np.float32)
+    assert got.shape == want.shape == (32000,)
+    np.testing.assert_array_equal(got, want)
+
+    native = load_audio(p, target_rate=None)
+    np.testing.assert_array_equal(native, tone)
+    same = load_audio(p, target_rate=48000)
+    np.testing.assert_array_equal(same, tone)
+    with pytest.raises(ValueError, match="polyphase matrix"):
+        load_audio(p, target_rate=44101)  # coprime: unbounded matrix
