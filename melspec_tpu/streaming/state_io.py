@@ -117,11 +117,22 @@ def load_stream_state(path, like, meta: Optional[Mapping[str, Any]] = None):
     given it must equal the saved meta exactly. Returns the state as
     device arrays, unflattened into ``like``'s structure.
     """
+    import zipfile
+
     like_leaves, like_treedef = jax.tree_util.tree_flatten(like)
-    with np.load(_canon_path(path)) as z:
+    try:
+        ctx = np.load(_canon_path(path))
+    except (zipfile.BadZipFile, ValueError, EOFError) as e:
+        raise ValueError(f"{path}: corrupt or not an .npz checkpoint "
+                         f"({e})") from e
+    with ctx as z:
         if _META_KEY not in z:
             raise ValueError(f"{path}: not a melspec stream checkpoint")
-        header = json.loads(bytes(z[_META_KEY]).decode("utf-8"))
+        try:
+            header = json.loads(bytes(z[_META_KEY]).decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise ValueError(f"{path}: corrupt checkpoint header "
+                             f"({e})") from e
         if header.get("version") != _FORMAT_VERSION:
             raise ValueError(
                 f"{path}: checkpoint version {header.get('version')!r}, "
@@ -135,8 +146,15 @@ def load_stream_state(path, like, meta: Optional[Mapping[str, Any]] = None):
                 f"{path}: config mismatch — checkpoint meta "
                 f"{header['meta']} != expected {_canon_meta(meta)}; "
                 "resuming across configs would corrupt the frame grid")
+        if header.get("n_leaves") != len(like_leaves):
+            raise ValueError(
+                f"{path}: {header.get('n_leaves')} leaves in the "
+                f"checkpoint, target expects {len(like_leaves)}")
         leaves = []
         for i, ref in enumerate(like_leaves):
+            if f"leaf_{i}" not in z:
+                raise ValueError(f"{path}: truncated checkpoint — "
+                                 f"leaf_{i} missing")
             a = z[f"leaf_{i}"]
             ref = np.asarray(ref)
             if a.shape != ref.shape or a.dtype != ref.dtype:

@@ -144,3 +144,26 @@ def test_generic_roundtrip_no_meta(tmp_path):
     for r, g in zip((state["x"], *state["y"]), (out["x"], *out["y"])):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
         assert np.asarray(r).dtype == np.asarray(g).dtype
+
+
+def test_corrupt_checkpoint_files_fail_cleanly(tmp_path):
+    """Truncated/garbage checkpoint files raise ValueError with a clear
+    message instead of leaking zipfile internals or KeyErrors."""
+    front = MultiStreamFrontend(CFG, S)
+    good = tmp_path / "good.npz"
+    front.save_state(good, front.init())
+
+    garbage = tmp_path / "garbage.npz"
+    garbage.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError, match="corrupt|not an .npz"):
+        front.load_state(garbage)
+
+    truncated = tmp_path / "truncated.npz"
+    truncated.write_bytes(good.read_bytes()[: good.stat().st_size // 2])
+    with pytest.raises(ValueError, match="corrupt|truncated|missing"):
+        front.load_state(truncated)
+
+    empty = tmp_path / "empty.npz"
+    empty.write_bytes(b"")
+    with pytest.raises(ValueError, match="corrupt|not an .npz"):
+        front.load_state(empty)
