@@ -72,13 +72,14 @@ def read_wav_f32le(path: Union[str, Path]) -> np.ndarray:
     return np.frombuffer(payload[: n * 4], dtype="<f4").copy()
 
 
-def read_wav_mono(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
-    """Read a mono WAV (16-bit PCM, or 32-bit float) -> (f32 samples, rate).
-    Other widths raise instead of being silently misdecoded."""
+def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
+    """Read a WAV (16-bit PCM or 32-bit float, any channel count) ->
+    (f32 samples ``[n, channels]``, rate). Other widths raise instead of
+    being silently misdecoded."""
     wav_bytes = Path(path).read_bytes()
     tag, channels, rate, bits = _read_fmt(wav_bytes)
-    if channels != 1:
-        raise ValueError(f"{path} is not mono (channels={channels})")
+    if channels < 1:
+        raise ValueError(f"{path}: fmt declares {channels} channels")
     offset, size = _find_data_chunk(wav_bytes)
     payload = wav_bytes[offset : offset + size]
     if tag == 1:  # integer PCM
@@ -87,15 +88,27 @@ def read_wav_mono(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
                 f"{path}: {bits}-bit PCM unsupported (16-bit only)"
             )
         data = np.frombuffer(payload[: (len(payload) // 2) * 2], dtype="<i2")
-        return (data.astype(np.float32) / 32768.0), rate
-    if tag == 3:  # IEEE float
+        data = data.astype(np.float32) / 32768.0
+    elif tag == 3:  # IEEE float
         if bits not in (0, 32):
             raise ValueError(
                 f"{path}: {bits}-bit float unsupported (32-bit only)"
             )
-        data = np.frombuffer(payload[: (len(payload) // 4) * 4], dtype="<f4")
-        return data.copy(), rate
-    raise ValueError(f"unsupported WAV format tag {tag}")
+        data = np.frombuffer(payload[: (len(payload) // 4) * 4],
+                             dtype="<f4").copy()
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    n = len(data) // channels
+    return data[: n * channels].reshape(n, channels), rate
+
+
+def read_wav_mono(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
+    """Read a mono WAV (16-bit PCM, or 32-bit float) -> (f32 samples, rate).
+    Multi-channel files raise — downmix explicitly via :func:`load_audio`."""
+    data, rate = read_wav(path)
+    if data.shape[1] != 1:
+        raise ValueError(f"{path} is not mono (channels={data.shape[1]})")
+    return data[:, 0], rate
 
 
 def load_audio(path: Union[str, Path],
@@ -106,8 +119,11 @@ def load_audio(path: Union[str, Path],
     embedder; melspec_tpu ships a scipy-parity polyphase resampler,
     ``ops/resample.py``). ``target_rate=None`` returns the file's native
     samples unresampled. The rate pair is validated (gcd-reduced, bounded
-    matrix) before any resampler is built."""
-    samples, rate = read_wav_mono(path)
+    matrix) before any resampler is built. Multi-channel files are
+    downmixed to mono (channel mean) before resampling."""
+    data, rate = read_wav(path)
+    samples = data[:, 0] if data.shape[1] == 1 \
+        else data.mean(axis=1, dtype=np.float64).astype(np.float32)
     if target_rate is None or int(rate) == int(target_rate):
         return samples
     from melspec_tpu.ops.resample import resample_poly, validate_ratio

@@ -23,7 +23,8 @@ from melspec_tpu.io.tga import (
     tga_8bit_data,
     to_array2,
 )
-from melspec_tpu.io.wav import load_audio, read_wav_f32le, read_wav_mono
+from melspec_tpu.io.wav import (load_audio, read_wav, read_wav_f32le,
+                                read_wav_mono)
 from melspec_tpu.ops.batch_logmel import BatchLogMel, mel_tensor
 from melspec_tpu.ops.fbank import Fbank
 from melspec_tpu.ops.filterbank import (
@@ -141,6 +142,7 @@ __all__ = [
     "norm_mel_vec",
     "parse_tga_8bit",
     "quantize",
+    "read_wav",
     "read_wav_f32le",
     "read_wav_mono",
     "resample_poly",

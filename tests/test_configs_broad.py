@@ -298,3 +298,35 @@ def test_load_audio_resamples_to_target(tmp_path):
     np.testing.assert_array_equal(same, tone)
     with pytest.raises(ValueError, match="polyphase matrix"):
         load_audio(p, target_rate=44101)  # coprime: unbounded matrix
+
+
+def test_load_audio_downmixes_stereo(tmp_path):
+    """Stereo files downmix to the channel mean; read_wav_mono still
+    rejects them (explicit is better for the parity readers)."""
+    import struct
+
+    from melspec_tpu.io.wav import load_audio, read_wav, read_wav_mono
+
+    left = (0.2 * np.sin(np.arange(16000) / 30)).astype(np.float32)
+    right = (0.1 * np.cos(np.arange(16000) / 17)).astype(np.float32)
+    inter = np.empty(32000, np.float32)
+    inter[0::2], inter[1::2] = left, right
+    payload = inter.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, 16000,
+                                   16000 * 8, 8, 32)
+           + b"data" + struct.pack("<I", len(payload)))
+    p = tmp_path / "stereo.wav"
+    p.write_bytes(hdr + payload)
+
+    data, rate = read_wav(p)
+    assert data.shape == (16000, 2) and rate == 16000
+    np.testing.assert_array_equal(data[:, 0], left)
+    np.testing.assert_array_equal(data[:, 1], right)
+
+    got = load_audio(p)
+    want = ((left.astype(np.float64) + right) / 2).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(ValueError, match="not mono"):
+        read_wav_mono(p)
