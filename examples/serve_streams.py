@@ -535,9 +535,13 @@ def main() -> None:
                     "requires --input-rate with an integral source hop")
     args = ap.parse_args()
     if args.client is not None:
-        from melspec_tpu.io.wav import read_wav_f32le
+        from melspec_tpu.io.wav import load_audio
 
-        pcm = read_wav_f32le(args.client)
+        # send PCM at the rate the server ingests: --input-rate if the
+        # server resamples, else the mel config rate. load_audio accepts
+        # any mono/stereo 16-bit or f32 wav at any rate.
+        pcm = load_audio(args.client,
+                         target_rate=args.input_rate or 16000)
         recs = stream_client(args.port, pcm, pcm_format=args.pcm_format)
         va = sum(1 for r in recs if r[1])
         print(f"{len(recs)} frames, {va} voice-active")
