@@ -51,7 +51,7 @@ import numpy as np
 
 from melspec_tpu.config import DetectionSettings, MelConfig
 from melspec_tpu.ops.resample import StreamingResampler, validate_ratio
-from melspec_tpu.runtime.ringbuffer import SampleRing
+from melspec_tpu.runtime.ringbuffer import SampleRing, pop_many
 from melspec_tpu.streaming.serving import (MultiStreamFrontend,
                                            SourceRateFrontend)
 
@@ -275,6 +275,7 @@ class StreamServer:
         chunks = np.zeros((self.n_streams, hops, hop), dtype=np.float32)
         active = np.zeros(self.n_streams, dtype=bool)
         ticked: list[tuple[int, _Slot, int]] = []  # (slot idx, slot, hops)
+        rings: list[SampleRing | None] = [None] * self.n_streams
         with self._slots_lock:
             if self._pending_reset.any():
                 # hand the jitted reset a PRIVATE copy: jax's CPU backend
@@ -315,7 +316,7 @@ class StreamServer:
                     except OSError:
                         pass
                 if avail >= need:
-                    chunks[i] = slot.ring.pop(need).reshape(hops, hop)
+                    rings[i] = slot.ring
                     active[i] = True
                     ticked.append((i, slot, hops))
                 elif eof:
@@ -335,6 +336,14 @@ class StreamServer:
                             pass
                         self.slots[i] = None
                         self._clients_served += 1
+            if any(r is not None for r in rings):
+                # all full-tick slots drain in ONE native call (avail was
+                # checked under this lock and only the recv thread adds,
+                # so the exact pops cannot fail)
+                ok = pop_many(rings, need,
+                              chunks.reshape(self.n_streams, need))
+                assert all(ok[i] for i, r in enumerate(rings)
+                           if r is not None)
         if not ticked:
             return 0
         self._ticks += 1

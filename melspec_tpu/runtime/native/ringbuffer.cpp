@@ -163,4 +163,37 @@ uint64_t msrb_pop(Ring* r, float* dst, uint64_t n) {
     }
 }
 
+// Consumer: pop EXACTLY n samples, or nothing (returns 1/0). The
+// all-or-nothing contract is what a fixed-hop serving tick wants: a
+// stream either contributes a full tick of audio or sits out unchanged.
+uint64_t msrb_pop_exact(Ring* r, float* dst, uint64_t n) {
+    uint64_t tail = r->tail.load(std::memory_order_relaxed);
+    for (;;) {
+        uint64_t head = r->head.load(std::memory_order_acquire);
+        if (head - tail < n) return 0;
+        copy_out(r, tail, dst, n);
+        uint64_t expected = tail;
+        if (r->tail.compare_exchange_strong(expected, tail + n,
+                                            std::memory_order_acq_rel))
+            return 1;
+        tail = expected;  // overwritten mid-copy: retry at the new tail
+    }
+}
+
+// Batched compute-side drain for a serving fleet: for each non-null
+// rings[j], pop exactly `need` samples into out + j*need (ok[j] = 1) or
+// leave the ring and the row untouched (ok[j] = 0). Null entries are
+// skipped (ok[j] = 0). One FFI call replaces n_rings ctypes round trips
+// per tick. Returns the number of rings drained.
+uint64_t msrb_pop_many(Ring** rings, uint64_t n_rings, uint64_t need,
+                       float* out, uint8_t* ok) {
+    uint64_t drained = 0;
+    for (uint64_t j = 0; j < n_rings; ++j) {
+        if (!rings[j]) { ok[j] = 0; continue; }
+        ok[j] = (uint8_t)msrb_pop_exact(rings[j], out + j * need, need);
+        drained += ok[j];
+    }
+    return drained;
+}
+
 }  // extern "C"

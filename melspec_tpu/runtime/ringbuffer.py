@@ -56,7 +56,8 @@ def _load_library() -> Optional[ctypes.CDLL]:
             fn = getattr(lib, name)
             fn.restype = ctypes.c_uint64
             fn.argtypes = [ctypes.c_void_p]
-        for name in ("msrb_push", "msrb_push_overwrite", "msrb_pop"):
+        for name in ("msrb_push", "msrb_push_overwrite", "msrb_pop",
+                     "msrb_pop_exact"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_uint64
             fn.argtypes = [
@@ -64,6 +65,14 @@ def _load_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_uint64,
             ]
+        lib.msrb_pop_many.restype = ctypes.c_uint64
+        lib.msrb_pop_many.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -163,8 +172,57 @@ class SampleRing:
                 [self._deque.popleft() for _ in range(take)], dtype=np.float32
             )
 
+    def pop_exact(self, out: np.ndarray) -> bool:
+        """Pop exactly ``out.size`` samples into ``out`` (f32 contiguous),
+        or nothing — the all-or-nothing drain a fixed-hop tick wants.
+        Returns whether the pop happened."""
+        assert out.dtype == np.float32 and out.flags.c_contiguous
+        if self._lib is not None:
+            ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            return bool(self._lib.msrb_pop_exact(self._handle, ptr,
+                                                 out.size))
+        with self._py_lock:
+            if len(self._deque) < out.size:
+                return False
+            out[:] = [self._deque.popleft() for _ in range(out.size)]
+            return True
+
     def __del__(self):
         lib = getattr(self, "_lib", None)
         handle = getattr(self, "_handle", None)
         if lib is not None and handle:
             lib.msrb_destroy(handle)
+
+
+def pop_many(rings: "list[Optional[SampleRing]]", need: int,
+             out: np.ndarray) -> np.ndarray:
+    """Batched all-or-nothing drain across a fleet: for each non-None
+    ``rings[j]`` pop exactly ``need`` samples into ``out[j]`` (row left
+    untouched otherwise). Returns ``ok [n] bool``.
+
+    One FFI call per tick instead of one per stream when every ring is
+    native; mixed/None/Python rings fall back per-entry. ``out`` must be
+    C-contiguous f32 ``[len(rings), need]``.
+    """
+    n = len(rings)
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    assert out.shape == (n, need)
+    lib = _load_library()
+    if lib is not None and all(
+        r is None or r._lib is not None for r in rings
+    ):
+        handles = (ctypes.c_void_p * n)(
+            *[r._handle if r is not None else None for r in rings]
+        )
+        ok = np.zeros(n, dtype=np.uint8)
+        lib.msrb_pop_many(
+            handles, n, need,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return ok.astype(bool)
+    ok = np.zeros(n, dtype=bool)
+    for j, r in enumerate(rings):
+        if r is not None:
+            ok[j] = r.pop_exact(out[j])
+    return ok

@@ -110,3 +110,55 @@ def test_concurrent_producer_consumer():
     stream = np.concatenate(received)
     assert stream.size == total
     np.testing.assert_array_equal(stream, np.arange(total, dtype=np.float32))
+
+
+def test_pop_exact_all_or_nothing(ring_cls):
+    r = ring_cls(64)
+    r.push(np.arange(10, dtype=np.float32))
+    out = np.zeros(16, dtype=np.float32)
+    assert not r.pop_exact(out)          # 10 < 16: nothing consumed
+    assert len(r) == 10
+    out8 = np.zeros(8, dtype=np.float32)
+    assert r.pop_exact(out8)
+    np.testing.assert_array_equal(out8, np.arange(8, dtype=np.float32))
+    assert len(r) == 2
+
+
+def test_pop_many_batched_drain(ring_cls):
+    """One call drains every ready ring into its row; short rings and
+    None slots leave their rows untouched."""
+    from melspec_tpu.runtime.ringbuffer import pop_many
+
+    need = 12
+    rings = [ring_cls(64), None, ring_cls(64), ring_cls(64)]
+    rings[0].push(np.arange(need, dtype=np.float32))
+    rings[2].push(np.arange(5, dtype=np.float32))          # too short
+    rings[3].push(np.arange(100, 100 + need + 3, dtype=np.float32))
+    out = np.full((4, need), -1.0, dtype=np.float32)
+    ok = pop_many(rings, need, out)
+    assert ok.tolist() == [True, False, False, True]
+    np.testing.assert_array_equal(out[0], np.arange(need, dtype=np.float32))
+    np.testing.assert_array_equal(out[1], -np.ones(need, np.float32))
+    np.testing.assert_array_equal(out[2], -np.ones(need, np.float32))
+    np.testing.assert_array_equal(
+        out[3], np.arange(100, 100 + need, dtype=np.float32))
+    assert len(rings[2]) == 5 and len(rings[3]) == 3
+
+
+def test_pop_many_mixed_backends():
+    """A fleet mixing native and pure-Python rings takes the per-entry
+    fallback and still drains correctly."""
+    from melspec_tpu.runtime.ringbuffer import native_available, pop_many
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("no native library on this host")
+    need = 6
+    rings = [SampleRing(32), SampleRing(32, force_python=True)]
+    for r in rings:
+        r.push(np.arange(need, dtype=np.float32))
+    out = np.zeros((2, need), dtype=np.float32)
+    ok = pop_many(rings, need, out)
+    assert ok.all()
+    np.testing.assert_array_equal(out[0], out[1])
