@@ -359,3 +359,57 @@ def test_source_rate_frontend_matches_host_resampled_pipeline():
         SourceRateFrontend(config, s, input_rate=16000)
     with pytest.raises(ValueError, match="chunks must be"):
         src.push_many(sstate, np.zeros((s, 2, 160), np.float32))
+
+
+def test_source_rate_frontend_upsampling_8k():
+    """Telephony ingest (8 kHz -> 16 kHz, up=2/down=1): the UPSAMPLING
+    source-rate tick holds the same frame-grid contract as the 48 kHz
+    decimation test above — spurious prefix an exact hop multiple, then
+    parity with a plain frontend fed host-resampled audio."""
+    from melspec_tpu.ops.resample import resample_poly
+    from melspec_tpu.streaming.serving import SourceRateFrontend
+
+    config = MelConfig(400, 160, 80, 16000.0)
+    settings = DetectionSettings(min_energy=0.5, min_y=3, min_x=5)
+    s, hops, ticks = 2, 4, 6
+    src = SourceRateFrontend(config, s, input_rate=8000,
+                             settings=settings)
+    assert src.hop_src == 80
+    plain = MultiStreamFrontend(config, s, settings=settings)
+    spur_hops = src.rs.spurious_out // config.hop_size
+    assert spur_hops >= 1
+
+    rng = np.random.default_rng(7)
+    x8 = (rng.normal(size=(s, ticks * hops * 80)) * 0.3).astype(np.float32)
+    y16 = np.asarray(resample_poly(x8, 2, 1)).astype(np.float32)
+
+    sstate, pstate = src.init(), plain.init()
+    gq, gvalid = [], []
+    pq, pvalid = [], []
+    for t in range(ticks):
+        chunk = x8[:, t * hops * 80:(t + 1) * hops * 80]
+        sstate, q, lo, hi, va, valid = src.push_many(
+            sstate, chunk.reshape(s, hops, 80))
+        gq.append(q), gvalid.append(valid)
+        pchunk = y16[:, t * hops * 160:(t + 1) * hops * 160]
+        pstate, q, lo, hi, va, valid = plain.push_many(
+            pstate, pchunk.reshape(s, hops, 160))
+        pq.append(q), pvalid.append(valid)
+    gq = np.concatenate(gq, axis=1)
+    gvalid = np.concatenate(gvalid, axis=1)
+    pq = np.concatenate(pq, axis=1)
+    pvalid = np.concatenate(pvalid, axis=1)
+
+    n_hops = ticks * hops
+    assert not gvalid[:, :spur_hops].any()
+    np.testing.assert_array_equal(gvalid[:, spur_hops:],
+                                  pvalid[:, :n_hops - spur_hops])
+    checked = 0
+    for g in range(spur_hops, n_hops):
+        for i in range(s):
+            if not gvalid[i, g]:
+                continue
+            checked += 1
+            assert np.abs(gq[i, g].astype(int)
+                          - pq[i, g - spur_hops].astype(int)).max() <= 1
+    assert checked > 20, checked
