@@ -118,6 +118,7 @@ class _Slot:
         self.closed = False   # slot fully drained and replied
         self.last_rx = time.monotonic()  # recv-thread progress marker
         self.timed_out = False
+        self.backpressure_waits = 0  # recv-thread stalls on a full ring
 
 
 class StreamServer:
@@ -137,7 +138,9 @@ class StreamServer:
                  input_rate: int | None = None,
                  device_resample: bool = False,
                  pcm_format: str = "f32le",
-                 idle_timeout_s: float | None = None):
+                 idle_timeout_s: float | None = None,
+                 send_timeout_s: float = 30.0,
+                 send_buffer_bytes: int | None = None):
         self.config = config
         self.n_streams = n_streams
         # ingest sample format. "s16le" is the telephony/gateway staple
@@ -196,6 +199,26 @@ class StreamServer:
             raise ValueError("idle_timeout_s must be positive")
         self.idle_timeout_s = idle_timeout_s
         self._idle_timeouts = 0
+        # sockets get a timeout so ONE client that stops reading its
+        # replies cannot block sendall forever and freeze the whole
+        # fleet's tick thread; a timed-out send kills that client via
+        # the dead-client path. The recv side tolerates the timeout
+        # (an idle-but-alive client is not EOF — idle_timeout_s governs
+        # that separately).
+        if send_timeout_s <= 0:
+            raise ValueError("send_timeout_s must be positive")
+        self.send_timeout_s = float(send_timeout_s)
+        # optional SO_SNDBUF bound per connection: kernel autotuning can
+        # buffer megabytes toward a stalled reader, which delays the
+        # send-timeout detection by however long those megabytes take to
+        # produce; a bounded buffer trades peak burst throughput for
+        # prompt detection
+        self.send_buffer_bytes = send_buffer_bytes
+        if device_resample and input_rate is None:
+            raise ValueError(
+                "--device-resample requires --input-rate (a 16 kHz fleet "
+                "needs no resampler; silently ignoring the flag would "
+                "process source-rate PCM on the wrong grid)")
         self._pending_reset = np.zeros(n_streams, dtype=bool)
         self._slots_lock = threading.Lock()
         self._stop = threading.Event()
@@ -206,19 +229,26 @@ class StreamServer:
     # ---------------- client side ----------------
 
     def _push_ring(self, slot: _Slot, samples: np.ndarray) -> None:
-        while samples.size and not self._stop.is_set():
+        # the slot.closed check ends the loop when the compute thread
+        # frees the slot (dead client mid-reply): nothing will ever drain
+        # this ring again, and the backpressure retry would spin forever
+        while samples.size and not self._stop.is_set() and not slot.closed:
             pushed = slot.ring.push(samples)
             samples = samples[pushed:]
             if samples.size:
+                slot.backpressure_waits += 1
                 time.sleep(0.001)  # ring full: apply backpressure
 
     def _recv_loop(self, slot: _Slot) -> None:
         """Reader thread: client PCM (resampled at ingest if the server
         was configured with a different ``input_rate``) -> the slot's ring."""
         leftover = b""
-        while not self._stop.is_set():
+        while not self._stop.is_set() and not slot.closed:
             try:
                 data = slot.conn.recv(65536)
+            except TimeoutError:
+                continue  # idle-but-alive: the socket timeout protects
+                # SENDS; idle_timeout_s (the tick) owns idle eviction
             except OSError:
                 break
             if not data:
@@ -244,6 +274,10 @@ class StreamServer:
                 conn, _ = self.sock.accept()
             except OSError:
                 break
+            conn.settimeout(self.send_timeout_s)
+            if self.send_buffer_bytes:
+                conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
+                                self.send_buffer_bytes)
             resampler = None
             if self._host_resample:
                 resampler = StreamingResampler(
@@ -374,10 +408,18 @@ class StreamServer:
                 try:
                     slot.conn.sendall(out)
                 except OSError:
-                    # client died mid-reply: free the slot so the index is
-                    # reusable (leaving it occupied would leak the slot,
-                    # the connection and the recv thread forever)
+                    # client died or stopped reading (the socket timeout
+                    # turns a stalled sendall into TimeoutError here, so
+                    # one stuck client cannot freeze the fleet's tick
+                    # thread): free the slot so the index is reusable.
+                    # closed=True ends the recv thread's _push_ring
+                    # backpressure loop; shutdown-before-close wakes a
+                    # thread blocked in recv() (close alone does not)
                     slot.closed = True
+                    try:
+                        slot.conn.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
                     try:
                         slot.conn.close()
                     except OSError:
@@ -396,7 +438,12 @@ class StreamServer:
         with self._slots_lock:
             slots = [
                 {"slot": i, "frames": s.frame_idx, "ring": len(s.ring),
-                 "ring_dropped": s.ring.dropped, "eof": s.eof}
+                 "ring_dropped": s.ring.dropped,
+                 # the REAL ingest-overload signal: the server's push()
+                 # path never drops (backpressure retries instead), so
+                 # ring_dropped stays 0 by design — stalls show up here
+                 "backpressure_waits": s.backpressure_waits,
+                 "eof": s.eof}
                 for i, s in enumerate(self.slots) if s is not None
             ]
             return {
@@ -446,6 +493,20 @@ class StreamServer:
                     break
                 time.sleep(0.01)
         self._stop.set()
+        # actively close the surviving connections: without a FIN the
+        # clients would sit in recv() until their own timeouts
+        with self._slots_lock:
+            live = [s for s in self.slots if s is not None]
+        for slot in live:
+            slot.closed = True
+            try:
+                slot.conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                slot.conn.close()
+            except OSError:
+                pass
 
 
 def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
@@ -502,9 +563,7 @@ def stream_client(port: int, pcm: np.ndarray, chunk: int = 4096,
 
 
 def main() -> None:
-    from melspec_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache()  # later server starts skip the compiles
+    # compile cache already enabled by _platform.apply_platform_flag()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--port", type=int, default=9377)
     ap.add_argument("--n-streams", type=int, default=16)
@@ -524,6 +583,10 @@ def main() -> None:
                     "each stream is resampled to the mel config's rate "
                     "at ingest (polyphase, scipy-parity — "
                     "melspec_tpu.ops.resample)")
+    ap.add_argument("--send-timeout", type=float, default=30.0,
+                    help="kill a client whose reply socket stays "
+                    "unwritable for N seconds (a client that stops "
+                    "reading would otherwise block the tick thread)")
     ap.add_argument("--idle-timeout", type=float, default=None,
                     help="free a slot whose client has sent nothing for "
                     "N seconds (a silent connection otherwise holds its "
@@ -560,7 +623,8 @@ def main() -> None:
                           input_rate=args.input_rate,
                           device_resample=args.device_resample,
                           pcm_format=args.pcm_format,
-                          idle_timeout_s=args.idle_timeout)
+                          idle_timeout_s=args.idle_timeout,
+                          send_timeout_s=args.send_timeout)
     server.start()
     print(f"serving on port {server.port} ({args.n_streams} streams)",
           flush=True)

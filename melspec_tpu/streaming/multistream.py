@@ -114,6 +114,17 @@ class MultiStreamMel:
         """One unjitted push step — public so callers can wrap it in their
         own ``jax.jit`` with explicit shardings (see
         ``parallel.sharding.sharded_multistream``)."""
+        if self.fft_impl == "sig":
+            # the fused kernel only exists on the bulk path (it needs
+            # frames to fold into macro-rows); silently serving rdft
+            # numerics from a 'sig' instance here would let a
+            # scan-vs-bulk differential compare two different error
+            # classes — refuse instead
+            raise NotImplementedError(
+                "fft_impl='sig' supports only the bulk path "
+                "(push_many(scan=False)); use 'rdft' or 'bf3' for "
+                "per-hop/step/scan use"
+            )
         hop = self.config.hop_size
         fft = self.config.fft_size
 

@@ -462,6 +462,104 @@ def test_serve_streams_idle_timeout_frees_slot(testdata):
         server.stop()
 
 
+def test_serve_streams_stalled_reader_cannot_freeze_fleet(testdata):
+    """A client that streams PCM but never reads its replies fills the
+    server's send buffer; sendall used to block the tick thread forever
+    (freezing EVERY stream and the idle-eviction mechanism itself). With
+    the per-socket send timeout the stalled client is killed and other
+    clients keep being served."""
+    import importlib.util
+    import socket
+    import time
+
+    from melspec_tpu.io.wav import read_wav_f32le
+    from melspec_tpu.ops import framing
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_stall", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    pcm = read_wav_f32le(REF / "jfk_f32le.wav")
+    long_pcm = np.tile(pcm, 3)  # ~33 s -> ~3300 records = ~300 KB
+    # bounded SO_SNDBUF: loopback autotuning would otherwise buffer all
+    # ~300 KB of records and the send would never stall
+    server = serve.StreamServer(port=0, n_streams=2, send_timeout_s=0.5,
+                                send_buffer_bytes=8192)
+    server.start()
+    try:
+        stalled = socket.socket()
+        # a tiny receive window makes the server's send side fill fast
+        stalled.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 2048)
+        stalled.connect(("127.0.0.1", server.port))
+        stalled.sendall(long_pcm.tobytes())  # stream, never read replies
+        # the stalled client must get evicted (send timeout), freeing
+        # its slot, while the server remains responsive throughout
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if server.stats()["clients_served"] >= 1 \
+                    and server.stats()["in_use"] == 0:
+                break
+            time.sleep(0.05)
+        assert server.stats()["in_use"] == 0, server.stats()
+        stalled.close()
+        # a well-behaved client is served normally afterwards
+        recs = serve.stream_client(server.port, pcm[:32000])
+        assert len(recs) == framing.num_frames_streaming(32000, 400, 160)
+    finally:
+        server.stop()
+
+
+def test_serve_streams_stop_closes_live_connections(testdata):
+    """stop() must send a FIN to surviving clients — without it a client
+    blocked in recv() waits out its own (long) timeout."""
+    import importlib.util
+    import socket
+    import time
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_stopfin", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    server = serve.StreamServer(port=0, n_streams=2)
+    server.start()
+    c = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    c.sendall(np.zeros(1600, np.float32).tobytes())  # mid-stream, no EOF
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and not server.stats()["in_use"]:
+        time.sleep(0.01)
+    server.stop()
+    c.settimeout(10)
+    # drain whatever was sent, then expect EOF promptly (not a timeout)
+    try:
+        while c.recv(65536):
+            pass
+        eof = True
+    except TimeoutError:
+        eof = False
+    c.close()
+    assert eof, "server.stop() left the client connection open"
+
+
+def test_serve_streams_device_resample_requires_input_rate():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_dr", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+    with pytest.raises(ValueError, match="requires --input-rate"):
+        serve.StreamServer(port=0, n_streams=2, device_resample=True)
+    # 16 kHz input explicitly declared: no resampler needed, plain tick
+    srv = serve.StreamServer(port=0, n_streams=2, device_resample=True,
+                             input_rate=16000)
+    srv.stop()
+
+
 def test_serve_streams_graceful_drain(testdata):
     """``stop(drain=True)``: in-flight half-closed streams finish — the
     client receives every record — before the server halts."""

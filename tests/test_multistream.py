@@ -164,3 +164,26 @@ def test_bulk_sig_matches_bulk_rdft():
     # compare only emitted (valid) frames; bf2-vs-HIGHEST mel error class
     d = np.abs(mel_r - mel_s)[val_r]
     assert d.max() < 3e-5
+
+
+def test_sig_instance_rejects_per_hop_paths():
+    """fft_impl='sig' exists only on the bulk path; step/push/scan would
+    silently serve rdft numerics from a 'sig' instance (a scan-vs-bulk
+    differential would then compare two different error classes)."""
+    import pytest
+
+    from melspec_tpu.config import MelConfig
+
+    multi = MultiStreamMel(MelConfig(400, 160, 80, 16000.0), 2,
+                           fft_impl="sig")
+    state = multi.init()
+    chunks1 = np.zeros((2, 160), np.float32)
+    with pytest.raises(NotImplementedError, match="bulk path"):
+        multi.push(state, chunks1)
+    with pytest.raises(NotImplementedError, match="bulk path"):
+        multi.push_many(state, np.zeros((2, 3, 160), np.float32),
+                        scan=True)
+    # the bulk path itself still works (interpret-mode kernel on CPU)
+    state, mels, valid = multi.push_many(
+        state, np.zeros((2, 3, 160), np.float32))
+    assert mels.shape == (2, 3, 80)
