@@ -26,7 +26,7 @@ browser-worker mel-ring record shape, ``worker.js:52-58``).
 
 Usage:
     python examples/browser/server.py          # http://localhost:8137/
-    python examples/browser/server.py --port 8137 --no-browser-open
+    python examples/browser/server.py --port 8137 --n-streams 32
 """
 
 from __future__ import annotations
@@ -63,11 +63,23 @@ def ws_accept_key(key: str) -> str:
     return base64.b64encode(digest).decode()
 
 
+def _xor_mask(payload: bytes, mk: bytes) -> bytes:
+    """Vectorized RFC 6455 masking: every client frame is masked, so the
+    unmask runs on the hot PCM ingest path — a per-byte Python loop costs
+    ~192k interpreter iterations per second per 48 kHz client."""
+    if not payload:
+        return payload
+    reps = -(-len(payload) // 4)
+    key = np.frombuffer(mk * reps, np.uint8)[: len(payload)]
+    return (np.frombuffer(payload, np.uint8) ^ key).tobytes()
+
+
 def ws_encode_frame(payload: bytes, opcode: int = 0x2,
-                    mask: bool = False) -> bytes:
-    """Encode one WebSocket frame (FIN set). Servers send unmasked;
-    clients (the test's synthetic mic) must mask (RFC 6455 §5.3)."""
-    head = bytes([0x80 | opcode])
+                    mask: bool = False, fin: bool = True) -> bytes:
+    """Encode one WebSocket frame. Servers send unmasked; clients (the
+    test's synthetic mic) must mask (RFC 6455 §5.3). ``fin=False`` starts
+    a fragmented message (continue with opcode 0x0)."""
+    head = bytes([(0x80 if fin else 0x00) | opcode])
     n = len(payload)
     mbit = 0x80 if mask else 0
     if n < 126:
@@ -79,7 +91,7 @@ def ws_encode_frame(payload: bytes, opcode: int = 0x2,
     if mask:
         mk = b"\x00\x01\x02\x03"  # deterministic mask is RFC-legal
         head += mk
-        payload = bytes(b ^ mk[i % 4] for i, b in enumerate(payload))
+        payload = _xor_mask(payload, mk)
     return head + payload
 
 
@@ -115,7 +127,7 @@ def ws_read_frame(sock: socket.socket, max_payload: int = 1 << 24):
     mk = _read_exact(sock, 4) if masked else None
     payload = _read_exact(sock, n)
     if mk:
-        payload = bytes(b ^ mk[i % 4] for i, b in enumerate(payload))
+        payload = _xor_mask(payload, mk)
     return opcode, payload
 
 
@@ -145,10 +157,23 @@ class BrowserBridge:
                 "handled at the ws edge (?rate=...)"
             )
         self.streams = stream_server
+        # dial the stream server on the interface it actually bound (a
+        # hardcoded loopback dial breaks silently for --host <LAN addr>)
+        addr = stream_server.sock.getsockname()[0]
+        self._tcp_addr = (
+            "127.0.0.1" if addr in ("0.0.0.0", "::") else addr,
+            stream_server.port,
+        )
         bridge = self
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # UNBUFFERED request reading: with the default buffered rfile,
+            # a client that sends the upgrade request and its first ws
+            # frames in one write would get those frame bytes swallowed
+            # into the buffer — _serve_ws reads the raw socket and would
+            # start mid-stream (same pattern as CGIHTTPRequestHandler)
+            rbufsize = 0
 
             def log_message(self, *a):  # quiet
                 pass
@@ -171,7 +196,7 @@ class BrowserBridge:
                     self.end_headers()
                     self.wfile.write(body)
                     return
-                name = self.path.lstrip("/") or "index.html"
+                name = route.lstrip("/") or "index.html"
                 target = (_STATIC / name).resolve()
                 # containment: target must be _STATIC itself or under
                 # _STATIC + separator (a bare prefix check would also
@@ -220,6 +245,16 @@ class BrowserBridge:
                 or not key:
             handler.send_error(400, "not a websocket upgrade")
             return
+        # WebSockets are not subject to CORS: without this, any page the
+        # user has open could dial ws://localhost:<port>/ws and occupy
+        # every stream slot. Browsers always send Origin; it must match
+        # the host this page was served from. Non-browser clients
+        # (gateways, tests) send no Origin and pass.
+        origin = handler.headers.get("Origin")
+        if origin:
+            if urlsplit(origin).netloc != handler.headers.get("Host", ""):
+                handler.send_error(403, "origin not allowed")
+                return
         # the page reports its ACTUAL AudioContext rate (`/ws?rate=48000`)
         # — engines may ignore the 16 kHz hint (Safari) — and this bridge
         # resamples that client's PCM at ingest so the stream server
@@ -260,7 +295,7 @@ class BrowserBridge:
         handler.close_connection = True
 
         # one TCP slot in the stream server per websocket client
-        tcp = socket.create_connection(("127.0.0.1", self.streams.port))
+        tcp = socket.create_connection(self._tcp_addr)
         send_lock = threading.Lock()
         done = threading.Event()
 
@@ -315,6 +350,10 @@ class BrowserBridge:
                     with send_lock:
                         sock.sendall(ws_encode_frame(payload, opcode=0xA))
                     continue
+                if opcode >= 0x8:  # pong/reserved control frames: RFC
+                    continue       # 6455 §5.5 — control frames may be
+                    # interleaved in a fragmented message and MUST NOT
+                    # affect its state
                 # 0x0 continues a fragmented message; the only stream a
                 # client sends here is binary PCM, so continuations of a
                 # binary message are PCM too

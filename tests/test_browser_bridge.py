@@ -310,6 +310,155 @@ def test_bridge_requires_f32_stream_server():
         streams.stop()
 
 
+def test_ws_coalesced_handshake_and_frames(pcm):
+    """A client that writes the upgrade request AND its first frames in
+    one send (gateways do; they need not wait for the 101) must not
+    lose those frames to the HTTP handler's read buffering."""
+    streams = StreamServer(n_streams=4, hops_per_tick=4)
+    streams.start()
+    bridge = BrowserBridge(stream_server=streams).start()
+    try:
+        tcp = socket.create_connection(("127.0.0.1", streams.port),
+                                       timeout=30)
+        tcp.sendall(pcm)
+        tcp.shutdown(socket.SHUT_WR)
+        want = b""
+        while True:
+            d = tcp.recv(65536)
+            if not d:
+                break
+            want += d
+        tcp.close()
+
+        sock = socket.create_connection(("127.0.0.1", bridge.port),
+                                        timeout=30)
+        key = "dGhlIHNhbXBsZSBub25jZQ=="
+        upgrade = (f"GET /ws HTTP/1.1\r\nHost: 127.0.0.1:{bridge.port}\r\n"
+                   "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                   f"Sec-WebSocket-Key: {key}\r\n"
+                   "Sec-WebSocket-Version: 13\r\n\r\n").encode()
+        first = ws_encode_frame(pcm[:31997], mask=True)
+        sock.sendall(upgrade + first)  # ONE write: handshake + PCM
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += sock.recv(4096)
+        assert b" 101 " in resp.split(b"\r\n", 1)[0]
+        for off in range(31997, len(pcm), 31997):
+            sock.sendall(ws_encode_frame(pcm[off : off + 31997],
+                                         mask=True))
+        sock.sendall(ws_encode_frame(b"", opcode=0x8, mask=True))
+        # the 101 response read above may have swallowed early record
+        # frames; reassemble from whatever followed the header
+        buf = resp.split(b"\r\n\r\n", 1)[1]
+        got = b""
+
+        class _Pre:
+            def __init__(self, s, pre):
+                self.s, self.pre = s, pre
+
+            def recv(self, n):
+                if self.pre:
+                    out, self.pre = self.pre[:n], self.pre[n:]
+                    return out
+                return self.s.recv(n)
+
+        src = _Pre(sock, buf)
+        while True:
+            try:
+                opcode, payload = ws_read_frame(src)
+            except (ConnectionError, OSError):
+                break
+            if opcode == 0x8:
+                break
+            if opcode == 0x2:
+                got += payload
+        sock.close()
+    finally:
+        bridge.stop()
+        streams.stop()
+    assert got == want, (len(got), len(want))
+
+
+def test_ws_fragmented_message_with_interleaved_pong(pcm):
+    """RFC 6455 §5.5: control frames may be interleaved between the
+    fragments of a message and must not reset the fragmentation state —
+    an unsolicited pong mid-message used to discard the continuation."""
+    streams = StreamServer(n_streams=4, hops_per_tick=4)
+    streams.start()
+    bridge = BrowserBridge(stream_server=streams).start()
+    try:
+        tcp = socket.create_connection(("127.0.0.1", streams.port),
+                                       timeout=30)
+        tcp.sendall(pcm)
+        tcp.shutdown(socket.SHUT_WR)
+        want = b""
+        while True:
+            d = tcp.recv(65536)
+            if not d:
+                break
+            want += d
+        tcp.close()
+
+        ws = _ws_connect(bridge.port)
+        half = (len(pcm) // 2) // 4 * 4
+        ws.sendall(ws_encode_frame(pcm[:half], mask=True, fin=False))
+        ws.sendall(ws_encode_frame(b"keepalive", opcode=0xA, mask=True))
+        ws.sendall(ws_encode_frame(pcm[half:], opcode=0x0, mask=True))
+        ws.sendall(ws_encode_frame(b"", opcode=0x8, mask=True))
+        got = _drain_records(ws, streams.config.n_mels)
+        ws.close()
+    finally:
+        bridge.stop()
+        streams.stop()
+    assert got == want, (len(got), len(want))
+
+
+def test_ws_origin_validation():
+    """A hostile page's Origin is rejected (WebSockets bypass CORS); a
+    matching Origin and no Origin (non-browser gateways) pass."""
+    bridge = BrowserBridge(n_streams=2).start()
+    try:
+        def upgrade(origin):
+            sock = socket.create_connection(("127.0.0.1", bridge.port),
+                                            timeout=30)
+            extra = f"Origin: {origin}\r\n" if origin else ""
+            sock.sendall(
+                (f"GET /ws HTTP/1.1\r\nHost: 127.0.0.1:{bridge.port}\r\n"
+                 "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                 "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                 f"{extra}Sec-WebSocket-Version: 13\r\n\r\n").encode()
+            )
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                chunk = sock.recv(4096)
+                if not chunk:
+                    break
+                resp += chunk
+            sock.close()
+            return resp.split(b"\r\n", 1)[0].decode(errors="replace")
+
+        assert " 403 " in upgrade("http://evil.example")
+        assert " 101 " in upgrade(f"http://127.0.0.1:{bridge.port}")
+        assert " 101 " in upgrade(None)
+    finally:
+        bridge.stop()
+
+
+def test_static_pages_with_query_strings():
+    """Cache-busting query strings must not 404 the static routes."""
+    import urllib.request
+
+    bridge = BrowserBridge(n_streams=2).start()
+    try:
+        for url in ("/?ts=123", "/app.js?v=2"):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{bridge.port}{url}"
+            ) as r:
+                assert r.status == 200
+    finally:
+        bridge.stop()
+
+
 def test_bad_ws_rate_rejected_with_400():
     """Client-controlled ``?rate=`` must be bounded BEFORE a resampler is
     constructed: a coprime pair would build (and cache) a multi-gigabyte
