@@ -3,11 +3,17 @@
 // Wire record from the bridge (little-endian, one per emitted frame):
 //   u32 frame_idx | u8 va | f32 min | f32 max | u8[nMels] quantized
 // The payload is the whisper-normalized mel column quantized to 8 bits
-// over [min, max] (see examples/serve_streams.py's protocol note).
+// over [min, max] (see examples/serve_streams.py's protocol note) — the
+// min/max header makes each record self-describing, so columns are
+// DEQUANTIZED and rendered on a fixed display range (per-column
+// auto-gain would paint silence as full-brightness noise).
 
 const N_MELS = 80;
 const REC_SIZE = 4 + 1 + 4 + 4 + N_MELS;
 const SAMPLE_RATE = 16000;
+// fixed display range for whisper-normalized mel: loud speech peaks near
+// (max+4)/4 ~ 1; silence sits far below the lower edge and renders dark
+const VIEW_LO = -1.0, VIEW_HI = 1.0;
 
 // Small perceptual colormap (dark -> bright), two variants like the
 // reference's cividis/plasma switch on VAD: stops are (r,g,b) anchors
@@ -29,7 +35,7 @@ const ctx = canvas.getContext("2d");
 ctx.fillStyle = "#000";
 ctx.fillRect(0, 0, canvas.width, canvas.height);
 
-function drawColumn(bytes, va) {
+function drawColumn(bytes, lo, hi, va) {
   // scroll left one column
   ctx.globalCompositeOperation = "copy";
   ctx.drawImage(canvas, 1, 0, canvas.width - 1, canvas.height,
@@ -38,8 +44,11 @@ function drawColumn(bytes, va) {
 
   const img = ctx.createImageData(1, N_MELS);
   const stops = va ? VOICED : CALM;
+  const scale = (hi - lo) / 255;
   for (let m = 0; m < N_MELS; m++) {
-    const [r, g, b] = colorize(bytes[m] / 255, stops);
+    const v = lo + bytes[m] * scale;                 // dequantize
+    const v01 = (v - VIEW_LO) / (VIEW_HI - VIEW_LO); // fixed range
+    const [r, g, b] = colorize(v01, stops);
     const o = (N_MELS - 1 - m) * 4; // mel 0 at the bottom
     img.data[o] = r; img.data[o + 1] = g; img.data[o + 2] = b;
     img.data[o + 3] = 255;
@@ -55,57 +64,101 @@ function drawColumn(bytes, va) {
   ctx.fill();
 }
 
-let audioCtx = null, ws = null, stream = null, frames = 0;
 const status = document.getElementById("status");
+let frames = 0;
+// one active stream at a time: starting a new one (mic OR file) tears
+// down the old so two sockets never fight over the canvas/counter
+let active = null;
+
+function stopActive() {
+  const a = active;
+  active = null;
+  if (!a) return;
+  try { if (a.ws) a.ws.close(); } catch (e) { /* already closed */ }
+  if (a.audioCtx) a.audioCtx.close();
+  if (a.stream) a.stream.getTracks().forEach((t) => t.stop());
+}
+
+// One shared record parser for both paths: reassembles records across
+// split/coalesced ws frames, dequantizes, checks frame_idx continuity
+// (a desync would otherwise render noise forever with no error).
+function makeRecordParser(label) {
+  let pending = new Uint8Array(0);
+  let expected = null;
+  const handler = (ev) => {
+    handler.lastRecordMs = Date.now();
+    const merged = new Uint8Array(pending.length + ev.data.byteLength);
+    merged.set(pending);
+    merged.set(new Uint8Array(ev.data), pending.length);
+    let off = 0;
+    while (merged.length - off >= REC_SIZE) {
+      const dv = new DataView(merged.buffer, merged.byteOffset + off,
+                              REC_SIZE);
+      const idx = dv.getUint32(0, true);
+      if (expected !== null && idx !== expected) {
+        console.warn(`${label}: record desync (got ${idx}, ` +
+                     `expected ${expected})`);
+      }
+      expected = idx + 1;
+      const va = dv.getUint8(4) === 1;
+      const lo = dv.getFloat32(5, true);
+      const hi = dv.getFloat32(9, true);
+      drawColumn(merged.subarray(off + 13, off + 13 + N_MELS),
+                 lo, hi, va);
+      frames++;
+      off += REC_SIZE;
+    }
+    pending = merged.slice(off);
+    status.textContent = `${label} — ${frames} mel frames`;
+  };
+  handler.lastRecordMs = Date.now();
+  return handler;
+}
 
 async function start() {
-  stream = await navigator.mediaDevices.getUserMedia({
+  stopActive();
+  frames = 0;
+  const stream = await navigator.mediaDevices.getUserMedia({
     audio: { channelCount: 1, sampleRate: SAMPLE_RATE },
   });
   // ask the context for 16 kHz so the browser resamples for us where it
   // can; some engines (notably Safari) ignore the hint, so report the
   // ACTUAL rate to the bridge, which then resamples server-side
   // (melspec_tpu.ops.resample.StreamingResampler)
-  audioCtx = new AudioContext({ sampleRate: SAMPLE_RATE });
+  const audioCtx = new AudioContext({ sampleRate: SAMPLE_RATE });
   await audioCtx.audioWorklet.addModule("worklet.js");
   const src = audioCtx.createMediaStreamSource(stream);
   const node = new AudioWorkletNode(audioCtx, "pcm-capture");
   src.connect(node);
+  // route through a zero-gain node to the destination: an unconnected
+  // worklet is not part of the rendered graph on some engines (WebKit)
+  // and its process() would never be called; gain 0 avoids mic feedback
+  const mute = new GainNode(audioCtx, { gain: 0 });
+  node.connect(mute).connect(audioCtx.destination);
 
-  ws = new WebSocket(`ws://${location.host}/ws?rate=${audioCtx.sampleRate}`);
+  const ws = new WebSocket(
+    `ws://${location.host}/ws?rate=${audioCtx.sampleRate}`);
   ws.binaryType = "arraybuffer";
-  let pending = new Uint8Array(0);
-  ws.onmessage = (ev) => {
-    // records can split/coalesce across ws frames; reassemble
-    const merged = new Uint8Array(pending.length + ev.data.byteLength);
-    merged.set(pending);
-    merged.set(new Uint8Array(ev.data), pending.length);
-    let off = 0;
-    while (merged.length - off >= REC_SIZE) {
-      const dv = new DataView(merged.buffer, off, REC_SIZE);
-      const va = dv.getUint8(4) === 1;
-      drawColumn(merged.subarray(off + 13, off + 13 + N_MELS), va);
-      frames++;
-      off += REC_SIZE;
-    }
-    pending = merged.slice(off);
-    status.textContent = `streaming — ${frames} mel frames`;
-  };
+  ws.onmessage = makeRecordParser("streaming");
   ws.onopen = () => { status.textContent = "streaming"; };
+  ws.onerror = () => { status.textContent = "websocket error"; };
   ws.onclose = () => { status.textContent = `closed after ${frames} frames`; };
 
   node.port.onmessage = (ev) => {
-    if (ws.readyState === WebSocket.OPEN) ws.send(ev.data.buffer);
+    // bufferedAmount bounds memory if the server stalls: past ~1 MB we
+    // drop mic audio rather than buffer without limit
+    if (ws.readyState === WebSocket.OPEN && ws.bufferedAmount < 1 << 20) {
+      ws.send(ev.data.buffer);
+    }
   };
 
+  active = { ws, audioCtx, stream };
   document.getElementById("start").disabled = true;
   document.getElementById("stop").disabled = false;
 }
 
 function stop() {
-  if (ws) ws.close();
-  if (audioCtx) audioCtx.close();
-  if (stream) stream.getTracks().forEach((t) => t.stop());
+  stopActive();
   document.getElementById("start").disabled = false;
   document.getElementById("stop").disabled = true;
 }
@@ -115,41 +168,35 @@ document.getElementById("start").onclick = () =>
 document.getElementById("stop").onclick = stop;
 
 // WAV-file path (the reference demo's wav_worker equivalent): decode via
-// WebAudio at 16 kHz, stream hop-sized PCM slices over the same socket,
-// pacing slightly faster than realtime so the waterfall animates.
+// WebAudio (16 kHz hint; the actual decode rate is reported to the
+// bridge), stream hop-sized PCM slices, pacing slightly faster than
+// realtime so the waterfall animates.
 document.getElementById("wavfile").onchange = async (ev) => {
   const file = ev.target.files[0];
   if (!file) return;
+  stopActive();
+  frames = 0;
   const dec = new AudioContext({ sampleRate: SAMPLE_RATE });
   const audio = await dec.decodeAudioData(await file.arrayBuffer());
   const pcm = audio.getChannelData(0);
   const decodedRate = dec.sampleRate; // actual, in case the hint was ignored
   dec.close();
 
-  ws = new WebSocket(`ws://${location.host}/ws?rate=${decodedRate}`);
+  const ws = new WebSocket(`ws://${location.host}/ws?rate=${decodedRate}`);
   ws.binaryType = "arraybuffer";
-  let pending = new Uint8Array(0);
-  let lastRecordMs = Date.now();
-  frames = 0;
-  ws.onmessage = document.querySelector("#canvas") && ((e) => {
-    lastRecordMs = Date.now();
-    const merged = new Uint8Array(pending.length + e.data.byteLength);
-    merged.set(pending);
-    merged.set(new Uint8Array(e.data), pending.length);
-    let off = 0;
-    while (merged.length - off >= REC_SIZE) {
-      const dv = new DataView(merged.buffer, off, REC_SIZE);
-      drawColumn(merged.subarray(off + 13, off + 13 + N_MELS),
-                 dv.getUint8(4) === 1);
-      frames++;
-      off += REC_SIZE;
-    }
-    pending = merged.slice(off);
-    status.textContent = `file: ${frames} mel frames`;
-  });
+  const parser = makeRecordParser("file");
+  ws.onmessage = parser;
+  ws.onerror = () => { status.textContent = "websocket error (file)"; };
+  ws.onclose = () => {
+    status.textContent = `file done — ${frames} mel frames`;
+  };
+  active = { ws };
   ws.onopen = async () => {
-    const hop = 160 * 16; // ship 160 ms blocks
+    // 160 ms blocks AT THE DECODED RATE (hardcoding 16 kHz would pace a
+    // 44.1 kHz decode at 0.58x realtime)
+    const hop = Math.round(decodedRate * 0.16);
     for (let off = 0; off < pcm.length; off += hop) {
+      if (ws.readyState !== WebSocket.OPEN) return; // stopped/replaced
       ws.send(pcm.subarray(off, off + hop).slice(0).buffer);
       await new Promise((r) => setTimeout(r, 100));
     }
@@ -158,7 +205,8 @@ document.getElementById("wavfile").onchange = async (ev) => {
     // socket is CLOSING are discarded — wait until it has been quiet
     // for a while so the waterfall tail actually renders
     const t0 = Date.now();
-    while (Date.now() - lastRecordMs < 700 && Date.now() - t0 < 15000) {
+    while (Date.now() - parser.lastRecordMs < 700
+           && Date.now() - t0 < 15000) {
       await new Promise((r) => setTimeout(r, 100));
     }
     ws.close();
