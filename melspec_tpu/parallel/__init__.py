@@ -3,8 +3,10 @@
 from melspec_tpu.parallel.sharding import (
     make_mesh,
     shard_batch,
-    sharded_whisper_mel,
     sharded_frontend_step,
+    sharded_multistream,
+    sharded_serving,
+    sharded_whisper_mel,
 )
 from melspec_tpu.parallel.multihost import (
     chunk_audio,
@@ -17,8 +19,10 @@ from melspec_tpu.parallel.multihost import (
 __all__ = [
     "make_mesh",
     "shard_batch",
-    "sharded_whisper_mel",
     "sharded_frontend_step",
+    "sharded_multistream",
+    "sharded_serving",
+    "sharded_whisper_mel",
     "chunk_audio",
     "global_batch_from_local",
     "load_host_shard",

@@ -75,11 +75,9 @@ def chunk_audio(
     valid: List[int] = []
     for clip in clips:
         clip = np.asarray(clip, dtype=np.float32).reshape(-1)
-        for start in range(0, max(len(clip), 1), clip_samples):
+        for start in range(0, len(clip), clip_samples):
             seg = clip[start : start + clip_samples]
             n = len(seg)
-            if n == 0:
-                continue
             if n < clip_samples:
                 seg = np.pad(seg, (0, clip_samples - n))
             rows.append(seg)
@@ -142,6 +140,22 @@ def global_batch_from_local(
     return jax.make_array_from_process_local_data(sharding, np.asarray(local))
 
 
+_STEP_CACHE: dict = {}
+
+
+def _cached_frontend_step(mesh, settings, axis):
+    """One compiled SPMD step per (mesh, settings, axis): rebuilding it
+    per call would retrace and recompile the whole program every batch."""
+    key = (mesh, settings, axis)
+    if key not in _STEP_CACHE:
+        from melspec_tpu.parallel.sharding import sharded_frontend_step
+
+        if len(_STEP_CACHE) > 16:  # bounded: meshes/settings are few
+            _STEP_CACHE.clear()
+        _STEP_CACHE[key] = sharded_frontend_step(mesh, settings, axis=axis)
+    return _STEP_CACHE[key]
+
+
 def multihost_frontend(
     mesh: Mesh,
     paths: Sequence[Union[str, Path]],
@@ -157,15 +171,16 @@ def multihost_frontend(
     THIS host's rows.
     """
     from melspec_tpu.config import DetectionSettings
-    from melspec_tpu.parallel.sharding import sharded_frontend_step
 
     my_paths = shard_files_for_host(paths)
     local, n_valid = load_host_shard(my_paths, clip_samples,
                                      pad_to_batch=local_batch,
                                      expected_rate=16000)
     global_batch = global_batch_from_local(mesh, local, axis=axis)
-    # pad rows (n_valid == 0) must not dilute the psum'd VAD aggregates
-    valid = global_batch_from_local(mesh, n_valid > 0, axis=axis)
-    step = sharded_frontend_step(mesh, settings or DetectionSettings(),
-                                 axis=axis)
+    # per-row valid-sample COUNTS: pad rows (0) and zero-padded tail
+    # segments both contribute only their real frames to the psum'd
+    # VAD aggregates
+    valid = global_batch_from_local(mesh, n_valid, axis=axis)
+    step = _cached_frontend_step(mesh, settings or DetectionSettings(),
+                                 axis)
     return step(global_batch, valid), n_valid

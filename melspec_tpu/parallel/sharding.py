@@ -14,7 +14,11 @@ fleet-wide VAD metrics) is reduced with ``psum``. This module provides:
 - ``sharded_frontend_step``: the full multi-frontend step (whisper mel +
   NeMo log-mel + Kaldi fbank + VAD column counts + 8-bit quantization)
   under ``shard_map``, with a ``psum`` over the mesh for the aggregate VAD
-  statistics — the one place a collective is the right tool.
+  statistics — the one place a collective is the right tool;
+- ``sharded_multistream``: the carried-state concurrent-stream mel with
+  the stream axis sharded like a batch axis;
+- ``sharded_serving``: the COMPLETE serving tick (mel + streaming-VAD
+  decisions + u8 quant, optionally + on-device resample) over the mesh.
 """
 
 from __future__ import annotations
@@ -185,10 +189,11 @@ def sharded_frontend_step(
     config combination falls back to per-frontend pipelines, so a 128-mel
     or 8 kHz deployment works too, just without the fusion.
 
-    Returns a fn ``(samples [B, T], valid [B] bool = all) -> dict`` with
-    ``B`` divisible by the mesh size; rows with ``valid == False``
-    (padding appended so every host presents the same local batch) are
-    excluded from the psum'd VAD aggregates.
+    Returns a fn ``(samples [B, T], valid [B] = all) -> dict`` with ``B``
+    divisible by the mesh size. ``valid`` is a bool row mask (a row
+    counts fully or not at all) or per-row valid-SAMPLE counts (int):
+    pad rows and zero-padded tail segments (multihost ``chunk_audio``)
+    then contribute only their real frames to the psum'd VAD aggregates.
     """
     from melspec_tpu.config import MelConfig
 
@@ -210,7 +215,7 @@ def sharded_frontend_step(
         )
         kaldi = Fbank(fbank_config)
 
-    def local_step(samples: jnp.ndarray, valid: jnp.ndarray):
+    def local_step(samples: jnp.ndarray, n_valid: jnp.ndarray):
         if fused is not None:
             # one spectral pass for whisper + kaldi, Sobel VAD fused as
             # the kernel's epilogue
@@ -224,10 +229,17 @@ def sharded_frontend_step(
         nemo_feats = nemo._compute_jit(samples)        # [b, bins, F']
         smoothed = smooth_mask(raw, 4)
 
-        active = jnp.sum(smoothed & valid[:, None], dtype=jnp.int32)
-        total = jnp.sum(
-            jnp.where(valid, smoothed.shape[-1], 0).astype(jnp.int32)
-        )
+        # per-FRAME validity from per-row valid-SAMPLE counts: a
+        # zero-padded tail row (multihost chunk_audio) must contribute
+        # only its real frames — counting its full width would dilute
+        # the fleet aggregate with decisions over padding
+        nf = smoothed.shape[-1]
+        fft, hop = mel_config.fft_size, mel_config.hop_size
+        vframes = jnp.where(n_valid >= fft, (n_valid - fft) // hop + 1, 0)
+        vcols = jnp.clip(vframes - 2, 0, nf).astype(jnp.int32)  # Sobel -2
+        mask = jnp.arange(nf)[None, :] < vcols[:, None]
+        active = jnp.sum(smoothed & mask, dtype=jnp.int32)
+        total = jnp.sum(vcols, dtype=jnp.int32)
         active = jax.lax.psum(active, axis)
         total = jax.lax.psum(total, axis)
 
@@ -273,8 +285,16 @@ def sharded_frontend_step(
     jitted = jax.jit(step)
 
     def call(samples, valid=None):
+        """``valid`` is either a bool row mask (a row counts fully or not
+        at all) or per-row valid-SAMPLE counts (int — rows with zero-pad
+        tails contribute only their real frames to the aggregates)."""
+        n = samples.shape[-1]
         if valid is None:
-            valid = jnp.ones(samples.shape[0], dtype=bool)
-        return jitted(samples, valid)
+            counts = jnp.full(samples.shape[0], n, jnp.int32)
+        else:
+            valid = jnp.asarray(valid)
+            counts = (jnp.where(valid, n, 0).astype(jnp.int32)
+                      if valid.dtype == bool else valid.astype(jnp.int32))
+        return jitted(samples, counts)
 
     return call

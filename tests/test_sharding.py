@@ -128,3 +128,30 @@ def test_frontend_step_quantization_matches_host_quantizer():
     # constant input -> constant mel -> degenerate range -> all-zero q
     out0 = step(np.zeros((2, 8000), np.float32))
     assert np.asarray(out0["mel_q8"]).max() == 0
+
+
+def test_frontend_step_partial_tail_rows_do_not_dilute_aggregates():
+    """Per-row valid-sample COUNTS: a zero-padded tail segment (multihost
+    chunk_audio) contributes only its real frames to the psum'd VAD
+    aggregates — counting its full padded width biased the fleet
+    active/total ratio downward."""
+    settings = DetectionSettings(min_energy=0.5, min_y=2, min_x=5,
+                                 min_mel=0)
+    mesh1 = make_mesh(jax.devices()[:1])
+    step = sharded_frontend_step(mesh1, settings)
+    rng = np.random.default_rng(23)
+    full = (rng.normal(size=8000) * 0.3).astype(np.float32)
+    tail = np.zeros(8000, np.float32)
+    tail[:4000] = (rng.normal(size=4000) * 0.3).astype(np.float32)
+    batch = np.stack([full, tail])
+
+    def cols(n):  # decisions for n valid samples at the default 400/160
+        return (n - 400) // 160 + 1 - 2
+
+    out = step(batch, np.asarray([8000, 4000], np.int32))
+    assert int(out["vad_total_columns"]) == cols(8000) + cols(4000)
+    # bool masks keep the all-or-nothing row semantics
+    out2 = step(batch, np.asarray([True, False]))
+    assert int(out2["vad_total_columns"]) == cols(8000)
+    out3 = step(batch)  # default: every row fully valid
+    assert int(out3["vad_total_columns"]) == 2 * cols(8000)
