@@ -81,6 +81,7 @@ from melspec_tpu.streaming.state_io import (load_stream_state,
                                             save_stream_state)
 from melspec_tpu.streaming.stft import StftState, StreamingMel, StreamingStft
 from melspec_tpu.streaming.vad import VoiceActivityDetector
+from melspec_tpu.utils.instances import shared_instance
 from melspec_tpu.utils.timing import (
     duration_ms_for_n_frames,
     format_milliseconds,
@@ -148,6 +149,7 @@ __all__ = [
     "resample_poly",
     "validate_ratio",
     "save_stream_state",
+    "shared_instance",
     "save_tga_8bit",
     "streaming_decisions",
     "tga_8bit",
