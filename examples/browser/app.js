@@ -70,13 +70,34 @@ let frames = 0;
 // down the old so two sockets never fight over the canvas/counter
 let active = null;
 
-function stopActive() {
+function teardown(a, graceMs) {
+  // late events from a torn-down socket must never touch the next
+  // stream's status/waterfall: detach onerror/onclose immediately.
+  if (a.ws) { a.ws.onerror = null; a.ws.onclose = null; }
+  // deliver the worklet's partial (<1024-sample) tail before closing —
+  // otherwise the last ~64 ms of every utterance is dropped
+  if (a.node) {
+    try { a.node.port.postMessage({ flush: true }); } catch (e) { /* gone */ }
+  }
+  const finish = () => {
+    if (a.ws) {
+      a.ws.onmessage = null;
+      try { a.ws.close(); } catch (e) { /* already closed */ }
+    }
+    if (a.audioCtx) a.audioCtx.close();
+    if (a.stream) a.stream.getTracks().forEach((t) => t.stop());
+  };
+  // graceMs > 0 (explicit Stop): keep onmessage briefly so the flushed
+  // tail's mel records still render; 0 (replaced by a new stream): cut
+  // immediately so stale columns never land on the new waterfall
+  if (graceMs > 0) setTimeout(finish, graceMs);
+  else finish();
+}
+
+function stopActive(graceMs = 0) {
   const a = active;
   active = null;
-  if (!a) return;
-  try { if (a.ws) a.ws.close(); } catch (e) { /* already closed */ }
-  if (a.audioCtx) a.audioCtx.close();
-  if (a.stream) a.stream.getTracks().forEach((t) => t.stop());
+  if (a) teardown(a, graceMs);
 }
 
 // One shared record parser for both paths: reassembles records across
@@ -152,13 +173,13 @@ async function start() {
     }
   };
 
-  active = { ws, audioCtx, stream };
+  active = { ws, audioCtx, stream, node };
   document.getElementById("start").disabled = true;
   document.getElementById("stop").disabled = false;
 }
 
 function stop() {
-  stopActive();
+  stopActive(300);  // grace: render the flushed mic tail before closing
   document.getElementById("start").disabled = false;
   document.getElementById("stop").disabled = true;
 }

@@ -5,11 +5,27 @@
 // reference's worklet pushes into a SharedArrayBuffer ring consumed by
 // an in-page WASM DSP worker; here the DSP is server-side, so a plain
 // message port is all that's needed.)
+//
+// The page posts {flush: true} on Stop so the partial (<1024-sample)
+// tail is delivered before the AudioContext closes — without it the
+// last ~64 ms of every utterance would be silently dropped.
 registerProcessor(
   "pcm-capture",
   class extends AudioWorkletProcessor {
     constructor() {
       super();
+      this.chunks = [];
+      this.n = 0;
+      this.port.onmessage = (e) => {
+        if (e.data && e.data.flush) this.flush();
+      };
+    }
+    flush() {
+      if (this.n === 0) return;
+      const out = new Float32Array(this.n);
+      let o = 0;
+      for (const c of this.chunks) { out.set(c, o); o += c.length; }
+      this.port.postMessage(out, [out.buffer]);
       this.chunks = [];
       this.n = 0;
     }
@@ -18,14 +34,7 @@ registerProcessor(
       if (ch) {
         this.chunks.push(ch.slice(0));
         this.n += ch.length;
-        if (this.n >= 1024) {  // ~64 ms at 16 kHz, ~21 ms at 48 kHz
-          const out = new Float32Array(this.n);
-          let o = 0;
-          for (const c of this.chunks) { out.set(c, o); o += c.length; }
-          this.port.postMessage(out, [out.buffer]);
-          this.chunks = [];
-          this.n = 0;
-        }
+        if (this.n >= 1024) this.flush();  // ~64 ms @16 kHz, ~21 ms @48 kHz
       }
       return true;
     }

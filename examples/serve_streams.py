@@ -149,6 +149,11 @@ class StreamServer:
         # the ring is format-agnostic.
         if pcm_format not in ("f32le", "s16le"):
             raise ValueError("pcm_format must be 'f32le' or 's16le'")
+        if device_resample and input_rate is None:
+            raise ValueError(
+                "--device-resample requires --input-rate (a 16 kHz fleet "
+                "needs no resampler; silently ignoring the flag would "
+                "process source-rate PCM on the wrong grid)")
         self.pcm_format = pcm_format
         self._itemsize = 2 if pcm_format == "s16le" else 4
         # clients may send PCM at a different rate (8 k telephony, 44.1/48 k
@@ -214,11 +219,6 @@ class StreamServer:
         # produce; a bounded buffer trades peak burst throughput for
         # prompt detection
         self.send_buffer_bytes = send_buffer_bytes
-        if device_resample and input_rate is None:
-            raise ValueError(
-                "--device-resample requires --input-rate (a 16 kHz fleet "
-                "needs no resampler; silently ignoring the flag would "
-                "process source-rate PCM on the wrong grid)")
         self._pending_reset = np.zeros(n_streams, dtype=bool)
         self._slots_lock = threading.Lock()
         self._stop = threading.Event()
@@ -334,19 +334,16 @@ class StreamServer:
                         and not slot.timed_out \
                         and time.monotonic() - slot.last_rx \
                         > self.idle_timeout_s:
-                    # silent client: close the connection; teardown rides
-                    # the normal path (recv loop errors out -> eof ->
-                    # remaining full hops drain -> slot freed). shutdown
-                    # BEFORE close: close() alone does not wake a thread
-                    # blocked in recv() on the same fd
+                    # silent client: half-close the READ side only.
+                    # SHUT_RD wakes the recv thread (recv returns b'') ->
+                    # eof -> remaining full hops drain on later ticks and
+                    # their records still go out on the intact write
+                    # side -> slot freed by the eof path below. SHUT_RDWR
+                    # here would discard everything still in the ring.
                     slot.timed_out = True
                     self._idle_timeouts += 1
                     try:
-                        slot.conn.shutdown(socket.SHUT_RDWR)
-                    except OSError:
-                        pass
-                    try:
-                        slot.conn.close()
+                        slot.conn.shutdown(socket.SHUT_RD)
                     except OSError:
                         pass
                 if avail >= need:
@@ -368,6 +365,12 @@ class StreamServer:
                             slot.conn.shutdown(socket.SHUT_WR)
                         except OSError:
                             pass
+                        try:
+                            # all records for this slot were sent on prior
+                            # ticks; close() still delivers queued bytes
+                            slot.conn.close()
+                        except OSError:
+                            pass
                         self.slots[i] = None
                         self._clients_served += 1
             if any(r is not None for r in rings):
@@ -376,8 +379,30 @@ class StreamServer:
                 # so the exact pops cannot fail)
                 ok = pop_many(rings, need,
                               chunks.reshape(self.n_streams, need))
-                assert all(ok[i] for i, r in enumerate(rings)
-                           if r is not None)
+                for i, r in enumerate(rings):
+                    if r is None or ok[i]:
+                        continue
+                    # exact-pop invariant broken (a second consumer or an
+                    # overwrite-mode ring got mixed in): fail CLOSED for
+                    # this slot — never tick its zeroed chunk as audio,
+                    # and never let the exception kill the tick thread
+                    print(f"slot {i}: exact-pop invariant broken; "
+                          "evicting", file=sys.stderr)
+                    active[i] = False
+                    ticked = [t for t in ticked if t[0] != i]
+                    bad = self.slots[i]
+                    if bad is not None:
+                        bad.closed = True
+                        try:
+                            bad.conn.shutdown(socket.SHUT_RDWR)
+                        except OSError:
+                            pass
+                        try:
+                            bad.conn.close()
+                        except OSError:
+                            pass
+                        self.slots[i] = None
+                        self._clients_served += 1
         if not ticked:
             return 0
         self._ticks += 1

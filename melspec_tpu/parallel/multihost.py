@@ -28,6 +28,8 @@ Single-process use (tests, one host with N chips) is the degenerate case
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -140,20 +142,31 @@ def global_batch_from_local(
     return jax.make_array_from_process_local_data(sharding, np.asarray(local))
 
 
-_STEP_CACHE: dict = {}
+_STEP_CACHE: OrderedDict = OrderedDict()
+_STEP_LOCK = threading.Lock()
 
 
 def _cached_frontend_step(mesh, settings, axis):
     """One compiled SPMD step per (mesh, settings, axis): rebuilding it
-    per call would retrace and recompile the whole program every batch."""
+    per call would retrace and recompile the whole program every batch.
+    True LRU with per-key reuse — a 17th key evicts only the coldest
+    entry, never the whole working set — and thread-safe (concurrent
+    misses build outside the lock; first store wins)."""
     key = (mesh, settings, axis)
-    if key not in _STEP_CACHE:
-        from melspec_tpu.parallel.sharding import sharded_frontend_step
+    with _STEP_LOCK:
+        step = _STEP_CACHE.get(key)
+        if step is not None:
+            _STEP_CACHE.move_to_end(key)
+            return step
+    from melspec_tpu.parallel.sharding import sharded_frontend_step
 
-        if len(_STEP_CACHE) > 16:  # bounded: meshes/settings are few
-            _STEP_CACHE.clear()
-        _STEP_CACHE[key] = sharded_frontend_step(mesh, settings, axis=axis)
-    return _STEP_CACHE[key]
+    step = sharded_frontend_step(mesh, settings, axis=axis)
+    with _STEP_LOCK:
+        winner = _STEP_CACHE.setdefault(key, step)
+        _STEP_CACHE.move_to_end(key)
+        while len(_STEP_CACHE) > 16:  # bounded: meshes/settings are few
+            _STEP_CACHE.popitem(last=False)
+        return winner
 
 
 def multihost_frontend(

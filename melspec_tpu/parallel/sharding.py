@@ -293,8 +293,22 @@ def sharded_frontend_step(
             counts = jnp.full(samples.shape[0], n, jnp.int32)
         else:
             valid = jnp.asarray(valid)
-            counts = (jnp.where(valid, n, 0).astype(jnp.int32)
-                      if valid.dtype == bool else valid.astype(jnp.int32))
+            if valid.dtype == bool:
+                counts = jnp.where(valid, n, 0).astype(jnp.int32)
+            else:
+                # integer arrays are per-row SAMPLE counts. An all-0/1
+                # integer array is almost certainly a row mask following
+                # the pre-count contract — as counts it silently zeroes
+                # every row's frames (1 sample < fft_size). Reject it
+                # rather than corrupt the fleet aggregates.
+                if n > 1 and bool((jnp.max(valid) <= 1)
+                                  & (jnp.min(valid) >= 0)):
+                    raise ValueError(
+                        "integer `valid` is interpreted as per-row valid-"
+                        "sample counts, but this array holds only 0/1 — "
+                        "pass a bool array for a row mask, or real sample "
+                        "counts")
+                counts = valid.astype(jnp.int32)
         return jitted(samples, counts)
 
     return call

@@ -45,34 +45,38 @@ def _load_library() -> Optional[ctypes.CDLL]:
                     capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(str(_LIB_PATH))
-        except (OSError, subprocess.SubprocessError):
+            # symbol binding stays inside the try: a prebuilt .so from an
+            # older revision (no source shipped, so no rebuild possible)
+            # may lack newer entry points — fall back to Python, don't
+            # crash every SampleRing() with AttributeError
+            lib.msrb_create.restype = ctypes.c_void_p
+            lib.msrb_create.argtypes = [ctypes.c_uint64]
+            lib.msrb_destroy.argtypes = [ctypes.c_void_p]
+            for name in ("msrb_capacity", "msrb_len", "msrb_dropped"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_uint64
+                fn.argtypes = [ctypes.c_void_p]
+            for name in ("msrb_push", "msrb_push_overwrite", "msrb_pop",
+                         "msrb_pop_exact"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_uint64
+                fn.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_uint64,
+                ]
+            lib.msrb_pop_many.restype = ctypes.c_uint64
+            lib.msrb_pop_many.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_uint64,
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+        except (OSError, subprocess.SubprocessError, AttributeError):
             _lib_failed = True
             return None
 
-        lib.msrb_create.restype = ctypes.c_void_p
-        lib.msrb_create.argtypes = [ctypes.c_uint64]
-        lib.msrb_destroy.argtypes = [ctypes.c_void_p]
-        for name in ("msrb_capacity", "msrb_len", "msrb_dropped"):
-            fn = getattr(lib, name)
-            fn.restype = ctypes.c_uint64
-            fn.argtypes = [ctypes.c_void_p]
-        for name in ("msrb_push", "msrb_push_overwrite", "msrb_pop",
-                     "msrb_pop_exact"):
-            fn = getattr(lib, name)
-            fn.restype = ctypes.c_uint64
-            fn.argtypes = [
-                ctypes.c_void_p,
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_uint64,
-            ]
-        lib.msrb_pop_many.restype = ctypes.c_uint64
-        lib.msrb_pop_many.argtypes = [
-            ctypes.POINTER(ctypes.c_void_p),
-            ctypes.c_uint64,
-            ctypes.c_uint64,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
         _lib = lib
         return _lib
 

@@ -38,11 +38,18 @@ _cache: dict = {}
 
 
 def _freeze(value: Any) -> Any:
-    """Map common unhashable argument shapes onto hashable keys."""
+    """Map common unhashable argument shapes onto hashable keys.
+
+    Container keys are tagged with their type so e.g. ``[160]``,
+    ``(160,)`` and ``{160: ...}``-shaped arguments can never collide onto
+    one cache entry."""
     if isinstance(value, dict):
-        return tuple(sorted((k, _freeze(v)) for k, v in value.items()))
-    if isinstance(value, (list, tuple)):
-        return tuple(_freeze(v) for v in value)
+        return ("dict",
+                tuple(sorted((k, _freeze(v)) for k, v in value.items())))
+    if isinstance(value, list):
+        return ("list", tuple(_freeze(v) for v in value))
+    if isinstance(value, tuple):
+        return ("tuple", tuple(_freeze(v) for v in value))
     hash(value)  # raise TypeError early, with the offending value visible
     return value
 
@@ -64,10 +71,17 @@ def shared_instance(cls: Callable[..., T], *args: Any, **kwargs: Any) -> T:
     key = (cls, _freeze(args), _freeze(tuple(sorted(kwargs.items()))))
     with _lock:
         inst = _cache.get(key)
-        if inst is None:
-            inst = cls(*args, **kwargs)
-            _cache[key] = inst
+    if inst is not None:
         return inst
+    # construct OUTSIDE the lock: frontend construction can take seconds
+    # against a remote backend, must not serialize unrelated keys, and a
+    # constructor that itself calls shared_instance must not deadlock.
+    # Two racing constructions of the same key are harmless (the classes
+    # are functionally stateless); the first store wins and stays
+    # canonical.
+    inst = cls(*args, **kwargs)
+    with _lock:
+        return _cache.setdefault(key, inst)
 
 
 def shared_instance_count() -> int:

@@ -724,3 +724,56 @@ def test_asr_handoff_from_tga(tmp_path, testdata):
             mels["b"])), decoder_input_ids=dec).logits
     assert torch.isfinite(la).all() and torch.isfinite(lb).all()
     assert not torch.allclose(la, lb), "logits must depend on the mel"
+
+
+def test_idle_evicted_client_still_receives_buffered_records(testdata):
+    """Idle eviction half-closes only the READ side: records for audio
+    already buffered in the slot's ring at timeout must still drain and
+    be DELIVERED (ending in a clean FIN), not discarded with the
+    connection. Regression for the SHUT_RDWR eviction that destroyed the
+    reply direction."""
+    import importlib.util
+    import socket
+    import time
+
+    from melspec_tpu.io.wav import read_wav_f32le
+    from melspec_tpu.ops import framing
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_evict", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    n_samples = 16000  # 100 hops in one burst
+    pcm = read_wav_f32le(REF / "jfk_f32le.wav")[:n_samples]
+    # hops_per_tick=1 so the backlog drains one hop per tick: the idle
+    # timeout fires while most of the burst still sits in the ring
+    server = serve.StreamServer(port=0, n_streams=1, hops_per_tick=1,
+                                idle_timeout_s=0.05)
+    server.start()
+    try:
+        conn = socket.create_connection(("127.0.0.1", server.port),
+                                        timeout=120)
+        conn.sendall(pcm.astype("<f4").tobytes())
+        # go silent WITHOUT half-closing: only the idle timeout ends this
+        buf = b""
+        while True:
+            try:
+                data = conn.recv(65536)
+            except OSError:
+                break
+            if not data:
+                break  # server FIN after the drain — the clean ending
+            buf += data
+        conn.close()
+        assert server.stats()["idle_timeouts"] == 1
+        rec_size = serve.HEADER.size + 80
+        assert len(buf) % rec_size == 0
+        got = len(buf) // rec_size
+        # every full hop buffered before the timeout produces a record
+        assert got == framing.num_frames_streaming(n_samples, 400, 160)
+        idx0 = serve.HEADER.unpack(buf[: serve.HEADER.size])[0]
+        assert idx0 == 0
+    finally:
+        server.stop()

@@ -87,3 +87,37 @@ def test_dict_and_list_args_are_frozen():
     a = shared_instance(tuple, [1, 2, 3])
     b = shared_instance(tuple, [1, 2, 3])
     assert a is b
+
+
+def test_container_types_do_not_collide():
+    """[160], (160,) and a dict of the same pairs must be distinct keys:
+    a class that treats a list and a tuple differently must never be
+    handed the other call's instance."""
+    clear_shared_instances()
+
+    class C:
+        def __init__(self, v):
+            self.v = v
+
+    a = shared_instance(C, [160])
+    b = shared_instance(C, (160,))
+    c = shared_instance(C, {"a": 1})
+    d = shared_instance(C, (("a", 1),))
+    assert a is not b and c is not d
+    assert isinstance(a.v, list) and isinstance(b.v, tuple)
+
+
+def test_constructor_runs_outside_the_lock():
+    """A constructor that itself calls shared_instance must not deadlock
+    on the module lock."""
+    clear_shared_instances()
+
+    class Inner:
+        pass
+
+    class Outer:
+        def __init__(self):
+            self.inner = shared_instance(Inner)
+
+    o = shared_instance(Outer)
+    assert o.inner is shared_instance(Inner)

@@ -155,3 +155,15 @@ def test_frontend_step_partial_tail_rows_do_not_dilute_aggregates():
     assert int(out2["vad_total_columns"]) == cols(8000)
     out3 = step(batch)  # default: every row fully valid
     assert int(out3["vad_total_columns"]) == 2 * cols(8000)
+
+
+def test_frontend_step_rejects_01_integer_mask():
+    """An all-0/1 INTEGER array is almost certainly a bool-style row mask
+    from the pre-count contract; interpreted as sample counts it would
+    silently zero every row's frames. The step must reject it."""
+    settings = DetectionSettings()
+    mesh1 = make_mesh(jax.devices()[:1])
+    step = sharded_frontend_step(mesh1, settings)
+    batch = np.zeros((2, 8000), np.float32)
+    with pytest.raises(ValueError, match="bool"):
+        step(batch, np.asarray([1, 0], np.int32))
