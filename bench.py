@@ -333,8 +333,23 @@ def main() -> None:
                           "frontend rows", file=sys.stderr)
                     raise _BudgetDone
                 try:
-                    wall = _bench(ffn, xs, iters=8)
+                    wall = _bench(ffn, xs, iters=8, reps=3)
                     rtfx = audio_s / wall
+                    # physical-bound sanity: vad_fields = the sig mel
+                    # kernel + an in-kernel epilogue + cheap XLA window
+                    # ops, so it can never beat the bare mel row of the
+                    # SAME session. When it does (observed 3.6Mx vs 743k
+                    # once), a jittery short endpoint slipped past
+                    # min-of-reps — re-measure longer and keep the
+                    # conservative estimate.
+                    bound = results.get("pallas_sig_64x10s")
+                    if fname == "vad_fields" and bound \
+                            and rtfx > 1.25 * bound:
+                        print(f"vad_fields {rtfx:,.0f}x exceeds the bare "
+                              f"mel row {bound:,.0f}x — re-measuring",
+                              file=sys.stderr)
+                        wall = max(wall, _bench(ffn, xs, iters=16, reps=3))
+                        rtfx = audio_s / wall
                     results[f"{fname}_64x10s"] = round(rtfx, 1)
                     print(f"{fname} 64x10s: {wall*1e3:.2f} ms -> "
                           f"{rtfx:,.0f}x RT", file=sys.stderr)
