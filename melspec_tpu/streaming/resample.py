@@ -39,8 +39,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from melspec_tpu.ops.framing import frame_signal
-from melspec_tpu.ops.resample import _phase_matrix
+from melspec_tpu.ops.resample import _lane_blocks, _phase_matrix
 
 __all__ = ["MultiResampleState", "MultiStreamResampler"]
 
@@ -76,8 +75,8 @@ class MultiStreamResampler:
             raise ValueError("align must be >= 1")
         self.up, self.down = up, down
         self.n_streams = n_streams
+        self.beta = float(beta)
         g_np, r_lo = _phase_matrix(up, down, beta)
-        self._g = jnp.asarray(g_np, jnp.float32)
         self._k = g_np.shape[0]
         pad_left = -r_lo
         # smallest n_spur with L = pad_left + n_spur*down >= K - down and
@@ -94,6 +93,17 @@ class MultiStreamResampler:
             buf=jnp.zeros((self.n_streams, self._len), jnp.float32)
         )
 
+    def _block_m(self, q: int) -> int:
+        """Largest lane-block count that divides this chunk's window
+        count ``q``, capped by :func:`ops.resample._lane_blocks`'s
+        bounded MXU target. ``q`` is static under jit, so the search
+        runs once per traced shape."""
+        cap = min(_lane_blocks(self.up, self.down), q)
+        for m in range(cap, 1, -1):
+            if q % m == 0:
+                return m
+        return 1
+
     def step(self, state: MultiResampleState, chunks: jnp.ndarray,
              active: jnp.ndarray):
         """One unjitted step (compose inside your own jit): consume
@@ -106,12 +116,36 @@ class MultiStreamResampler:
             raise ValueError(
                 f"chunk length {n} must be a multiple of down={self.down}")
         q = n // self.down
+        # MXU lane blocking, same construction as the offline
+        # ``ops.resample.resample_poly``: fold ``m`` consecutive windows
+        # into conv output channels so the conv runs with ``up*m >= 128``
+        # output lanes even for pure decimation. The previous unblocked
+        # form (``frame_signal`` -> ``[S, q, K] @ [K, up]``) left 127/128
+        # MXU lanes idle for 48k->16k (up=1) AND materialized the frames
+        # tensor (~5 GB per 256x500-hop tick) — measured 23k x RT for the
+        # source-rate serving tick vs 326k for the plain tick
+        # (BENCH_r03). The blocked strided conv materializes nothing; the
+        # window set and per-output tap dots are IDENTICAL, so host
+        # parity is unchanged up to f32 accumulation order.
+        m = self._block_m(q)
+        g_np, _ = _phase_matrix(self.up, self.down, self.beta, m)
+        kb = g_np.shape[0]                  # (m-1)*down + K
         sig = jnp.concatenate([state.buf, chunks.astype(jnp.float32)],
                               axis=-1)
-        frames = frame_signal(sig, self._k, self.down, q)   # [S, q, K]
-        y = jnp.matmul(frames, self._g,
-                       precision=jax.lax.Precision.HIGHEST)  # [S, q, up]
-        y = y.reshape(y.shape[0], q * self.up)
+        # conv positions j cover windows [j*m, (j+1)*m); last window ends
+        # at (q-1)*down + K == needed, and needed <= L + n because the
+        # state length guarantees L >= K - down
+        needed = (q // m - 1) * (m * self.down) + kb
+        lhs = sig[:, None, :needed]                        # [S, 1, T]
+        rhs = jnp.asarray(g_np.T[:, None, :], jnp.float32)  # [up*m, 1, K']
+        y = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(m * self.down,), padding=[(0, 0)],
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                  # [S, up*m, q/m]
+        # channel b*up + p of position j is output sample (j*m+b)*up + p:
+        # transpose+reshape restores consecutive output order
+        y = jnp.swapaxes(y, -1, -2).reshape(sig.shape[0], q * self.up)
         new_buf = jnp.where(active[:, None], sig[:, n:], state.buf)
         return MultiResampleState(new_buf), y
 
