@@ -70,6 +70,11 @@ let frames = 0;
 // down the old so two sockets never fight over the canvas/counter
 let active = null;
 
+// a graced Stop still draining its tail: {finish, timer}. Tracked so a
+// quick restart can cut it immediately instead of letting the old
+// parser draw stale columns onto the new waterfall for up to 300 ms.
+let pendingTeardown = null;
+
 function teardown(a, graceMs) {
   // late events from a torn-down socket must never touch the next
   // stream's status/waterfall: detach onerror/onclose immediately.
@@ -80,6 +85,10 @@ function teardown(a, graceMs) {
     try { a.node.port.postMessage({ flush: true }); } catch (e) { /* gone */ }
   }
   const finish = () => {
+    if (pendingTeardown && pendingTeardown.finish === finish) {
+      clearTimeout(pendingTeardown.timer);
+      pendingTeardown = null;
+    }
     if (a.ws) {
       a.ws.onmessage = null;
       try { a.ws.close(); } catch (e) { /* already closed */ }
@@ -90,11 +99,17 @@ function teardown(a, graceMs) {
   // graceMs > 0 (explicit Stop): keep onmessage briefly so the flushed
   // tail's mel records still render; 0 (replaced by a new stream): cut
   // immediately so stale columns never land on the new waterfall
-  if (graceMs > 0) setTimeout(finish, graceMs);
-  else finish();
+  if (graceMs > 0) {
+    pendingTeardown = { finish, timer: setTimeout(finish, graceMs) };
+  } else finish();
 }
 
 function stopActive(graceMs = 0) {
+  // a restart inside a previous Stop's grace window: the old socket's
+  // onmessage is still attached (rendering its flushed tail) — force
+  // its finish NOW so it can never clobber the new stream's frames
+  // counter/status (finish is idempotent and self-deregistering)
+  if (graceMs === 0 && pendingTeardown) pendingTeardown.finish();
   const a = active;
   active = null;
   if (a) teardown(a, graceMs);

@@ -243,6 +243,19 @@ class StreamServer:
         """Reader thread: client PCM (resampled at ingest if the server
         was configured with a different ``input_rate``) -> the slot's ring."""
         leftover = b""
+        eof_sent = False
+
+        def _eof():
+            nonlocal eof_sent
+            if not eof_sent:
+                eof_sent = True
+                if slot.resampler is not None:
+                    # the resampler's zero-extended tail must land in the
+                    # ring BEFORE eof becomes visible (same ordering rule
+                    # as _tick's eof-before-length read)
+                    self._push_ring(slot, slot.resampler.flush())
+                slot.eof = True
+
         while not self._stop.is_set() and not slot.closed:
             try:
                 data = slot.conn.recv(65536)
@@ -252,7 +265,22 @@ class StreamServer:
             except OSError:
                 break
             if not data:
-                break
+                if not slot.timed_out:
+                    break  # client FIN
+                # idle-evicted (SHUT_RD): signal eof once so the tick
+                # thread drains the ring, then KEEP polling until the
+                # slot closes — a client that resumes sending after
+                # eviction queues unread bytes in the receive buffer,
+                # and close() on a socket with unread data sends RST,
+                # which can discard the queued reply records the
+                # half-close was meant to deliver. recv keeps draining
+                # that queue; the sleep avoids a hot spin on the empty-
+                # queue b'' that SHUT_RD returns immediately.
+                _eof()
+                time.sleep(0.02)
+                continue
+            if slot.timed_out:
+                continue  # evicted: drain-and-discard (see above)
             slot.last_rx = time.monotonic()
             data = leftover + data
             n = len(data) // self._itemsize * self._itemsize
@@ -261,12 +289,7 @@ class StreamServer:
             if slot.resampler is not None:
                 samples = slot.resampler.push(samples)
             self._push_ring(slot, samples)
-        if slot.resampler is not None:
-            # the resampler's zero-extended tail must land in the ring
-            # BEFORE eof becomes visible (same ordering rule as _tick's
-            # eof-before-length read)
-            self._push_ring(slot, slot.resampler.flush())
-        slot.eof = True
+        _eof()
 
     def _accept_loop(self) -> None:
         while not self._stop.is_set():

@@ -292,23 +292,32 @@ def sharded_frontend_step(
         if valid is None:
             counts = jnp.full(samples.shape[0], n, jnp.int32)
         else:
-            valid = jnp.asarray(valid)
-            if valid.dtype == bool:
-                counts = jnp.where(valid, n, 0).astype(jnp.int32)
+            is_device = isinstance(valid, jax.Array)
+            varr = valid if is_device else np.asarray(valid)
+            if varr.dtype == bool:
+                counts = jnp.where(jnp.asarray(varr), n, 0) \
+                    .astype(jnp.int32)
             else:
-                # integer arrays are per-row SAMPLE counts. An all-0/1
-                # integer array is almost certainly a row mask following
-                # the pre-count contract — as counts it silently zeroes
-                # every row's frames (1 sample < fft_size). Reject it
-                # rather than corrupt the fleet aggregates.
-                if n > 1 and bool((jnp.max(valid) <= 1)
-                                  & (jnp.min(valid) >= 0)):
+                # integer arrays are per-row SAMPLE counts. An integer
+                # array holding a 1 and nothing above it is almost
+                # certainly a row mask following the pre-count contract —
+                # as counts it silently zeroes every row's frames
+                # (1 sample < fft_size). Reject it rather than corrupt
+                # the fleet aggregates. An ALL-ZERO array is unambiguous
+                # (mask and counts agree: nothing valid) and stays
+                # accepted — chunk_audio itself emits one for a host
+                # with no clips. The check runs on HOST data only: for
+                # device arrays it would add a blocking round trip (two
+                # reductions + a scalar fetch) to the hot per-batch step
+                # path, including multihost global arrays.
+                if n > 1 and not is_device and varr.size \
+                        and varr.max() == 1 and varr.min() >= 0:
                     raise ValueError(
                         "integer `valid` is interpreted as per-row valid-"
                         "sample counts, but this array holds only 0/1 — "
                         "pass a bool array for a row mask, or real sample "
                         "counts")
-                counts = valid.astype(jnp.int32)
+                counts = jnp.asarray(varr).astype(jnp.int32)
         return jitted(samples, counts)
 
     return call

@@ -167,3 +167,15 @@ def test_frontend_step_rejects_01_integer_mask():
     batch = np.zeros((2, 8000), np.float32)
     with pytest.raises(ValueError, match="bool"):
         step(batch, np.asarray([1, 0], np.int32))
+
+    # ALL-ZERO counts are unambiguous (mask and counts agree: nothing
+    # valid) and must pass — chunk_audio emits [0, 0...] for a host with
+    # no clips, and rejecting it broke fully-padded batches (ADVICE r3)
+    out = step(batch, np.asarray([0, 0], np.int32))
+    assert int(out["vad_total_columns"]) == 0
+
+    # device arrays skip the host-side ambiguity check (it would add a
+    # blocking device round trip to the hot step path) — a device 0/1
+    # array is accepted as counts and simply yields zero aggregates
+    out_dev = step(batch, jnp.asarray([1, 0], jnp.int32))
+    assert int(out_dev["vad_total_columns"]) == 0
