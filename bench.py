@@ -119,6 +119,40 @@ class _BudgetDone(Exception):
     """Bench time budget spent — stop adding optional rows."""
 
 
+# Physical-impossibility bounds for fused/composite rows: each key row
+# computes a STRICT SUPERSET of the work of every row it maps to, so it
+# can never truly be faster. A reading above 1.25x the cheapest bounding
+# row of the SAME session means a jittery short endpoint slipped past
+# min-of-reps (observed once: vad_fields at 3.6Mx vs 743k for its own
+# contained kernel) — re-measure with more iterations and keep the
+# conservative estimate. The 1.25 slack absorbs the shape differences
+# between the 10 s-clip rows and the 500-hop streaming rows.
+_SANITY_BOUNDS = {
+    "vad_fields_64x10s": ["pallas_sig_64x10s"],
+    "quantized_sig_64x10s": ["pallas_sig_64x10s"],
+    "multistream_bulk_256sx500h": ["xla_f32_256x10s"],
+    "multistream_scan_256sx500h": ["xla_f32_256x10s"],
+    "multistream_bulk_bf3_256sx500h": ["xla_bf3_256x10s"],
+    "multistream_bulk_sig_256sx500h": ["pallas_sig_256x10s"],
+    "serving_tick_full_256sx500h": ["multistream_bulk_256sx500h",
+                                    "multistream_bulk_sig_256sx500h"],
+    "serving_tick_src48_256sx500h": ["serving_tick_full_256sx500h"],
+}
+
+
+def _sanity_recheck(row, ffn, xs, wall, audio_s, results, iters=16):
+    """Re-measure ``row`` if it claims to beat a kernel it contains."""
+    avail = [results[n] for n in _SANITY_BOUNDS.get(row, ())
+             if n in results]
+    rtfx = audio_s / wall
+    if avail and rtfx > 1.25 * min(avail):
+        print(f"{row} {rtfx:,.0f}x exceeds its contained-kernel bound "
+              f"{min(avail):,.0f}x — re-measuring", file=sys.stderr)
+        wall = max(wall, _bench(ffn, xs, iters=iters, reps=3))
+        rtfx = audio_s / wall
+    return wall, rtfx
+
+
 def _run_tpu_gate() -> str:
     """Run the compiled-mode golden gates (tests/test_tpu_compiled.py) on
     the real chip in a subprocess. Returns 'pass'/'fail'/'error' — the
@@ -334,22 +368,8 @@ def main() -> None:
                     raise _BudgetDone
                 try:
                     wall = _bench(ffn, xs, iters=8, reps=3)
-                    rtfx = audio_s / wall
-                    # physical-bound sanity: vad_fields = the sig mel
-                    # kernel + an in-kernel epilogue + cheap XLA window
-                    # ops, so it can never beat the bare mel row of the
-                    # SAME session. When it does (observed 3.6Mx vs 743k
-                    # once), a jittery short endpoint slipped past
-                    # min-of-reps — re-measure longer and keep the
-                    # conservative estimate.
-                    bound = results.get("pallas_sig_64x10s")
-                    if fname == "vad_fields" and bound \
-                            and rtfx > 1.25 * bound:
-                        print(f"vad_fields {rtfx:,.0f}x exceeds the bare "
-                              f"mel row {bound:,.0f}x — re-measuring",
-                              file=sys.stderr)
-                        wall = max(wall, _bench(ffn, xs, iters=16, reps=3))
-                        rtfx = audio_s / wall
+                    wall, rtfx = _sanity_recheck(f"{fname}_64x10s", ffn, xs,
+                                                 wall, audio_s, results)
                     results[f"{fname}_64x10s"] = round(rtfx, 1)
                     print(f"{fname} 64x10s: {wall*1e3:.2f} ms -> "
                           f"{rtfx:,.0f}x RT", file=sys.stderr)
@@ -440,7 +460,9 @@ def main() -> None:
                     break
                 try:
                     wall = _bench(ffn, ms_xs, iters=8)
-                    rtfx = ms_audio / wall
+                    wall, rtfx = _sanity_recheck(
+                        f"{fname}_{n_s}sx{n_h}h", ffn, ms_xs, wall,
+                        ms_audio, results)
                     results[f"{fname}_{n_s}sx{n_h}h"] = round(rtfx, 1)
                     print(f"{fname} {n_s}sx{n_h}h: {wall*1e3:.2f} ms -> "
                           f"{rtfx:,.0f}x RT", file=sys.stderr)
@@ -465,10 +487,12 @@ def main() -> None:
                       for k in jax.random.split(jax.random.PRNGKey(9), 2)]
             jax.block_until_ready(src_xs)
             try:
-                wall = _bench(
-                    lambda x: sfront._tick_jit(sfstate, x, active)[1]
-                    .astype(jnp.float32), src_xs, iters=8)
-                rtfx = ms_audio / wall
+                src_fn = lambda x: sfront._tick_jit(sfstate, x, active)[1] \
+                    .astype(jnp.float32)  # noqa: E731
+                wall = _bench(src_fn, src_xs, iters=8)
+                wall, rtfx = _sanity_recheck(
+                    f"serving_tick_src48_{n_s}sx{n_h}h", src_fn, src_xs,
+                    wall, ms_audio, results)
                 results[f"serving_tick_src48_{n_s}sx{n_h}h"] = round(rtfx, 1)
                 print(f"serving_tick_src48 {n_s}sx{n_h}h: {wall*1e3:.2f} ms"
                       f" -> {rtfx:,.0f}x RT", file=sys.stderr)
@@ -490,13 +514,33 @@ def main() -> None:
     print(f"per-config results: {results}", file=sys.stderr)
     print(f"best overall (incl. accuracy-ineligible): {best_any}",
           file=sys.stderr)
-    print(json.dumps({
+    print(json.dumps(_headline(best, tpu_gate)))
+
+
+def _headline(best, tpu_gate: str) -> dict:
+    """The one published JSON row. BINDING gate: a timing headline whose
+    numerics the compiled golden gates reject must never be published —
+    enforced here (gate 'fail'/'error' zeroes the headline), not merely
+    annotated. 'skipped' only happens off-TPU, where the bench is not an
+    official run anyway and the CPU path is test-gated in CI.
+    Tested by tests/test_bench_gate.py."""
+    if tpu_gate not in ("pass", "skipped"):
+        print(f"compiled gate {tpu_gate!r}: refusing to publish the "
+              f"candidate headline {best}", file=sys.stderr)
+        return {
+            "metric": "whisper_mel_rtfx_1chip[gate_failed]",
+            "value": 0, "unit": "x_realtime", "vs_baseline": 0,
+            "tpu_compiled_gate": tpu_gate,
+            "error": "compiled-mode golden gate did not pass; timing "
+                     "headline withheld",
+        }
+    return {
         "metric": f"whisper_mel_rtfx_1chip[{best[0]}|par<=1e-5]",
         "value": round(best[1], 1),
         "unit": "x_realtime",
         "vs_baseline": round(best[1] / BASELINE_RTFX, 1),
         "tpu_compiled_gate": tpu_gate,
-    }))
+    }
 
 
 if __name__ == "__main__":

@@ -53,7 +53,9 @@ from melspec_tpu.config import DetectionSettings, MelConfig
 from melspec_tpu.ops.resample import StreamingResampler, validate_ratio
 from melspec_tpu.runtime.ringbuffer import SampleRing, pop_many
 from melspec_tpu.streaming.serving import (MultiStreamFrontend,
-                                           SourceRateFrontend)
+                                           SourceRateFrontend,
+                                           calibrate_fft_impl,
+                                           shared_frontend)
 
 HEADER = struct.Struct("<IBff")  # frame_idx, va, min, max
 
@@ -135,6 +137,7 @@ class StreamServer:
                  hops_per_tick: int = 4,
                  settings: DetectionSettings = DetectionSettings(),
                  record_norm: str = "whisper",
+                 fft_impl: str = "rdft",
                  input_rate: int | None = None,
                  device_resample: bool = False,
                  pcm_format: str = "f32le",
@@ -178,17 +181,29 @@ class StreamServer:
             StreamingResampler(int(config.sampling_rate), self.input_rate)
         self.hops = hops_per_tick
         self.settings = settings
-        if self.input_rate is not None and device_resample:
-            self.frontend = SourceRateFrontend(config, n_streams,
-                                               input_rate=self.input_rate,
-                                               settings=settings,
-                                               record_norm=record_norm)
-            self.ingest_hop = self.frontend.hop_src
-        else:
-            self.frontend = MultiStreamFrontend(config, n_streams,
-                                                settings=settings,
-                                                record_norm=record_norm)
-            self.ingest_hop = config.hop_size
+        # the tick's bulk route: "rdft" (XLA framed matmul, the safe
+        # default), "bf3"/"sig" (explicit picks), or "auto" — a one-shot
+        # startup A/B at THIS server's tick shape; the two routes'
+        # relative speed flip-flops across sessions by up to ~1.8x and
+        # no static default captures it (docs/ROADMAP.md item 1)
+        if fft_impl not in ("rdft", "bf3", "sig", "auto"):
+            raise ValueError(
+                "fft_impl must be 'rdft', 'bf3', 'sig' or 'auto'")
+        tick_rate = (self.input_rate
+                     if self.input_rate is not None and device_resample
+                     else None)
+        if fft_impl == "auto":
+            fft_impl = calibrate_fft_impl(
+                config, n_streams, hops_per_tick, settings, record_norm,
+                input_rate=tick_rate)
+        self.fft_impl = fft_impl
+        # shared_frontend: equal-config servers (and the calibration's
+        # probe instances) reuse one canonical frontend + its compiles
+        self.frontend = shared_frontend(config, n_streams, settings,
+                                        fft_impl, record_norm,
+                                        input_rate=tick_rate)
+        self.ingest_hop = (self.frontend.hop_src
+                           if tick_rate is not None else config.hop_size)
         self.state = self.frontend.init()
         self.slots: list[_Slot | None] = [None] * n_streams
         # serving counters (compute thread writes, any thread reads —
@@ -626,6 +641,14 @@ def main() -> None:
                     "'whisper' (normalized; feeds set_mel-style "
                     "consumers) or 'log10' (the reference wasm wire "
                     "record, src/wasm.rs:110-114; see docs/PARITY.md)")
+    ap.add_argument("--fft-impl", choices=("rdft", "bf3", "sig", "auto"),
+                    default="rdft",
+                    help="bulk route of the serving tick. 'auto' runs a "
+                    "one-shot startup A/B (one bulk push per route at "
+                    "this server's tick shape) and serves the measured "
+                    "winner — the rdft/sig ranking flip-flops across "
+                    "sessions, so deployments that care should measure "
+                    "rather than trust a static default")
     ap.add_argument("--input-rate", type=int, default=None,
                     help="sample rate of the clients' PCM (e.g. 48000); "
                     "each stream is resampled to the mel config's rate "
@@ -668,6 +691,7 @@ def main() -> None:
         return
     server = StreamServer(port=args.port, n_streams=args.n_streams,
                           record_norm=args.record_norm,
+                          fft_impl=args.fft_impl,
                           input_rate=args.input_rate,
                           device_resample=args.device_resample,
                           pcm_format=args.pcm_format,

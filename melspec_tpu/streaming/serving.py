@@ -21,6 +21,8 @@ fetch per frame is ``n_mels`` bytes + two f32 + one bool instead of
 from __future__ import annotations
 
 import functools
+import sys
+import time
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -389,3 +391,92 @@ class SourceRateFrontend:
     def load_state(self, path) -> SourceRateState:
         return load_stream_state(path, like=self.init(),
                                  meta=self.state_meta())
+
+
+def shared_frontend(config: MelConfig = MelConfig(), n_streams: int = 16,
+                    settings: DetectionSettings = DetectionSettings(),
+                    fft_impl: str = "rdft", record_norm: str = "whisper",
+                    input_rate: int | None = None, beta: float = 5.0):
+    """The canonical (process-shared) serving frontend for this config —
+    ``SourceRateFrontend`` when ``input_rate`` differs from the config
+    rate, else ``MultiStreamFrontend``. Always constructing through ONE
+    argument spelling keeps ``shared_instance``'s key stable, so e.g.
+    :func:`calibrate_fft_impl`'s probe instances are the very instances
+    a server then serves with (no recompile)."""
+    from melspec_tpu.utils.instances import shared_instance
+
+    if input_rate is not None and input_rate != int(config.sampling_rate):
+        return shared_instance(
+            SourceRateFrontend, config, n_streams, input_rate=input_rate,
+            settings=settings, fft_impl=fft_impl, record_norm=record_norm,
+            beta=beta)
+    return shared_instance(
+        MultiStreamFrontend, config, n_streams, settings=settings,
+        fft_impl=fft_impl, record_norm=record_norm)
+
+
+def calibrate_fft_impl(config: MelConfig = MelConfig(), n_streams: int = 16,
+                       hops: int = 4,
+                       settings: DetectionSettings = DetectionSettings(),
+                       record_norm: str = "whisper",
+                       input_rate: int | None = None, beta: float = 5.0,
+                       reps: int = 3, verbose: bool = True) -> str:
+    """One-shot per-process A/B between the serving tick's two bulk
+    routes — the XLA framed-matmul pipeline (``"rdft"``) and the fused
+    signal-input Pallas kernel (``"sig"``) — at THIS deployment's tick
+    shape. Returns the faster route's name.
+
+    Why measure instead of defaulting: the two routes' relative speed
+    flip-flopped across three benching sessions on the same chip model
+    (355k/264k -> 392k/424k -> 351k/647k x RT; ``docs/ROADMAP.md`` item
+    1), a ~1.8x swing no static default captures. A serving process pays
+    two tick compiles once at startup and serves the measured winner
+    (``examples/serve_streams.py --fft-impl auto``).
+
+    Falls back to ``"rdft"`` without timing when the sig route cannot
+    serve this config (``record_norm="log10"`` — the sig kernel
+    normalizes in-kernel; no macro-row geometry for the (fft, hop)
+    pair) or when no accelerator backend is present (the sig kernel
+    would run interpret-mode — meaninglessly slow, and CPU serving is a
+    test rig).
+    """
+    import jax as _jax
+
+    from melspec_tpu.ops.mel_kernel import sig_geometry
+
+    if record_norm == "log10":
+        return "rdft"
+    if _jax.default_backend() not in ("tpu", "gpu"):
+        return "rdft"
+    if sig_geometry(config.fft_size, config.hop_size,
+                    offset=config.hop_size) is None:
+        return "rdft"
+
+    rng = np.random.default_rng(7)
+    times = {}
+    for impl in ("rdft", "sig"):
+        front = shared_frontend(config, n_streams, settings, impl,
+                                record_norm, input_rate, beta)
+        hop_in = getattr(front, "hop_src", config.hop_size)
+        base = (rng.standard_normal((n_streams, hops, hop_in)) * 0.1
+                ).astype(np.float32)
+        state = front.init()
+        state = front.push_many(state, base)[0]  # compile + warm
+        best = float("inf")
+        for r in range(reps):
+            # bit-distinct input per rep: identical execute requests can
+            # be memoized by remote runtimes (bench.py's _bench notes);
+            # the carried state chains rep r into rep r+1, and push_many
+            # ends with a real host fetch, so the wall time is honest
+            x = base + np.float32((r + 1) * 1e-6)
+            t0 = time.perf_counter()
+            state = front.push_many(state, x)[0]
+            best = min(best, time.perf_counter() - t0)
+        times[impl] = best
+    pick = min(times, key=times.get)  # type: ignore[arg-type]
+    if verbose:
+        print("calibrate_fft_impl["
+              f"{n_streams}sx{hops}h]: "
+              + ", ".join(f"{k} {v * 1e3:.2f} ms" for k, v in times.items())
+              + f" -> {pick}", file=sys.stderr)
+    return pick

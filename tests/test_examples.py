@@ -777,3 +777,56 @@ def test_idle_evicted_client_still_receives_buffered_records(testdata):
         assert idx0 == 0
     finally:
         server.stop()
+
+
+def test_serve_streams_fft_impl_auto_and_validation(testdata):
+    """--fft-impl auto (VERDICT r3 item 5): on a CPU backend the
+    calibration falls back to 'rdft' without timing (the sig route would
+    run interpret-mode), the resolved route is recorded, equal-config
+    servers share ONE canonical frontend instance (so the calibration's
+    probe compiles are the serving compiles), and the served records
+    match a plain rdft server's."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_streams_auto", REPO / "examples" / "serve_streams.py"
+    )
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    with pytest.raises(ValueError, match="fft_impl"):
+        serve.StreamServer(port=0, n_streams=2, fft_impl="nope")
+
+    srv = serve.StreamServer(port=0, n_streams=2, fft_impl="auto")
+    try:
+        assert srv.fft_impl == "rdft"  # CPU fallback, no timing run
+        srv2 = serve.StreamServer(port=0, n_streams=2, fft_impl="rdft")
+        try:
+            # config-keyed sharing: same canonical frontend object
+            assert srv2.frontend is srv.frontend
+        finally:
+            srv2.stop()
+        srv.start()
+        from melspec_tpu.io.wav import read_wav_f32le
+
+        pcm = read_wav_f32le(REF / "jfk_f32le.wav")[:16000]
+        recs = serve.stream_client(srv.port, pcm)
+        from melspec_tpu.ops import framing
+
+        assert len(recs) == framing.num_frames_streaming(16000, 400, 160)
+    finally:
+        srv.stop()
+
+
+def test_calibrate_fft_impl_fallbacks():
+    """calibrate_fft_impl resolves WITHOUT timing whenever the sig route
+    cannot serve the config."""
+    from melspec_tpu.config import MelConfig
+    from melspec_tpu.streaming.serving import calibrate_fft_impl
+
+    # CPU backend: rdft, immediately
+    assert calibrate_fft_impl(n_streams=2, hops=2) == "rdft"
+    # log10 records: the sig kernel normalizes in-kernel
+    assert calibrate_fft_impl(record_norm="log10") == "rdft"
+    # no macro-row geometry for a hop this small
+    assert calibrate_fft_impl(MelConfig(16, 4, 8, 16000.0)) == "rdft"
