@@ -469,6 +469,36 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
             del ms_xs
+            # route-calibration evidence (VERDICT r3 item 5): run the
+            # startup A/B at the serving shape and print its pick next to
+            # this session's own bulk-route rows, so every BENCH session
+            # records whether the calibrated pick matches the in-session
+            # winner. The calibration times the FULL tick; the A/B rows
+            # above time the bare bulk push — stderr shows both.
+            if time.perf_counter() - started > BUDGET_S:
+                print("bench budget exhausted; skipping calibration row",
+                      file=sys.stderr)
+                raise _BudgetDone
+            try:
+                from melspec_tpu.streaming.serving import calibrate_fft_impl
+
+                pick = calibrate_fft_impl(MelConfig(400, 160, 80, 16000.0),
+                                          n_s, n_h)
+                a = results.get(f"multistream_bulk_{n_s}sx{n_h}h")
+                b = results.get(f"multistream_bulk_sig_{n_s}sx{n_h}h")
+                results["calibrated_pick_is_sig"] = float(pick == "sig")
+                if a and b:
+                    winner = "rdft" if a >= b else "sig"
+                    agree = ("MATCH" if winner == pick
+                             else "tick ranks differently than bare push")
+                    print(f"calibrated route pick: {pick} (session bulk "
+                          f"A/B winner: {winner} — {agree})",
+                          file=sys.stderr)
+                else:
+                    print(f"calibrated route pick: {pick}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"calibration row failed: {e!r}"[:300],
+                      file=sys.stderr)
             # source-rate serving tick: 48 kHz clients, resample + mel +
             # VAD + quant in ONE dispatch (SourceRateFrontend). Audio
             # seconds are identical to serving_tick_full (1,280 s), so
