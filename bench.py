@@ -134,6 +134,8 @@ _SANITY_BOUNDS = {
     "multistream_scan_256sx500h": ["xla_f32_256x10s"],
     "multistream_bulk_bf3_256sx500h": ["xla_bf3_256x10s"],
     "multistream_bulk_sig_256sx500h": ["pallas_sig_256x10s"],
+    # the composite step CONTAINS the whisper sig kernel (multi-head)
+    "frontend_step_64x10s": ["pallas_sig_64x10s"],
     "serving_tick_full_256sx500h": ["multistream_bulk_256sx500h",
                                     "multistream_bulk_sig_256sx500h"],
     "serving_tick_src48_256sx500h": ["serving_tick_full_256sx500h"],
@@ -403,6 +405,46 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     print(f"{fname} failed: {e!r}"[:300], file=sys.stderr)
                 del rxs
+
+            # FULL composite frontend step — whisper mel + NeMo log-mel +
+            # Kaldi fbank + fused VAD + 8-bit quant as ONE SPMD program
+            # (parallel/sharding.sharded_frontend_step; single-device mesh
+            # here — the same program the 8-device dryrun shards)
+            if time.perf_counter() - started > BUDGET_S:
+                print("bench budget exhausted; skipping frontend step row",
+                      file=sys.stderr)
+                raise _BudgetDone
+            try:
+                import numpy as _np
+                from jax.sharding import Mesh as _Mesh
+
+                from melspec_tpu.config import DetectionSettings
+                from melspec_tpu.parallel.sharding import \
+                    sharded_frontend_step
+
+                fmesh = _Mesh(_np.asarray(jax.devices()[:1]), ("batch",))
+                fstep = sharded_frontend_step(fmesh, DetectionSettings())
+                fs_valid = jnp.full((batch,), t, jnp.int32)
+
+                def _fstep_all(x):
+                    out = fstep(x, fs_valid)
+                    return jnp.stack([
+                        jnp.sum(out["mel"]), jnp.sum(out["nemo"]),
+                        jnp.sum(out["fbank"]),
+                        jnp.sum(out["mel_q8"].astype(jnp.float32)),
+                        out["vad_active_columns"].astype(jnp.float32)
+                        .reshape(()),
+                    ])
+
+                wall = _bench(_fstep_all, xs, iters=8, reps=3)
+                wall, rtfx = _sanity_recheck("frontend_step_64x10s",
+                                             _fstep_all, xs, wall,
+                                             audio_s, results)
+                results["frontend_step_64x10s"] = round(rtfx, 1)
+                print(f"frontend_step 64x10s: {wall*1e3:.2f} ms -> "
+                      f"{rtfx:,.0f}x RT", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"frontend_step failed: {e!r}"[:300], file=sys.stderr)
 
             # multistream serving at production scale (256 streams x 500
             # hops = 1,280 s of audio per dispatch — small configs are
