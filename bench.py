@@ -428,10 +428,17 @@ def main() -> None:
 
                 def _fstep_all(x):
                     out = fstep(x, fs_valid)
+                    # consume ONE element of every output: the step jit
+                    # is a single atomic executable, so any element
+                    # depends on ALL of it completing — the chain /
+                    # anti-memoization properties hold — while the old
+                    # full-tensor reduce_sums added ~0.23 ms/call of
+                    # device time (profiler-measured) that belonged to
+                    # the harness, not the step
                     return jnp.stack([
-                        jnp.sum(out["mel"]), jnp.sum(out["nemo"]),
-                        jnp.sum(out["fbank"]),
-                        jnp.sum(out["mel_q8"].astype(jnp.float32)),
+                        out["mel"][0, 0, 0], out["nemo"][0, 0, 0],
+                        out["fbank"][0, 0, 0],
+                        out["mel_q8"][0, 0, 0].astype(jnp.float32),
                         out["vad_active_columns"].astype(jnp.float32)
                         .reshape(()),
                     ])

@@ -867,6 +867,200 @@ def _sig_window_frames(sig_ref, tailpad_ref, s_scratch, dma_sems,
        # np.roll: a positive shift of width-d left-rotates by d)
 
 
+def _sig_flat_geometry(hop_size: int, k_pad: int, offset: int,
+                       b: int, t: int, target_rows: int = 512,
+                       epilogue: bool = False):
+    """Geometry for the FLAT-input framing path (batch-on-sublanes), or
+    ``None`` when the call cannot ride it.
+
+    The rows-mode kernels take the signal as host-prepped macro-rows
+    ``[B, R, row_w]`` — but that reshape from the caller's ``[B, T]`` is
+    a real whole-input relayout under XLA's (8, 128) tiling (profiler:
+    0.178 ms/call at 64x10 s, ~5%% of the 256x300 s headline — reshape.8,
+    a 41 MB copy). Flat mode instead DMAs ``(8 clips, span)`` windows
+    straight out of the UNTOUCHED ``[B, T]`` operand: with the batch dim
+    8-aligned and spans 128-aligned, every window is a run of whole
+    (8, 128) tiles — fully contiguous HBM reads, no host prep at all.
+    Frames then assemble from ``n_classes`` static lane-shifted views
+    (one per frame-phase class mod the 128-lane grid) instead of
+    macro-row rolls.
+
+    Returns ``(pos_tile, n_classes, stride, fetch_w)``:
+    ``pos_tile`` frames per clip per tile (the MXU tile is
+    ``8 * pos_tile`` rows), ``n_classes = lcm(hop, 128) / hop`` phase
+    classes, ``stride = n_classes * hop`` (the lane-aligned frame
+    stride), ``fetch_w`` the 128-aligned per-tile DMA width."""
+    import math
+
+    if hop_size < 8 or b % 8 or t % LANES or offset % LANES or offset < 0:
+        return None
+    stride = hop_size * LANES // math.gcd(hop_size, LANES)
+    n_classes = stride // hop_size
+    if epilogue:
+        # fused VAD / quant epilogues emit [.., 8, frames_tile]-shaped
+        # side outputs whose LANE dim is the tile's frame count — Mosaic
+        # requires it divisible by 128, so the tile grows to 128 frames
+        # per clip (1024 MXU rows) and configs that cannot reach a
+        # 128-multiple fall back to rows mode
+        target_rows = max(target_rows, 1024)
+        step = (LANES * n_classes) // math.gcd(LANES, n_classes)
+    else:
+        step = n_classes
+    pos_tile = max(step, ((target_rows // 8) // step) * step)
+    while pos_tile > step:
+        fetch_w = -(-((pos_tile - 1) * hop_size + k_pad) // LANES) * LANES
+        if 2 * 8 * fetch_w * 4 <= (4 << 20):
+            break
+        pos_tile -= step
+    fetch_w = -(-((pos_tile - 1) * hop_size + k_pad) // LANES) * LANES
+    if (2 * 8 * fetch_w * 4 > (4 << 20)
+            or offset >= pos_tile * hop_size
+            or (epilogue and pos_tile % LANES)):
+        return None
+    return pos_tile, n_classes, stride, fetch_w
+
+
+def sig_effective_frames_tile(fft_size: int, hop_size: int, offset: int,
+                              b: int, t: int, phases: int,
+                              rows_tile: int,
+                              epilogue: bool = True) -> int:
+    """Frames per clip per kernel tile for the given call shape — the
+    stride at which the fused-VAD epilogue's counts go stale (its 3x3
+    Sobel patch crosses a tile boundary) and the host fix-up must
+    recompute columns. Matches ``_pallas_sig_mel``'s input-mode choice:
+    the flat path tiles by ``pos_tile`` frames per clip, the rows path
+    by ``phases * rows_tile``."""
+    k_pad = -(-fft_size // LANES) * LANES
+    flat = _sig_flat_geometry(hop_size, k_pad, offset, b, t,
+                              epilogue=epilogue)
+    return flat[0] if flat is not None else phases * rows_tile
+
+
+def _sig_window_frames_flat(sig_ref, s_scratch, dma_sems, *,
+                            pos_tile: int, hop: int, k_pad: int,
+                            offset: int, stride: int, n_classes: int,
+                            fetch_w: int):
+    """FLAT-input prologue: double-buffered ``(8, fetch_w)`` window DMA
+    straight from the ``[B, T]`` signal (see ``_sig_flat_geometry``) plus
+    the phase-class frame assembly. Returns ``[8 * pos_tile, k_pad]``
+    float32 frames, row ``p * 8 + c`` = frame ``tile_base + p`` of clip
+    ``group_base + c`` (position-major; ``_sig_natural_order_flat``
+    restores clip-major order at the store)."""
+    bg = pl.program_id(0)
+    tt = pl.program_id(1)
+    n_bg = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    slot = (bg * n_t + tt) % 2
+    t_total = sig_ref.shape[1]
+    span = pos_tile * hop
+
+    def dma(bb, ttt, sl, start):
+        # every branch has STATIC slice sizes; the clamps depend only on
+        # which tile this is. t0 = ttt*span - offset is 128-aligned by
+        # construction (span % 128 == 0, offset % 128 == 0).
+        op = (lambda d: d.start()) if start else (lambda d: d.wait())
+
+        def issue(ttt_static):
+            t0 = ttt_static * span - offset
+            lo = max(0, -t0)                      # left zero margin
+            w = min(fetch_w - lo, t_total - (t0 + lo))
+            op(pltpu.make_async_copy(
+                sig_ref.at[pl.ds(bb * 8, 8), pl.ds(t0 + lo, w)],
+                s_scratch.at[sl, :, pl.ds(lo, w)], dma_sems.at[sl],
+            ))
+
+        if isinstance(ttt, int):
+            issue(ttt)
+            return
+        if n_t == 1:
+            issue(0)
+            return
+        first_special = offset > 0
+        last_special = (n_t - 1) * span - offset + fetch_w > t_total
+        mid_lo = 1 if first_special else 0
+        mid_hi = n_t - 1 if last_special else n_t
+        if first_special:
+            @pl.when(ttt == 0)
+            def _():
+                issue(0)
+        if last_special:
+            @pl.when(ttt == n_t - 1)
+            def _():
+                issue(n_t - 1)
+        if mid_lo < mid_hi:
+            @pl.when((ttt >= mid_lo) & (ttt < mid_hi))
+            def _():
+                # middle tiles: full window, provably in bounds (the
+                # next tile's frames need samples past this fetch end)
+                op(pltpu.make_async_copy(
+                    sig_ref.at[pl.ds(bb * 8, 8),
+                               pl.ds(ttt * span - offset, fetch_w)],
+                    s_scratch.at[sl], dma_sems.at[sl],
+                ))
+
+    @pl.when((bg == 0) & (tt == 0))
+    def _():
+        dma(0, 0, 0, start=True)
+
+    nxt = bg * n_t + tt + 1
+    nb, nt = nxt // n_t, nxt % n_t
+
+    @pl.when(nxt < n_bg * n_t)
+    def _():
+        dma(nb, nt, (slot + 1) % 2, start=True)
+
+    dma(bg, tt, slot, start=False)
+
+    # zero the unfetched margins so stale VMEM (possibly NaN) cannot
+    # poison the dot: left margin on the first tile (center-pad offset),
+    # right margin on the last (clip end). Predicated stores — middle
+    # tiles' full-window DMA overwrites every lane.
+    if offset > 0:
+        @pl.when(tt == 0)
+        def _():
+            s_scratch[slot, :, :offset] = jnp.zeros(
+                (8, offset), s_scratch.dtype)
+    if n_t == 1:
+        tail_from = offset + min(fetch_w - offset, t_total)
+    else:
+        tail_from = min(fetch_w, t_total - ((n_t - 1) * span - offset))
+    if tail_from < fetch_w:
+        @pl.when(tt == n_t - 1)
+        def _():
+            s_scratch[slot, :, tail_from:] = jnp.zeros(
+                (8, fetch_w - tail_from), s_scratch.dtype)
+
+    s = s_scratch[slot]  # [8, fetch_w]
+    n_q = pos_tile // n_classes
+    w_g = (n_q - 1) * stride + k_pad
+    # one materialized lane-rotate per phase class (pltpu.roll: positive
+    # shift of width-d left-rotates by d — wrapped lanes land past w_g,
+    # never read); every frame in the class is then a lane-ALIGNED
+    # (stride % 128 == 0) subview of its class vector, so the concat
+    # sees uniform layouts (Mosaic rejects mixed lane-offset concats)
+    shifted = [
+        (s if g == 0
+         else pltpu.roll(s, shift=(fetch_w - g * hop) % fetch_w,
+                         axis=1))[:, :w_g]
+        for g in range(n_classes)
+    ]
+    return jnp.concatenate(
+        [shifted[p % n_classes][:, (p // n_classes) * stride :
+                                (p // n_classes) * stride + k_pad]
+         for p in range(pos_tile)],
+        axis=0,
+    )  # [8*pos_tile, k_pad]
+
+
+def _sig_natural_order_flat(vals, pos_tile: int):
+    """Flat-mode store order: position-major rows ``p * 8 + c`` ->
+    ``[8 clips, pos_tile frames, m]`` (the out block's shape) via one
+    VMEM sublane permute — the flat-path analogue of
+    ``_sig_natural_order``."""
+    m = vals.shape[-1]
+    return vals.reshape(pos_tile, 8, m).transpose(1, 0, 2)
+
+
 def _sig_xcat(frames, ks: int, pair_i, pack: int,
               k_tot: int, pack_off: int = 0) -> jnp.ndarray:
     """bf3 signal slices, concatenated along K in pair order, each block
@@ -1048,6 +1242,63 @@ def _sig_rng_record(lo_col, hi_col):
     return jnp.where(srow == 0, lo_t, hi_t)
 
 
+def _sig_quant_vals_flat(vals3, n_mels_real: int, vmax3=None):
+    """Flat-mode fused quantization epilogue over the clip-major
+    ``[8, pos_tile, m]`` values — the identical elementwise expression
+    tree as ``_sig_quant_vals``'s default path (bit-exact per frame; see
+    its docstring for the integer tie-break argument), run AFTER the
+    sublane permute so the lo/hi columns are born in the out-record's
+    axis order. Returns ``(q3 [8, pos, n_mels_real], rng [8, 8, pos])``
+    (rng row 0 = lo, row 1 = hi, frames on lanes)."""
+    v = vals3[:, :, :n_mels_real]
+    lo = jnp.min(v, axis=2, keepdims=True)           # [8, pos, 1]
+    hi = (jnp.max(v, axis=2, keepdims=True) if vmax3 is None else vmax3)
+    scale = 255.0 / (hi - lo)
+    scaled = (v - lo) * scale
+    y = jnp.clip((scaled * 2.0).astype(jnp.int32), 0, 511)
+    q3 = jnp.minimum((y + 1) >> 1, 255)
+    loT = jnp.swapaxes(lo, 1, 2)                     # [8, 1, pos]
+    hiT = jnp.swapaxes(hi, 1, 2)
+    pos = vals3.shape[1]
+    srow = jax.lax.broadcasted_iota(jnp.int32, (8, 8, pos), 1)
+    return q3, jnp.where(srow == 0, loT, hiT)
+
+
+def _sig_vad_counts_flat(vals3, vad: tuple, n_mels_real: int):
+    """Flat-mode Sobel VAD epilogue over the clip-major
+    ``[8, pos_tile, m]`` values (same decision function as
+    ``_sig_vad_counts``; frames are consecutive along axis 1 per clip).
+    Columns whose 3-frame patch crosses a tile boundary (every
+    ``pos_tile`` frames here) get garbage counts; the host wrapper
+    recomputes those columns. Returns ``[8, 8, pos_tile]`` int32
+    (clip, replicated sublanes, frame-on-lane)."""
+    thr, start_y, _min_y = vad
+    ft = vals3.shape[1]
+    v = vals3[:, :, :n_mels_real]
+    w = n_mels_real - 2
+
+    def a(dt, dm):
+        return v[:, dt : ft - 2 + dt, dm : dm + w]
+
+    gx = (a(2, 0) + 2.0 * a(2, 1) + a(2, 2)) - (
+        a(0, 0) + 2.0 * a(0, 1) + a(0, 2)
+    )
+    gy = (a(0, 2) + 2.0 * a(1, 2) + a(2, 2)) - (
+        a(0, 0) + 2.0 * a(1, 0) + a(2, 0)
+    )
+    g2 = gx * gx + gy * gy  # [8, ft-2, w]
+    lane = jax.lax.broadcasted_iota(jnp.int32, g2.shape, 2)
+    hits = jnp.where((lane >= start_y) & (g2 >= thr), 1, 0)
+    counts = jnp.sum(hits, axis=2, keepdims=True)  # [8, ft-2, 1]
+    # pad along SUBLANES then swap frames onto lanes: Mosaic rejects
+    # lane-dim concats of mixed-offset vectors, the sublane concat +
+    # narrow transpose is the same pattern the rows path compiles
+    counts = jnp.concatenate(
+        [counts, jnp.zeros((8, 2, 1), jnp.int32)], axis=1
+    )  # [8, ft, 1]
+    return jnp.broadcast_to(jnp.swapaxes(counts, 1, 2), (8, 8, ft))
+
+
 def _sig_vad_counts(vals, vad: tuple, n_mels_real: int):
     """Fused Sobel VAD epilogue (reference src/vad.rs:373-486 decision
     function): the 3x3 stencil reads only this tile's [frames, mels]
@@ -1096,18 +1347,32 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, *refs,
                          out_mode: str = "whisper", guard: float = 0.0,
                          vad: tuple | None = None, n_mels_real: int = 0,
                          pack: int = 0, pack_off: int = 0,
-                         quant: bool = False, qabl: str = ""):
+                         quant: bool = False, qabl: str = "",
+                         flat: tuple | None = None):
     n_out = 2 if (vad is not None or quant) else 1
     if quant and qabl == "norng":
         n_out = 1
     outs = refs[:n_out]
-    s_scratch, dma_sems, tail_sems = refs[n_out:]
 
-    frames = _sig_window_frames(
-        sig_ref, tailpad_ref, s_scratch, dma_sems, tail_sems,
-        rows=rows_tile, tail_rows=tail_rows, row_w=row_w, phases=phases,
-        k_pad=k_pad, offset=offset,
-    )
+    if flat is not None:
+        # FLAT input: frames straight from the [B, T] signal, no host
+        # macro-row relayout (see _sig_flat_geometry); rows are
+        # position-major (p*8 + clip)
+        pos_tile, n_classes, stride, fetch_w = flat
+        s_scratch, dma_sems = refs[n_out:]
+        frames = _sig_window_frames_flat(
+            sig_ref, s_scratch, dma_sems,
+            pos_tile=pos_tile, hop=row_w // phases, k_pad=k_pad,
+            offset=offset, stride=stride, n_classes=n_classes,
+            fetch_w=fetch_w,
+        )
+    else:
+        s_scratch, dma_sems, tail_sems = refs[n_out:]
+        frames = _sig_window_frames(
+            sig_ref, tailpad_ref, s_scratch, dma_sems, tail_sems,
+            rows=rows_tile, tail_rows=tail_rows, row_w=row_w,
+            phases=phases, k_pad=k_pad, offset=offset,
+        )
     xcat = _sig_xcat(frames, ks, pair_i, pack or k_pad,
                      m_big_ref.shape[0], pack_off)
     y = jnp.dot(xcat, m_big_ref[:], preferred_element_type=jnp.float32)
@@ -1121,6 +1386,33 @@ def _sig_mel_tile_kernel(sig_ref, tailpad_ref, m_big_ref, mt_ref, *refs,
         im = y[:, n_bins_pad : 2 * n_bins_pad]
         power = re * re + im * im
     energy = _sig_project(power, mt_ref, mel_precision)
+
+    if flat is not None:
+        # per-row epilogues (out_vals, quant reductions) are row-order
+        # agnostic, so they run on the position-major rows; the sublane
+        # permute to clip-major happens once, at each store
+        vmax = None
+        if quant and qabl == "usemax":
+            vals, vmax = _sig_out_vals(energy, out_mode, guard,
+                                       want_max=True)
+        else:
+            vals = _sig_out_vals(energy, out_mode, guard)
+        vals3 = _sig_natural_order_flat(vals, pos_tile)
+        if quant:
+            vmax3 = (None if vmax is None
+                     else _sig_natural_order_flat(vmax, pos_tile))
+            q3, rng = _sig_quant_vals_flat(vals3, n_mels_real, vmax3)
+            outs[0][...] = q3[:, :, : outs[0].shape[-1]] \
+                .astype(outs[0].dtype)
+            if len(outs) > 1:
+                outs[1][...] = rng
+        else:
+            outs[0][...] = vals3[:, :, : outs[0].shape[-1]]
+            if vad is not None:
+                outs[1][...] = _sig_vad_counts_flat(vals3, vad,
+                                                    n_mels_real)
+        return
+
     vmax = None
     if quant and qabl == "usemax":
         # ablation: reuse the whisper head's existing lane max as hi
@@ -1194,7 +1486,7 @@ def _sig_host_prep(samples: jnp.ndarray, tiles: int, row_w: int,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
                      "mel_precision", "n_mels_out", "out_mode", "guard",
                      "row_w", "phases", "rows_tile", "vad", "pack",
-                     "pack_off", "npack", "quant", "qabl"),
+                     "pack_off", "npack", "quant", "qabl", "input_mode"),
 )
 def _pallas_sig_mel(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
@@ -1218,6 +1510,7 @@ def _pallas_sig_mel(
     npack: bool = False,
     quant: bool = False,
     qabl: str = "",
+    input_mode: str = "auto",
 ) -> jnp.ndarray:
     """Whisper log-mel from the raw signal, framing fused into the kernel.
     Returns ``[B, n_frames, n_mels_out or n_mels_pad]`` in natural frame
@@ -1236,10 +1529,28 @@ def _pallas_sig_mel(
     # tap count rides `pack`, otherwise K blocks are k_pad tall
     k_pad = (-(-(pack_off + pack) // LANES) * LANES if pack
              else m_big.shape[0] // len(pair_i))
-    frames_tile = phases * rows_tile
-    tiles = -(-n_frames // frames_tile)
-    sig, tailpad, tail_rows = _sig_host_prep(samples, tiles, row_w,
-                                             rows_tile)
+    # FLAT input mode: consume the [B, T] signal as-is (batch-on-
+    # sublanes framing, no host macro-row relayout — see
+    # _sig_flat_geometry). Auto-selected whenever the geometry allows;
+    # quant ablation variants stay rows-only (measurement-only paths).
+    flat = None
+    if input_mode != "rows" and not (quant and qabl not in ("", "usemax")):
+        flat = _sig_flat_geometry(row_w // phases, k_pad, offset, b, t,
+                                  epilogue=(vad is not None or quant))
+    if input_mode == "flat" and flat is None:
+        raise ValueError(
+            "flat input mode needs B % 8 == 0, T % 128 == 0 and a "
+            "128-aligned offset"
+        )
+    if flat is not None:
+        frames_tile = flat[0]          # frames per clip per tile
+        tiles = -(-n_frames // frames_tile)
+        tail_rows = 0
+    else:
+        frames_tile = phases * rows_tile
+        tiles = -(-n_frames // frames_tile)
+        sig, tailpad, tail_rows = _sig_host_prep(samples, tiles, row_w,
+                                                 rows_tile)
 
     out_lanes = n_mels_out or n_mels_pad
     kernel = functools.partial(
@@ -1252,14 +1563,20 @@ def _pallas_sig_mel(
         n_mels_real=(128 if (quant and qabl == "lanes128") else out_lanes),
         pack=pack, pack_off=pack_off,
         quant=quant, qabl=qabl,
+        flat=flat,
     )
+    if flat is not None:
+        base = kernel
+        kernel = lambda s, m, t_, *r: base(s, None, m, t_, *r)  # noqa: E731
     if quant and vad is not None:
         raise NotImplementedError("quant + fused VAD in one kernel call")
     # final layout directly: the time dim need not divide frames_tile
     # (pallas clips the last block's stores), the lane dim is the real
-    # n_mels — no padded intermediate, no epilogue
+    # n_mels — no padded intermediate, no epilogue. In flat mode the
+    # clip dim blocks by 8 (one block per sublane group).
+    cb = 8 if flat is not None else 1
     out_specs = pl.BlockSpec(
-        (1, frames_tile, out_lanes),
+        (cb, frames_tile, out_lanes),
         lambda bb, tt: (bb, tt, 0),
         memory_space=pltpu.VMEM,
     )
@@ -1280,12 +1597,12 @@ def _pallas_sig_mel(
             # frames-on-lanes rng record (see _sig_quant_vals): row 0 =
             # lo, row 1 = hi; the wrapper slices the two rows
             rng_spec = pl.BlockSpec(
-                (1, 8, frames_tile), lambda bb, tt: (bb, 0, tt),
+                (cb, 8, frames_tile), lambda bb, tt: (bb, 0, tt),
                 memory_space=pltpu.VMEM,
             )
             rng_shape = jax.ShapeDtypeStruct((b, 8, n_frames), jnp.float32)
         out_specs = (pl.BlockSpec(
-            (1, frames_tile, q_lanes), lambda bb, tt: (bb, tt, 0),
+            (cb, frames_tile, q_lanes), lambda bb, tt: (bb, tt, 0),
             memory_space=pltpu.VMEM,
         ), rng_spec)
         out_shape = (
@@ -1296,11 +1613,40 @@ def _pallas_sig_mel(
             out_specs, out_shape = (out_specs[0],), (out_shape[0],)
     if vad is not None:
         out_specs = (out_specs, pl.BlockSpec(
-            (1, 8, frames_tile), lambda bb, tt: (bb, 0, tt),
+            (cb, 8, frames_tile), lambda bb, tt: (bb, 0, tt),
             memory_space=pltpu.VMEM,
         ))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((b, 8, n_frames), jnp.int32))
+    if flat is not None:
+        pos_tile, _n_classes, _stride, fetch_w = flat
+        return pl.pallas_call(
+            kernel,
+            grid=(b // 8, tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # FLAT [B, T] signal
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # m_big
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # mt
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, fetch_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * tiles * frames_tile
+                * (m_big.shape[0] * m_big.shape[1]
+                   + mt.shape[0] * n_mels_pad),
+                bytes_accessed=(b * t * 4 // 2
+                                + (b // 8) * tiles * 8 * fetch_w * 4
+                                + b * n_frames
+                                * ((out_lanes + 8) if quant
+                                   else out_lanes * 4)),
+                transcendentals=b * tiles * frames_tile * n_mels_pad,
+            ),
+            interpret=interpret,
+        )(samples, m_big, mt)
     return pl.pallas_call(
         kernel,
         grid=(b, tiles),
@@ -1342,6 +1688,7 @@ def whisper_mel_sig(
     ks: int = 3,
     cutoff: int = 2,
     mel_precision="bf2",
+    input_mode: str = "auto",
 ) -> jnp.ndarray:
     """Whisper log-mel via the signal-input fused kernel (bf3 numerics +
     in-kernel framing). Works for any config ``sig_geometry`` accepts
@@ -1400,6 +1747,7 @@ def whisper_mel_sig(
         n_frames=n_frames, offset=offset, mel_precision=mel_precision,
         n_mels_out=n_mels, row_w=row_w, phases=phases,
         rows_tile=rows_tile, pack=fft_size, npack=npack,
+        input_mode=input_mode,
     )
     return out[0] if squeeze else out
 
@@ -1568,7 +1916,10 @@ def whisper_mel_vad_sig(
     m_big, pair_i, mt, mt_bf2, _, _, _, npack = _sig_device_matrices(
         fft_size, n_mels, float(sampling_rate), 3, 3, 2
     )
-    frames_tile = phases * rows_tile
+    frames_tile = sig_effective_frames_tile(
+        fft_size, hop_size, offset, x.shape[0], x.shape[-1], phases,
+        rows_tile,
+    )
     tiles = -(-n_frames // frames_tile)
     bidx = tuple(
         xcol

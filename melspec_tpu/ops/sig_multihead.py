@@ -36,12 +36,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from melspec_tpu.ops.mel_kernel import (
     LANES,
+    _sig_flat_geometry,
     _sig_host_prep,
     _sig_natural_order,
+    _sig_natural_order_flat,
     _sig_out_vals,
     _sig_project,
     _sig_vad_counts,
+    _sig_vad_counts_flat,
     _sig_window_frames,
+    _sig_window_frames_flat,
     _sig_xcat,
     sig_geometry,
 )
@@ -59,20 +63,33 @@ def _sig_multi_tile_kernel(sig_ref, tailpad_ref, m_cat_ref, *refs,
                            offset: int,
                            tail_rows: int, row_w: int, phases: int,
                            rows_tile: int, heads: Tuple[HeadSpec, ...],
-                           vad: tuple | None):
+                           vad: tuple | None,
+                           flat: tuple | None = None):
     n_heads = len(heads)
     mt_refs = refs[:n_heads]
     out_refs = refs[n_heads : 2 * n_heads]
     rest = refs[2 * n_heads :]
     if vad is not None:
         vad_ref, rest = rest[0], rest[1:]
-    s_scratch, dma_sems, tail_sems = rest
 
-    frames = _sig_window_frames(
-        sig_ref, tailpad_ref, s_scratch, dma_sems, tail_sems,
-        rows=rows_tile, tail_rows=tail_rows, row_w=row_w, phases=phases,
-        k_pad=k_pad, offset=offset,
-    )
+    if flat is not None:
+        # FLAT input: frames straight from [B, T], position-major rows
+        # (see mel_kernel._sig_flat_geometry)
+        pos_tile, n_classes, stride, fetch_w = flat
+        s_scratch, dma_sems = rest
+        frames = _sig_window_frames_flat(
+            sig_ref, s_scratch, dma_sems,
+            pos_tile=pos_tile, hop=row_w // phases, k_pad=k_pad,
+            offset=offset, stride=stride, n_classes=n_classes,
+            fetch_w=fetch_w,
+        )
+    else:
+        s_scratch, dma_sems, tail_sems = rest
+        frames = _sig_window_frames(
+            sig_ref, tailpad_ref, s_scratch, dma_sems, tail_sems,
+            rows=rows_tile, tail_rows=tail_rows, row_w=row_w,
+            phases=phases, k_pad=k_pad, offset=offset,
+        )
     xcat = _sig_xcat(frames, ks, pair_i, pack, m_cat_ref.shape[0])
     y = jnp.dot(xcat, m_cat_ref[:], preferred_element_type=jnp.float32)
 
@@ -88,11 +105,18 @@ def _sig_multi_tile_kernel(sig_ref, tailpad_ref, m_cat_ref, *refs,
             power = blk * blk
         prec = "bf2" if mel_prec == "bf2" else jax.lax.Precision.HIGHEST
         energy = _sig_project(power, mt_refs[h], prec)
-        vals = _sig_natural_order(_sig_out_vals(energy, out_mode, guard),
-                                  phases, rows_tile)
-        out_refs[h][0] = vals[:, : out_refs[h].shape[-1]]
-        if vad is not None and h == 0:
-            vad_ref[0] = _sig_vad_counts(vals, vad, n_mels_out)
+        if flat is not None:
+            vals3 = _sig_natural_order_flat(
+                _sig_out_vals(energy, out_mode, guard), flat[0])
+            out_refs[h][...] = vals3[:, :, : out_refs[h].shape[-1]]
+            if vad is not None and h == 0:
+                vad_ref[...] = _sig_vad_counts_flat(vals3, vad, n_mels_out)
+        else:
+            vals = _sig_natural_order(
+                _sig_out_vals(energy, out_mode, guard), phases, rows_tile)
+            out_refs[h][0] = vals[:, : out_refs[h].shape[-1]]
+            if vad is not None and h == 0:
+                vad_ref[0] = _sig_vad_counts(vals, vad, n_mels_out)
 
 
 @functools.partial(
@@ -123,32 +147,66 @@ def _pallas_sig_multi(
     if sum(h[0] for h in heads) != m_cat.shape[1]:
         raise ValueError("head column widths must tile m_cat exactly")
     k_pad = -(-pack // LANES) * LANES
-    frames_tile = phases * rows_tile
-    tiles = -(-n_frames // frames_tile)
-    sig, tailpad, tail_rows = _sig_host_prep(samples, tiles, row_w,
-                                             rows_tile)
+    flat = _sig_flat_geometry(row_w // phases, k_pad, offset, b, t,
+                              epilogue=(vad is not None))
+    if flat is not None:
+        frames_tile = flat[0]
+        tiles = -(-n_frames // frames_tile)
+        tail_rows = 0
+    else:
+        frames_tile = phases * rows_tile
+        tiles = -(-n_frames // frames_tile)
+        sig, tailpad, tail_rows = _sig_host_prep(samples, tiles, row_w,
+                                                 rows_tile)
 
     kernel = functools.partial(
         _sig_multi_tile_kernel, ks=ks, pair_i=pair_i, k_pad=k_pad,
         pack=pack,
         offset=offset, tail_rows=tail_rows, row_w=row_w, phases=phases,
-        rows_tile=rows_tile, heads=heads, vad=vad,
+        rows_tile=rows_tile, heads=heads, vad=vad, flat=flat,
     )
+    cb = 8 if flat is not None else 1
     out_specs = [
-        pl.BlockSpec((1, frames_tile, h[2]), lambda bb, tt: (bb, tt, 0),
+        pl.BlockSpec((cb, frames_tile, h[2]), lambda bb, tt: (bb, tt, 0),
                      memory_space=pltpu.VMEM)
         for h in heads
     ]
     out_shape = [jax.ShapeDtypeStruct((b, n_frames, h[2]), jnp.float32)
                  for h in heads]
     if vad is not None:
-        out_specs.append(pl.BlockSpec((1, 8, frames_tile),
+        out_specs.append(pl.BlockSpec((cb, 8, frames_tile),
                                       lambda bb, tt: (bb, 0, tt),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, 8, n_frames),
                                               jnp.int32))
 
     total_cols = m_cat.shape[1]
+    if flat is not None:
+        base = kernel
+        kernel = lambda s, m, *r: base(s, None, m, *r)  # noqa: E731
+        return pl.pallas_call(
+            kernel,
+            grid=(b // 8, tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # FLAT [B, T] signal
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # m_cat
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mts),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, flat[3]), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * tiles * frames_tile
+                * m_cat.shape[0] * total_cols,
+                bytes_accessed=((b // 8) * tiles * 8 * flat[3]
+                                + sum(b * n_frames * h[2]
+                                      for h in heads)) * 4,
+                transcendentals=sum(b * n_frames * h[2] for h in heads),
+            ),
+            interpret=interpret,
+        )(samples, m_cat, *mts)
     return pl.pallas_call(
         kernel,
         grid=(b, tiles),
@@ -266,7 +324,13 @@ class WhisperKaldiFused:
             phases=phases, rows_tile=rows_tile, heads=self._heads,
             vad=vad, pack=mc.fft_size,
         )
-        return outs, n_frames, phases * rows_tile
+        from melspec_tpu.ops.mel_kernel import sig_effective_frames_tile
+
+        eff_tile = sig_effective_frames_tile(
+            mc.fft_size, mc.hop_size, 0, x.shape[0], x.shape[-1],
+            phases, rows_tile,
+        )
+        return outs, n_frames, eff_tile
 
     @functools.partial(jax.jit, static_argnums=0)
     def compute(self, samples):

@@ -282,7 +282,28 @@ def sharded_frontend_step(
             "mel_q8_range": spec,
         },
     )
-    jitted = jax.jit(step)
+    # Pin the big [B, frames, feats] outputs to the kernels' natural
+    # row-major device layout: left to itself XLA assigns the jit's
+    # output tuple {1,2,0} (feature-major) layouts and inserts ~0.2 ms
+    # of whole-tensor relayout copies per call at 64x10 s (profiler:
+    # copy.27-30, [64,998,80] {1,2,0} <- {2,1,0}) — pure waste, since
+    # the kernels already store natural order and every consumer
+    # (host fetch, wire-record packing, reductions) is layout-agnostic.
+    from jax._src.layout import Format, Layout
+
+    rowmajor3 = Format(Layout(major_to_minor=(0, 1, 2)),
+                       NamedSharding(mesh, spec))
+    out_formats = {
+        "mel": rowmajor3,
+        "nemo": rowmajor3,
+        "fbank": rowmajor3,
+        "vad_smoothed": NamedSharding(mesh, spec),
+        "vad_active_columns": NamedSharding(mesh, P()),
+        "vad_total_columns": NamedSharding(mesh, P()),
+        "mel_q8": rowmajor3,
+        "mel_q8_range": NamedSharding(mesh, spec),
+    }
+    jitted = jax.jit(step, out_shardings=out_formats)
 
     def call(samples, valid=None):
         """``valid`` is either a bool row mask (a row counts fully or not

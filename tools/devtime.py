@@ -49,22 +49,36 @@ def _parse_trace(root: str, match: str) -> dict:
 
 
 def devtime(fns: dict, xs, match: str = "pallas", calls: int = CALLS,
-            verbose: bool = True) -> dict:
+            verbose: bool = True, inplace_pert: bool = False) -> dict:
     """Per-call device ms for each fn. Each fn is traced separately
     (hashes in executable names are opaque, so one trace per candidate
-    is the only robust attribution)."""
+    is the only robust attribution). ``inplace_pert=True`` perturbs the
+    caller's ``xs`` entries in place instead of materializing ``calls``
+    perturbed copies — required when the inputs are a large fraction of
+    HBM (e.g. the 256x300 s headline: 4.7 GB each)."""
     out = {}
+    pert_round = 0
     for name, fn in fns.items():
         t0 = time.perf_counter()
         jax.block_until_ready(jnp.sum(fn(xs[0]).astype(jnp.float32)))
+        # anti-memoization input perturbation OUTSIDE the traced window,
+        # so its jit_add doesn't count against the candidate
+        if inplace_pert:
+            for i in range(len(xs)):
+                pert_round += 1
+                xs[i] = xs[i] + jnp.float32(pert_round * 1e-6)
+                jax.block_until_ready(xs[i])
+            xp = [xs[i % len(xs)] for i in range(calls)]
+        else:
+            xp = [xs[i % len(xs)] + jnp.float32(i * 1e-6)
+                  for i in range(calls)]
+            jax.block_until_ready(xp)
         root = f"/tmp/devtime_{abs(hash(name)) % 10**8}"
         shutil.rmtree(root, ignore_errors=True)
         with jax.profiler.trace(root):
-            ys = [fn(xs[i % len(xs)] + jnp.float32(i * 1e-6))
-                  for i in range(calls)]
+            ys = [fn(xp[i]) for i in range(calls)]
             jax.block_until_ready(ys)
         dur = _parse_trace(root, match)
-        # the top-total event that fired >= calls times is the kernel;
         # jit wrappers double-count the inner pallas op, so prefer the
         # jit_ entries (whole-executable device span)
         jit_rows = {k: v for k, v in dur.items() if k.startswith("jit_")}
@@ -74,9 +88,12 @@ def devtime(fns: dict, xs, match: str = "pallas", calls: int = CALLS,
             if verbose:
                 print(f"{name}: no '{match}' device events", flush=True)
             continue
+        # per-call cost = everything the candidate put on the device
+        # lane, divided by the KNOWN call count (dividing by the max
+        # event count mis-attributed any candidate whose trace contained
+        # a small helper jit firing more than once per call)
         total = sum(sum(v) for v in rows.values())
-        n = max(len(v) for v in rows.values())
-        ms = total / n / 1e3
+        ms = total / calls / 1e3
         out[name] = ms
         if verbose:
             detail = ", ".join(f"{k}:{len(v)}" for k, v in rows.items())
