@@ -894,6 +894,9 @@ def _sig_flat_geometry(hop_size: int, k_pad: int, offset: int,
 
     if hop_size < 8 or b % 8 or t % LANES or offset % LANES or offset < 0:
         return None
+    # ablation knob (tools/flat_rows_ab.py): MXU rows per tile; 512
+    # measured-best for the plain kernel (see docs/ROADMAP.md)
+    target_rows = int(os.environ.get("MELSPEC_FLAT_ROWS", target_rows))
     stride = hop_size * LANES // math.gcd(hop_size, LANES)
     n_classes = stride // hop_size
     if epilogue:
@@ -953,6 +956,14 @@ def _sig_window_frames_flat(sig_ref, s_scratch, dma_sems, *,
     slot = (bg * n_t + tt) % 2
     t_total = sig_ref.shape[1]
     span = pos_tile * hop
+    # first tile whose full window would read past the clip end —
+    # usually n_t - 1, in principle the 128-rounding slack
+    # fetch_w - span can spill one tile earlier; the last tile is
+    # always treated as clamped (its zero-fill below)
+    first_over = max(1 if offset > 0 else 0, n_t - 1)
+    while (first_over > (1 if offset > 0 else 0)
+           and (first_over - 1) * span - offset + fetch_w > t_total):
+        first_over -= 1
 
     def dma(bb, ttt, sl, start):
         # every branch has STATIC slice sizes; the clamps depend only on
@@ -975,23 +986,22 @@ def _sig_window_frames_flat(sig_ref, s_scratch, dma_sems, *,
         if n_t == 1:
             issue(0)
             return
-        first_special = offset > 0
-        last_special = (n_t - 1) * span - offset + fetch_w > t_total
-        mid_lo = 1 if first_special else 0
-        mid_hi = n_t - 1 if last_special else n_t
-        if first_special:
+        # special tiles need per-tile STATIC clamp arithmetic: tile 0
+        # when a center-pad offset reaches before the clip, and every
+        # tile >= first_over
+        mid_lo = 1 if offset > 0 else 0
+        for st in range(first_over, n_t):
+            @pl.when(ttt == st)
+            def _(st=st):
+                issue(st)
+        if mid_lo == 1:
             @pl.when(ttt == 0)
             def _():
                 issue(0)
-        if last_special:
-            @pl.when(ttt == n_t - 1)
+        if mid_lo < first_over:
+            @pl.when((ttt >= mid_lo) & (ttt < first_over))
             def _():
-                issue(n_t - 1)
-        if mid_lo < mid_hi:
-            @pl.when((ttt >= mid_lo) & (ttt < mid_hi))
-            def _():
-                # middle tiles: full window, provably in bounds (the
-                # next tile's frames need samples past this fetch end)
+                # middle tiles: full window, in bounds by construction
                 op(pltpu.make_async_copy(
                     sig_ref.at[pl.ds(bb * 8, 8),
                                pl.ds(ttt * span - offset, fetch_w)],
@@ -1013,22 +1023,22 @@ def _sig_window_frames_flat(sig_ref, s_scratch, dma_sems, *,
 
     # zero the unfetched margins so stale VMEM (possibly NaN) cannot
     # poison the dot: left margin on the first tile (center-pad offset),
-    # right margin on the last (clip end). Predicated stores — middle
-    # tiles' full-window DMA overwrites every lane.
+    # right margin on every clamped trailing tile (clip end). Predicated
+    # stores — middle tiles' full-window DMA overwrites every lane.
     if offset > 0:
         @pl.when(tt == 0)
         def _():
             s_scratch[slot, :, :offset] = jnp.zeros(
                 (8, offset), s_scratch.dtype)
-    if n_t == 1:
-        tail_from = offset + min(fetch_w - offset, t_total)
-    else:
-        tail_from = min(fetch_w, t_total - ((n_t - 1) * span - offset))
-    if tail_from < fetch_w:
-        @pl.when(tt == n_t - 1)
-        def _():
-            s_scratch[slot, :, tail_from:] = jnp.zeros(
-                (8, fetch_w - tail_from), s_scratch.dtype)
+    for st in range(first_over, n_t) if n_t > 1 else [0]:
+        st_lo = max(0, -(st * span - offset))
+        fill_end = st_lo + min(fetch_w - st_lo,
+                               t_total - (st * span - offset + st_lo))
+        if fill_end < fetch_w:
+            @pl.when(tt == st)
+            def _(fill_end=fill_end):
+                s_scratch[slot, :, fill_end:] = jnp.zeros(
+                    (8, fetch_w - fill_end), s_scratch.dtype)
 
     s = s_scratch[slot]  # [8, fetch_w]
     n_q = pos_tile // n_classes
