@@ -892,11 +892,15 @@ def _sig_flat_geometry(hop_size: int, k_pad: int, offset: int,
     stride), ``fetch_w`` the 128-aligned per-tile DMA width."""
     import math
 
-    if hop_size < 8 or b % 8 or t % LANES or offset % LANES or offset < 0:
+    if hop_size < 8 or b % 8 or t % LANES or offset < 0:
         return None
     # ablation knob (tools/flat_rows_ab.py): MXU rows per tile; 512
     # measured-best for the plain kernel (see docs/ROADMAP.md)
     target_rows = int(os.environ.get("MELSPEC_FLAT_ROWS", target_rows))
+    # frames start at p*hop + offset (matching _sig_window_frames' roll
+    # convention); fetches start at the 128-aligned floor and the m0
+    # remainder becomes a constant extra lane shift in the assembly
+    m0 = offset - (offset // LANES) * LANES
     stride = hop_size * LANES // math.gcd(hop_size, LANES)
     n_classes = stride // hop_size
     if epilogue:
@@ -909,15 +913,14 @@ def _sig_flat_geometry(hop_size: int, k_pad: int, offset: int,
         step = (LANES * n_classes) // math.gcd(LANES, n_classes)
     else:
         step = n_classes
+    def _fw(pt):
+        return -(-(m0 + (pt - 1) * hop_size + k_pad) // LANES) * LANES
+
     pos_tile = max(step, ((target_rows // 8) // step) * step)
-    while pos_tile > step:
-        fetch_w = -(-((pos_tile - 1) * hop_size + k_pad) // LANES) * LANES
-        if 2 * 8 * fetch_w * 4 <= (4 << 20):
-            break
+    while pos_tile > step and 2 * 8 * _fw(pos_tile) * 4 > (4 << 20):
         pos_tile -= step
-    fetch_w = -(-((pos_tile - 1) * hop_size + k_pad) // LANES) * LANES
+    fetch_w = _fw(pos_tile)
     if (2 * 8 * fetch_w * 4 > (4 << 20)
-            or offset >= pos_tile * hop_size
             or (epilogue and pos_tile % LANES)):
         return None
     return pos_tile, n_classes, stride, fetch_w
@@ -956,28 +959,34 @@ def _sig_window_frames_flat(sig_ref, s_scratch, dma_sems, *,
     slot = (bg * n_t + tt) % 2
     t_total = sig_ref.shape[1]
     span = pos_tile * hop
+    # frame p covers [p*hop + offset, p*hop + offset + k_pad) — the
+    # rows path's roll convention. Fetches start at the 128-aligned
+    # floor; the m0 remainder rides the phase-class shifts below.
+    off_floor = (offset // 128) * 128
+    m0 = offset - off_floor
     # first tile whose full window would read past the clip end —
-    # usually n_t - 1, in principle the 128-rounding slack
-    # fetch_w - span can spill one tile earlier; the last tile is
-    # always treated as clamped (its zero-fill below)
-    first_over = max(1 if offset > 0 else 0, n_t - 1)
-    while (first_over > (1 if offset > 0 else 0)
-           and (first_over - 1) * span - offset + fetch_w > t_total):
+    # usually n_t - 1, in principle the rounding slack can spill one
+    # tile earlier; the last tile is always treated as clamped (its
+    # zero-fill below)
+    first_over = max(0, n_t - 1)
+    while (first_over > 0
+           and (first_over - 1) * span + off_floor + fetch_w > t_total):
         first_over -= 1
 
     def dma(bb, ttt, sl, start):
         # every branch has STATIC slice sizes; the clamps depend only on
-        # which tile this is. t0 = ttt*span - offset is 128-aligned by
-        # construction (span % 128 == 0, offset % 128 == 0).
+        # which tile this is. t0 = ttt*span + off_floor is 128-aligned
+        # by construction (span % 128 == 0).
         op = (lambda d: d.start()) if start else (lambda d: d.wait())
 
         def issue(ttt_static):
-            t0 = ttt_static * span - offset
-            lo = max(0, -t0)                      # left zero margin
-            w = min(fetch_w - lo, t_total - (t0 + lo))
+            t0 = ttt_static * span + off_floor
+            w = min(fetch_w, t_total - t0)
+            if w <= 0:
+                return  # nothing to fetch; the zero-fill covers it all
             op(pltpu.make_async_copy(
-                sig_ref.at[pl.ds(bb * 8, 8), pl.ds(t0 + lo, w)],
-                s_scratch.at[sl, :, pl.ds(lo, w)], dma_sems.at[sl],
+                sig_ref.at[pl.ds(bb * 8, 8), pl.ds(t0, w)],
+                s_scratch.at[sl, :, pl.ds(0, w)], dma_sems.at[sl],
             ))
 
         if isinstance(ttt, int):
@@ -986,25 +995,18 @@ def _sig_window_frames_flat(sig_ref, s_scratch, dma_sems, *,
         if n_t == 1:
             issue(0)
             return
-        # special tiles need per-tile STATIC clamp arithmetic: tile 0
-        # when a center-pad offset reaches before the clip, and every
-        # tile >= first_over
-        mid_lo = 1 if offset > 0 else 0
+        # trailing tiles (>= first_over) need per-tile STATIC clamps
         for st in range(first_over, n_t):
             @pl.when(ttt == st)
             def _(st=st):
                 issue(st)
-        if mid_lo == 1:
-            @pl.when(ttt == 0)
+        if first_over > 0:
+            @pl.when(ttt < first_over)
             def _():
-                issue(0)
-        if mid_lo < first_over:
-            @pl.when((ttt >= mid_lo) & (ttt < first_over))
-            def _():
-                # middle tiles: full window, in bounds by construction
+                # leading tiles: full window, in bounds by construction
                 op(pltpu.make_async_copy(
                     sig_ref.at[pl.ds(bb * 8, 8),
-                               pl.ds(ttt * span - offset, fetch_w)],
+                               pl.ds(ttt * span + off_floor, fetch_w)],
                     s_scratch.at[sl], dma_sems.at[sl],
                 ))
 
@@ -1021,19 +1023,11 @@ def _sig_window_frames_flat(sig_ref, s_scratch, dma_sems, *,
 
     dma(bg, tt, slot, start=False)
 
-    # zero the unfetched margins so stale VMEM (possibly NaN) cannot
-    # poison the dot: left margin on the first tile (center-pad offset),
-    # right margin on every clamped trailing tile (clip end). Predicated
-    # stores — middle tiles' full-window DMA overwrites every lane.
-    if offset > 0:
-        @pl.when(tt == 0)
-        def _():
-            s_scratch[slot, :, :offset] = jnp.zeros(
-                (8, offset), s_scratch.dtype)
+    # zero the unfetched tail of every clamped trailing tile so stale
+    # VMEM (possibly NaN) cannot poison the dot. Predicated stores —
+    # leading tiles' full-window DMA overwrites every lane.
     for st in range(first_over, n_t) if n_t > 1 else [0]:
-        st_lo = max(0, -(st * span - offset))
-        fill_end = st_lo + min(fetch_w - st_lo,
-                               t_total - (st * span - offset + st_lo))
+        fill_end = max(0, min(fetch_w, t_total - (st * span + off_floor)))
         if fill_end < fetch_w:
             @pl.when(tt == st)
             def _(fill_end=fill_end):
@@ -1047,10 +1041,11 @@ def _sig_window_frames_flat(sig_ref, s_scratch, dma_sems, *,
     # shift of width-d left-rotates by d — wrapped lanes land past w_g,
     # never read); every frame in the class is then a lane-ALIGNED
     # (stride % 128 == 0) subview of its class vector, so the concat
-    # sees uniform layouts (Mosaic rejects mixed lane-offset concats)
+    # sees uniform layouts (Mosaic rejects mixed lane-offset concats).
+    # The m0 margin (non-aligned offsets) rides each class's shift.
     shifted = [
-        (s if g == 0
-         else pltpu.roll(s, shift=(fetch_w - g * hop) % fetch_w,
+        (s if m0 + g * hop == 0
+         else pltpu.roll(s, shift=(fetch_w - m0 - g * hop) % fetch_w,
                          axis=1))[:, :w_g]
         for g in range(n_classes)
     ]
@@ -1549,8 +1544,7 @@ def _pallas_sig_mel(
                                   epilogue=(vad is not None or quant))
     if input_mode == "flat" and flat is None:
         raise ValueError(
-            "flat input mode needs B % 8 == 0, T % 128 == 0 and a "
-            "128-aligned offset"
+            "flat input mode needs B % 8 == 0 and T % 128 == 0"
         )
     if flat is not None:
         frames_tile = flat[0]          # frames per clip per tile

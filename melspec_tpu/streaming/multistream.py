@@ -185,11 +185,19 @@ class MultiStreamMel:
             hop = self.config.hop_size
             fft = self.config.fft_size
             s, h = chunks.shape[:2]
-            signal = jnp.concatenate(
-                [state.hop_buf,
-                 chunks.reshape(s, h * hop).astype(self.dtype)],
-                axis=1,
-            )
+            # right-pad T to a 128-multiple inside the SAME concat (no
+            # extra copy): makes the bulk flat-input-eligible
+            # (mel_kernel._sig_flat_geometry needs T % 128 == 0), which
+            # skips the whole-signal macro-row relayout when S % 8 == 0.
+            # Frames start at p*hop + offset, so a right pad shifts
+            # nothing; the hop_buf slice below ends at h*hop + fft <= T.
+            t_raw = fft + h * hop
+            pad = (-t_raw) % 128
+            parts = [state.hop_buf,
+                     chunks.reshape(s, h * hop).astype(self.dtype)]
+            if pad:
+                parts.append(jnp.zeros((s, pad), self.dtype))
+            signal = jnp.concatenate(parts, axis=1)
             row_w, phases, rows_tile = self._sig_geom
             mels = _pallas_sig_mel(
                 signal.astype(jnp.float32), self._sig_m_big, self._sig_mt,

@@ -106,6 +106,23 @@ def test_sig_geometry_edges_compiled():
         assert np.abs(got - ref).max() <= 1e-5, f"n={n}"
 
 
+def test_flat_input_parity_compiled():
+    """FLAT input mode (batch-on-sublanes framing, no host macro-row
+    relayout) vs rows mode, compiled, at a NON-128-aligned frame offset
+    (streaming fft=400 -> offset 80, so the m0 lane-shift rides every
+    phase-class roll). Rows mode is golden-gated above; flat must agree
+    bit-for-bit because both modes feed the identical DFT/mel pipeline —
+    only the framing assembly differs (measured 0.0 on chip)."""
+    from melspec_tpu.ops.mel_kernel import whisper_mel_sig
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 5 * 16000),
+                          dtype=jnp.float32) * 0.1
+    rows = np.asarray(whisper_mel_sig(x, streaming=True, input_mode="rows"))
+    flat = np.asarray(whisper_mel_sig(x, streaming=True, input_mode="flat"))
+    assert rows.shape == flat.shape == (8, 498, 80)
+    np.testing.assert_array_equal(rows, flat)
+
+
 def test_vad_fields_parity_compiled(jfk_samples):
     """Batched on-device VAD decision fields, compiled, vs the host
     reference path (which the naive-differential suite pins to src/vad.rs
