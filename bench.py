@@ -74,6 +74,18 @@ def _bench(fn, inputs, iters=16, reps=2, chain="input"):
             seed_box[0] += 1
             return jnp.float32(seed_box[0] * 1e-25)
     else:
+        # ONE jitted executable per iteration (like the output chain):
+        # unjitted, the perturb/reduce/carry ops around fn were ~8 extra
+        # execute requests per iteration, each costing host serialization
+        # through the remote tunnel — measured ~0.4 ms/iter of wall that
+        # belonged to the harness, not the workload. Distinctness is
+        # carried by the (carry, sep) OPERAND VALUES, which differ every
+        # call, exactly as in the output chain.
+        g = jax.jit(
+            lambda x, c, sep: (lambda s: s * (1e-7 / (jnp.abs(s) + 1.0))
+                               + jnp.float32(1e-7))(
+                jnp.sum(fn(x + (c + sep)).astype(jnp.float32)))
+        )
 
         def step(i, carry):
             # carry keeps the on-device serialization dependency, but its
@@ -89,9 +101,7 @@ def _bench(fn, inputs, iters=16, reps=2, chain="input"):
             # irrelevant to timing.
             sep = jnp.float32((seed_box[0] % 29 + 1) * 1e-5
                               + (i + 1) * 1e-7)
-            x = inputs[i % len(inputs)] + (carry + sep)
-            s = jnp.sum(fn(x).astype(jnp.float32))
-            return s * (1e-7 / (jnp.abs(s) + 1.0)) + jnp.float32(1e-7)
+            return g(inputs[i % len(inputs)], carry, sep)
 
         def init_carry():
             seed_box[0] += 1

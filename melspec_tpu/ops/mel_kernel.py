@@ -1066,12 +1066,10 @@ def _sig_natural_order_flat(vals, pos_tile: int):
     return vals.reshape(pos_tile, 8, m).transpose(1, 0, 2)
 
 
-def _sig_xcat(frames, ks: int, pair_i, pack: int,
-              k_tot: int, pack_off: int = 0) -> jnp.ndarray:
-    """bf3 signal slices, concatenated along K in pair order, each block
-    packed to its ``pack`` real taps (matching ``_sig_stack_planes``) and
-    the whole lane-padded to ``k_tot``. The misaligned-lane concat costs
-    less than the 20% of MXU passes it saves."""
+def _sig_slices(frames, ks: int) -> list:
+    """The bf16 residual cascade of the frame tile: slice i is the bf16
+    rounding of what slices < i left behind. Shared by every head of a
+    multi-head kernel — the cascade depends only on the signal."""
     residual = frames
     x_slices = []
     for i in range(ks):
@@ -1079,11 +1077,37 @@ def _sig_xcat(frames, ks: int, pair_i, pack: int,
         if i + 1 < ks:
             residual = residual - xs.astype(jnp.float32)
         x_slices.append(xs)
-    parts = [x_slices[i][:, pack_off : pack_off + pack] for i in pair_i]
-    tail = k_tot - pack * len(pair_i)
+    return x_slices
+
+
+def _sig_xcat_from(x_slices, pair_i, pack: int, k_tot: int,
+                   pack_off: int = 0,
+                   blocks: tuple | None = None) -> jnp.ndarray:
+    """Concatenate the given signal slices along K in pair order (each
+    block packed to its ``pack`` real taps, the whole lane-padded to
+    ``k_tot``). ``blocks`` optionally keeps a SUBSET of the K blocks —
+    the reduced-accuracy head trick: a head whose parity gate is coarse
+    (Kaldi's 0.0152 golden bound) can contract over the low-order
+    slice-pair blocks only, at ~2^-16 relative signal error, for
+    proportionally less MXU work."""
+    pair = (pair_i if blocks is None
+            else tuple(pair_i[b] for b in blocks))
+    parts = [x_slices[i][:, pack_off : pack_off + pack] for i in pair]
+    tail = k_tot - pack * len(pair)
     if tail:
-        parts.append(jnp.zeros((frames.shape[0], tail), jnp.bfloat16))
+        parts.append(jnp.zeros((x_slices[0].shape[0], tail),
+                               jnp.bfloat16))
     return jnp.concatenate(parts, axis=1)
+
+
+def _sig_xcat(frames, ks: int, pair_i, pack: int,
+              k_tot: int, pack_off: int = 0) -> jnp.ndarray:
+    """bf3 signal slices, concatenated along K in pair order, each block
+    packed to its ``pack`` real taps (matching ``_sig_stack_planes``) and
+    the whole lane-padded to ``k_tot``. The misaligned-lane concat costs
+    less than the 20% of MXU passes it saves."""
+    return _sig_xcat_from(_sig_slices(frames, ks), pair_i, pack, k_tot,
+                          pack_off)
 
 
 def _sig_project(power, mt_ref, mel_precision):

@@ -42,11 +42,12 @@ from melspec_tpu.ops.mel_kernel import (
     _sig_natural_order_flat,
     _sig_out_vals,
     _sig_project,
+    _sig_slices,
     _sig_vad_counts,
     _sig_vad_counts_flat,
     _sig_window_frames,
     _sig_window_frames_flat,
-    _sig_xcat,
+    _sig_xcat_from,
     sig_geometry,
 )
 
@@ -58,17 +59,19 @@ from melspec_tpu.ops.mel_kernel import (
 HeadSpec = Tuple[int, int, int, str, float, str]
 
 
-def _sig_multi_tile_kernel(sig_ref, tailpad_ref, m_cat_ref, *refs,
+def _sig_multi_tile_kernel(sig_ref, tailpad_ref, *refs,
                            ks: int, pair_i, k_pad: int, pack: int,
                            offset: int,
                            tail_rows: int, row_w: int, phases: int,
                            rows_tile: int, heads: Tuple[HeadSpec, ...],
+                           head_blocks: Tuple[tuple | None, ...],
                            vad: tuple | None,
                            flat: tuple | None = None):
     n_heads = len(heads)
-    mt_refs = refs[:n_heads]
-    out_refs = refs[n_heads : 2 * n_heads]
-    rest = refs[2 * n_heads :]
+    mb_refs = refs[:n_heads]
+    mt_refs = refs[n_heads : 2 * n_heads]
+    out_refs = refs[2 * n_heads : 3 * n_heads]
+    rest = refs[3 * n_heads :]
     if vad is not None:
         vad_ref, rest = rest[0], rest[1:]
 
@@ -90,14 +93,27 @@ def _sig_multi_tile_kernel(sig_ref, tailpad_ref, m_cat_ref, *refs,
             rows=rows_tile, tail_rows=tail_rows, row_w=row_w,
             phases=phases, k_pad=k_pad, offset=offset,
         )
-    xcat = _sig_xcat(frames, ks, pair_i, pack, m_cat_ref.shape[0])
-    y = jnp.dot(xcat, m_cat_ref[:], preferred_element_type=jnp.float32)
+    # shared bf16 residual cascade; per-head dot, with the K-concat
+    # CACHED per block signature (all-None head_blocks => exactly one
+    # xcat, as round 3's wide m_cat matmul — same products, same MXU
+    # accumulation, verified bit-exact on chip). head_blocks lets a
+    # coarse-gate head contract over a SUBSET of the slice-pair blocks;
+    # measured on the kaldi head (blocks (0,0),(0,1),(1,0), JFK): 0.304
+    # max ln-output error — ln amplifies the dropped 2^-16 DFT terms on
+    # near-null bins — vs its 0.0152 golden gate, so the default keeps
+    # every block (docs/ROADMAP.md round-4 ablation table).
+    x_slices = _sig_slices(frames, ks)
+    xcats: dict = {}
 
-    col = 0
     for h, (n_cols, nbp, n_mels_out, out_mode, guard,
             mel_prec) in enumerate(heads):
-        blk = y[:, col : col + n_cols]
-        col += n_cols
+        key = (head_blocks[h], mb_refs[h].shape[0])
+        if key not in xcats:
+            xcats[key] = _sig_xcat_from(x_slices, pair_i, pack,
+                                        mb_refs[h].shape[0],
+                                        blocks=head_blocks[h])
+        blk = jnp.dot(xcats[key], mb_refs[h][:],
+                      preferred_element_type=jnp.float32)[:, :n_cols]
         if nbp:
             power = (blk[:, :nbp] * blk[:, :nbp]
                      + blk[:, nbp : 2 * nbp] * blk[:, nbp : 2 * nbp])
@@ -122,12 +138,12 @@ def _sig_multi_tile_kernel(sig_ref, tailpad_ref, m_cat_ref, *refs,
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
-                     "row_w", "phases", "rows_tile", "heads", "vad",
-                     "pack"),
+                     "row_w", "phases", "rows_tile", "heads",
+                     "head_blocks", "vad", "pack"),
 )
 def _pallas_sig_multi(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
-    m_cat, *mts,
+    *mbs_and_mts,          # n_heads spectral matrices, n_heads projections
     interpret: bool,
     ks: int,
     pair_i: tuple,
@@ -137,15 +153,25 @@ def _pallas_sig_multi(
     phases: int,
     rows_tile: int,
     heads: Tuple[HeadSpec, ...],
+    head_blocks: Tuple[tuple | None, ...] | None = None,
     vad: tuple | None = None,
     pack: int,
 ):
     """Run the multi-head kernel. Returns one ``[B, n_frames, n_mels]``
     array per head (plus the ``[B, n_frames]`` int32 VAD counts when
-    ``vad`` is set), each written directly in its final layout."""
+    ``vad`` is set), each written directly in its final layout.
+
+    ``head_blocks[h]`` optionally restricts head ``h``'s K contraction to
+    a subset of the slice-pair blocks (its spectral matrix must carry
+    exactly those blocks' rows) — see ``_sig_xcat_from``."""
     b, t = samples.shape
-    if sum(h[0] for h in heads) != m_cat.shape[1]:
-        raise ValueError("head column widths must tile m_cat exactly")
+    n_heads = len(heads)
+    mbs, mts = mbs_and_mts[:n_heads], mbs_and_mts[n_heads:]
+    if head_blocks is None:
+        head_blocks = (None,) * n_heads
+    for h, spec in enumerate(heads):
+        if spec[0] != mbs[h].shape[1]:
+            raise ValueError("head column width must match its matrix")
     k_pad = -(-pack // LANES) * LANES
     flat = _sig_flat_geometry(row_w // phases, k_pad, offset, b, t,
                               epilogue=(vad is not None))
@@ -163,7 +189,8 @@ def _pallas_sig_multi(
         _sig_multi_tile_kernel, ks=ks, pair_i=pair_i, k_pad=k_pad,
         pack=pack,
         offset=offset, tail_rows=tail_rows, row_w=row_w, phases=phases,
-        rows_tile=rows_tile, heads=heads, vad=vad, flat=flat,
+        rows_tile=rows_tile, heads=heads, head_blocks=head_blocks,
+        vad=vad, flat=flat,
     )
     cb = 8 if flat is not None else 1
     out_specs = [
@@ -180,17 +207,18 @@ def _pallas_sig_multi(
         out_shape.append(jax.ShapeDtypeStruct((b, 8, n_frames),
                                               jnp.int32))
 
-    total_cols = m_cat.shape[1]
+    dot_flops = 2 * b * tiles * frames_tile * sum(
+        mb.shape[0] * mb.shape[1] for mb in mbs)
     if flat is not None:
         base = kernel
-        kernel = lambda s, m, *r: base(s, None, m, *r)  # noqa: E731
+        kernel = lambda s, *r: base(s, None, *r)  # noqa: E731
         return pl.pallas_call(
             kernel,
             grid=(b // 8, tiles),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # FLAT [B, T] signal
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # m_cat
-            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mts),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * (len(mbs) + len(mts)),
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             scratch_shapes=[
@@ -198,23 +226,22 @@ def _pallas_sig_multi(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             cost_estimate=pl.CostEstimate(
-                flops=2 * b * tiles * frames_tile
-                * m_cat.shape[0] * total_cols,
+                flops=dot_flops,
                 bytes_accessed=((b // 8) * tiles * 8 * flat[3]
                                 + sum(b * n_frames * h[2]
                                       for h in heads)) * 4,
                 transcendentals=sum(b * n_frames * h[2] for h in heads),
             ),
             interpret=interpret,
-        )(samples, m_cat, *mts)
+        )(samples, *mbs, *mts)
     return pl.pallas_call(
         kernel,
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),    # macro-row signal
             pl.BlockSpec(memory_space=pltpu.HBM),    # ragged tail rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # m_cat
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mts),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (len(mbs) + len(mts)),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
@@ -223,13 +250,13 @@ def _pallas_sig_multi(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * tiles * frames_tile * m_cat.shape[0] * total_cols,
+            flops=dot_flops,
             bytes_accessed=(b * (rows_tile * tiles + 8) * row_w
                             + sum(b * n_frames * h[2] for h in heads)) * 4,
             transcendentals=sum(b * n_frames * h[2] for h in heads),
         ),
         interpret=interpret,
-    )(sig, tailpad, m_cat, *mts)
+    )(sig, tailpad, *mbs, *mts)
 
 
 class WhisperKaldiFused:
@@ -249,7 +276,8 @@ class WhisperKaldiFused:
     """
 
     def __init__(self, mel_config=None, fbank_config=None,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 fbank_blocks: tuple | None = None):
         from melspec_tpu.config import FbankConfig, MelConfig
         from melspec_tpu.ops.fbank import F32_EPSILON, Fbank
         from melspec_tpu.ops.mel_kernel import _sig_device_matrices
@@ -281,7 +309,25 @@ class WhisperKaldiFused:
         # layouts coincide block-for-block
         assert m_k.shape[0] == m_w.shape[0], \
             "shared frame grid implies identical packed K"
-        self._m_cat = jnp.concatenate([m_w, m_k], axis=1)
+        # kaldi head K-block subset (fbank_blocks): contracts the fbank
+        # head over a subset of the slice-pair blocks for
+        # proportionally less MXU work. Default None (all blocks):
+        # measured on JFK, the low-order subset (0, 1, 3) costs 0.304
+        # max ln-output error — ln amplifies the dropped O(2^-16) DFT
+        # terms on near-null bins — which would blow the 0.0152 kaldi
+        # golden gate, so reduced K is opt-in for consumers with
+        # coarser bars (docs/ROADMAP.md round-4 ablation table).
+        pack = mc.fft_size
+        if fbank_blocks is not None:
+            rows = np.concatenate([np.arange(b * pack, (b + 1) * pack)
+                                   for b in fbank_blocks])
+            sub = np.asarray(m_k, np.float32)[rows]
+            k_sub = -(-sub.shape[0] // 128) * 128
+            sub = np.pad(sub, ((0, k_sub - sub.shape[0]), (0, 0)))
+            m_k = jnp.asarray(sub, jnp.bfloat16)  # values already bf16
+        self._mbs = (m_w, m_k)
+        self._head_blocks = (None, tuple(fbank_blocks)
+                             if fbank_blocks is not None else None)
         self._mts = (mt_w, kaldi._sig_mt)
         floor = (kc.energy_floor if kc.energy_floor > 0.0 else F32_EPSILON)
         self._heads = (
@@ -294,8 +340,8 @@ class WhisperKaldiFused:
             # 33% narrower than split re|im); its fbank gate is coarse
             # (max < 0.0152 vs the kaldi golden) and the ~1e-6 bf2
             # projection perturbation is free speed
-            (m_k.shape[1], 0, kc.num_mel_bins, "ln_floor", float(floor),
-             "bf2"),
+            (self._mbs[1].shape[1], 0, kc.num_mel_bins, "ln_floor",
+             float(floor), "bf2"),
         )
         self._pair_i = pair_i
         # measured-best tile for the wide two-head y (VMEM pressure):
@@ -319,10 +365,10 @@ class WhisperKaldiFused:
                                             mc.hop_size)
         row_w, phases, rows_tile = self._geom
         outs = _pallas_sig_multi(
-            x, self._m_cat, *self._mts, interpret=self._interp(), ks=3,
+            x, *self._mbs, *self._mts, interpret=self._interp(), ks=3,
             pair_i=self._pair_i, n_frames=n_frames, row_w=row_w,
             phases=phases, rows_tile=rows_tile, heads=self._heads,
-            vad=vad, pack=mc.fft_size,
+            head_blocks=self._head_blocks, vad=vad, pack=mc.fft_size,
         )
         from melspec_tpu.ops.mel_kernel import sig_effective_frames_tile
 

@@ -123,6 +123,28 @@ def test_flat_input_parity_compiled():
     np.testing.assert_array_equal(rows, flat)
 
 
+def test_multihead_pair_parity_compiled(jfk_samples):
+    """The whisper+kaldi fused pair kernel, compiled, vs the single-head
+    kernels: the per-head dots over the shared bf16 slice cascade
+    (round 4's restructure of the one wide m_cat matmul) perform the
+    identical products in the identical MXU accumulation order, so the
+    mel head must agree BIT-FOR-BIT with whisper_mel_sig and the fbank
+    head with Fbank's sig route (measured 0.0 on chip both)."""
+    from melspec_tpu.config import FbankConfig
+    from melspec_tpu.ops.fbank import Fbank
+    from melspec_tpu.ops.mel_kernel import whisper_mel_sig
+    from melspec_tpu.ops.sig_multihead import WhisperKaldiFused
+
+    x = np.asarray(jfk_samples)[: 16000 * 6][None]
+    fused = WhisperKaldiFused()
+    mel, fbank = fused.compute(jnp.asarray(x))
+    want_mel = np.asarray(whisper_mel_sig(x, 400, 160, 80, 16000.0))
+    want_fb = np.asarray(
+        Fbank(FbankConfig(apply_cmn=True), fft_impl="sig").compute(x))
+    np.testing.assert_array_equal(np.asarray(mel), want_mel)
+    np.testing.assert_array_equal(np.asarray(fbank), want_fb)
+
+
 def test_vad_fields_parity_compiled(jfk_samples):
     """Batched on-device VAD decision fields, compiled, vs the host
     reference path (which the naive-differential suite pins to src/vad.rs
