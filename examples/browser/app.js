@@ -151,6 +151,29 @@ function makeRecordParser(label) {
   return handler;
 }
 
+// Offline mode (in-page DSP): the reference demo's WASM pipeline
+// equivalent — dsp.js computes the mel records IN the page, no server
+// required. Records use the identical wire format, so they feed the
+// same parser/renderer. Toggle via the checkbox or ?offline=1.
+function offlineMode() {
+  const box = document.getElementById("offline");
+  return (box && box.checked)
+    || new URLSearchParams(location.search).get("offline") === "1";
+}
+
+function makeOfflineSink(label, rate) {
+  const engine = new MelDSP.MelEngine({ sampleRate: SAMPLE_RATE });
+  const parser = makeRecordParser(label);
+  const sink = (f32) => {
+    const x = MelDSP.linearResample(f32, rate, SAMPLE_RATE);
+    for (const rec of engine.add(x)) {
+      parser({ data: MelDSP.packRecord(rec) });
+    }
+  };
+  sink.parser = parser;
+  return sink;
+}
+
 async function start() {
   stopActive();
   frames = 0;
@@ -172,23 +195,32 @@ async function start() {
   const mute = new GainNode(audioCtx, { gain: 0 });
   node.connect(mute).connect(audioCtx.destination);
 
-  const ws = new WebSocket(
-    `ws://${location.host}/ws?rate=${audioCtx.sampleRate}`);
-  ws.binaryType = "arraybuffer";
-  ws.onmessage = makeRecordParser("streaming");
-  ws.onopen = () => { status.textContent = "streaming"; };
-  ws.onerror = () => { status.textContent = "websocket error"; };
-  ws.onclose = () => { status.textContent = `closed after ${frames} frames`; };
+  if (offlineMode()) {
+    const sink = makeOfflineSink("offline (in-page DSP)",
+                                 audioCtx.sampleRate);
+    node.port.onmessage = (ev) => sink(ev.data);
+    status.textContent = "offline (in-page DSP)";
+    active = { audioCtx, stream, node };
+  } else {
+    const ws = new WebSocket(
+      `ws://${location.host}/ws?rate=${audioCtx.sampleRate}`);
+    ws.binaryType = "arraybuffer";
+    ws.onmessage = makeRecordParser("streaming");
+    ws.onopen = () => { status.textContent = "streaming"; };
+    ws.onerror = () => { status.textContent = "websocket error"; };
+    ws.onclose = () => {
+      status.textContent = `closed after ${frames} frames`;
+    };
 
-  node.port.onmessage = (ev) => {
-    // bufferedAmount bounds memory if the server stalls: past ~1 MB we
-    // drop mic audio rather than buffer without limit
-    if (ws.readyState === WebSocket.OPEN && ws.bufferedAmount < 1 << 20) {
-      ws.send(ev.data.buffer);
-    }
-  };
-
-  active = { ws, audioCtx, stream, node };
+    node.port.onmessage = (ev) => {
+      // bufferedAmount bounds memory if the server stalls: past ~1 MB we
+      // drop mic audio rather than buffer without limit
+      if (ws.readyState === WebSocket.OPEN && ws.bufferedAmount < 1 << 20) {
+        ws.send(ev.data.buffer);
+      }
+    };
+    active = { ws, audioCtx, stream, node };
+  }
   document.getElementById("start").disabled = true;
   document.getElementById("stop").disabled = false;
 }
@@ -217,6 +249,22 @@ document.getElementById("wavfile").onchange = async (ev) => {
   const pcm = audio.getChannelData(0);
   const decodedRate = dec.sampleRate; // actual, in case the hint was ignored
   dec.close();
+
+  if (offlineMode()) {
+    // in-page DSP: paced like the streaming path so the waterfall
+    // animates rather than appearing at once
+    const sink = makeOfflineSink("file offline (in-page DSP)", decodedRate);
+    const a = { offline: true };
+    active = a;
+    const hop = Math.round(decodedRate * 0.16);
+    for (let off = 0; off < pcm.length; off += hop) {
+      if (active !== a) return; // stopped/replaced
+      sink(pcm.subarray(off, off + hop));
+      await new Promise((r) => setTimeout(r, 100));
+    }
+    status.textContent = `file done (in-page DSP) — ${frames} mel frames`;
+    return;
+  }
 
   const ws = new WebSocket(`ws://${location.host}/ws?rate=${decodedRate}`);
   ws.binaryType = "arraybuffer";

@@ -55,7 +55,8 @@ apply_platform_flag()
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 _STATIC = Path(__file__).resolve().parent
 _MIME = {".html": "text/html", ".js": "text/javascript",
-         ".css": "text/css", ".png": "image/png"}
+         ".css": "text/css", ".png": "image/png",
+         ".json": "application/json"}
 
 
 def ws_accept_key(key: str) -> str:
