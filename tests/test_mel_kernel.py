@@ -384,3 +384,31 @@ def test_hp_bf16_pair_budget_clamps_slices():
                                       hp_n_slices=3, hp_max_pair_sum=2,
                                       interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_flat_vs_rows_input_modes_bit_equal():
+    """FLAT input framing (windows DMA'd from the untouched [B, T]
+    operand) vs ROWS mode (host macro-row relayout), interpret-mode
+    differential: both feed the identical DFT/mel pipeline, so outputs
+    must agree BIT-FOR-BIT — at an aligned offset (batch), a
+    non-128-aligned one (streaming, offset 80), and a length whose
+    trailing tile needs the clamped zero-filled DMA. The compiled twin
+    (tests/test_tpu_compiled.py::test_flat_input_parity_compiled) pins
+    the Mosaic lowering; this pins the logic in CI."""
+    from melspec_tpu.ops.mel_kernel import (_sig_flat_geometry,
+                                             whisper_mel_sig)
+
+    rng = np.random.default_rng(7)
+    for streaming, t in ((False, 16000), (True, 16000), (False, 19968)):
+        # flat requires B % 8 == 0 and T % 128 == 0 — assert the case is
+        # actually exercising the flat path, not silently rows-vs-rows
+        offset = 80 if streaming else 0
+        assert _sig_flat_geometry(160, 512, offset, 8, t) is not None
+        x = (rng.normal(size=(8, t)) * 0.2).astype(np.float32)
+        rows = np.asarray(whisper_mel_sig(x, streaming=streaming,
+                                          input_mode="rows",
+                                          interpret=True))
+        flat = np.asarray(whisper_mel_sig(x, streaming=streaming,
+                                          input_mode="flat",
+                                          interpret=True))
+        np.testing.assert_array_equal(rows, flat)
