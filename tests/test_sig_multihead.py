@@ -51,3 +51,31 @@ def test_fused_rejects_mismatched_grids():
     with pytest.raises(ValueError, match="one frame grid"):
         WhisperKaldiFused(MelConfig(fft_size=512, hop_size=160),
                           FbankConfig(), interpret=True)
+
+
+def test_fused_flat_path_batch8_matches_single_heads(jfk_samples):
+    """b=8 with T % 128 == 0 auto-selects the FLAT input path (and the
+    VAD epilogue forces its 128-frame tile); in CI this was otherwise
+    only exercised in rows mode (b=1) plus the on-chip compiled gate.
+    The mel head must equal the single-head kernel on the same batch and
+    the raw VAD columns must equal classify_columns on the mel image."""
+    from melspec_tpu.ops.mel_kernel import (_sig_flat_geometry,
+                                            whisper_mel_sig)
+    from melspec_tpu.ops.vad import classify_columns
+
+    t = 16000
+    assert _sig_flat_geometry(160, 512, 0, 8, t, epilogue=True) is not None
+    base = np.asarray(jfk_samples)[:t]
+    x = np.stack([np.roll(base, 997 * i) for i in range(8)]).astype(
+        np.float32)
+
+    fused = WhisperKaldiFused(interpret=True)
+    settings = DetectionSettings()
+    mel, fbank, raw = fused.compute_with_vad(jnp.asarray(x), settings)
+
+    want_mel = whisper_mel_sig(x, 400, 160, 80, 16000.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mel), np.asarray(want_mel))
+    want_raw = classify_columns(jnp.swapaxes(jnp.asarray(mel), -1, -2),
+                                settings)
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(want_raw))
+    assert fbank.shape == mel.shape
