@@ -299,14 +299,18 @@ def test_quantized_kernel_matches_xla_quant():
     from melspec_tpu.ops.quant import quantize_frames_jnp
 
     rng = np.random.default_rng(11)
-    x = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
-    q, lo, hi = whisper_mel_quantized(x, interpret=True)
-    assert q.dtype == jnp.uint8 and q.shape == (2, 98, 80)
-    mel = whisper_mel_sig(x, interpret=True)
-    q_ref, lo_ref, hi_ref = quantize_frames_jnp(mel)
-    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
-    np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo_ref))
-    np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_ref))
+    # b=2 takes the rows path; b=8 with T % 128 == 0 auto-selects FLAT
+    # input with the quant epilogue's 128-frame tile — both must match
+    # the XLA quantizer bit-for-bit
+    for b in (2, 8):
+        x = (rng.normal(size=(b, 16000)) * 0.1).astype(np.float32)
+        q, lo, hi = whisper_mel_quantized(x, interpret=True)
+        assert q.dtype == jnp.uint8 and q.shape == (b, 98, 80)
+        mel = whisper_mel_sig(x, interpret=True)
+        q_ref, lo_ref, hi_ref = quantize_frames_jnp(mel)
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+        np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo_ref))
+        np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_ref))
 
 
 def test_quantized_kernel_degenerate_range():
