@@ -152,6 +152,46 @@ class FbankConfig:
         return self.sample_rate / 2.0 if self.high_freq == 0.0 else self.high_freq
 
 
+def _mfcc_fbank_default() -> "FbankConfig":
+    # Kaldi MfccOptions defaults: 23 mel bins feed the DCT (not fbank's
+    # 80); MFCC never mean-normalizes the fbank stage itself — CMN (when
+    # requested) applies to the CEPSTRA (MfccConfig.apply_cmn)
+    return FbankConfig(num_mel_bins=23, apply_cmn=False)
+
+
+@dataclasses.dataclass(frozen=True)
+class MfccConfig:
+    """Kaldi-style MFCC config (beyond-parity: the reference crate stops
+    at fbank; production Kaldi/sherpa consumers usually want the
+    cepstra). Defaults mirror Kaldi's ``MfccOptions``: 13 cepstra from
+    23 mel bins, cepstral lifter 22.0.
+
+    ``fbank`` carries the underlying filterbank stage. Its ``apply_cmn``
+    must stay False (MFCC applies CMN to cepstra, not to the fbank);
+    ``use_energy`` is not supported (c0 stays the DCT term, the common
+    modern configuration)."""
+
+    num_ceps: int = 13
+    cepstral_lifter: float = 22.0
+    apply_cmn: bool = True
+    fbank: FbankConfig = dataclasses.field(
+        default_factory=_mfcc_fbank_default)
+
+    def __post_init__(self) -> None:
+        if not 1 <= self.num_ceps <= self.fbank.num_mel_bins:
+            raise ValueError(
+                f"need 1 <= num_ceps <= num_mel_bins (got "
+                f"{self.num_ceps} vs {self.fbank.num_mel_bins})")
+        if self.cepstral_lifter < 0:
+            raise ValueError("cepstral_lifter must be >= 0")
+        if self.fbank.apply_cmn:
+            raise ValueError(
+                "MfccConfig.fbank.apply_cmn must be False: CMN applies "
+                "to the cepstra (MfccConfig.apply_cmn), not the fbank")
+        if self.fbank.use_energy:
+            raise ValueError("use_energy is not supported for MFCC")
+
+
 @dataclasses.dataclass(frozen=True)
 class DetectionSettings:
     """Sobel-edge VAD settings (reference ``src/vad.rs:5-81``).

@@ -10,6 +10,7 @@ from melspec_tpu.config import (
     DetectionSettings,
     FbankConfig,
     MelConfig,
+    MfccConfig,
     VadFrameTiming,
     VoiceActivityTimestamps,
 )
@@ -27,6 +28,7 @@ from melspec_tpu.io.wav import (load_audio, read_wav, read_wav_f32le,
                                 read_wav_mono)
 from melspec_tpu.ops.batch_logmel import BatchLogMel, mel_tensor
 from melspec_tpu.ops.fbank import Fbank
+from melspec_tpu.ops.mfcc import Mfcc
 from melspec_tpu.ops.filterbank import (
     SparseFilterbankView,
     fft_frequencies,
@@ -94,6 +96,8 @@ __all__ = [
     "DetectionSettings",
     "EdgeInfo",
     "Fbank",
+    "Mfcc",
+    "MfccConfig",
     "FbankConfig",
     "MelConfig",
     "MelProjection",
