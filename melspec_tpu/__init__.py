@@ -20,13 +20,14 @@ dense filterbank matmul -> log, fused into one Pallas kernel, with
 data-parallel scale-out via ``shard_map`` over an ICI mesh.
 """
 
-__version__ = "0.3.2"
+__version__ = "0.4.0"
 
 from melspec_tpu.config import (
     BatchLogMelConfig,
     DetectionSettings,
     FbankConfig,
     MelConfig,
+    MfccConfig,
 )
 
 __all__ = [
@@ -34,5 +35,6 @@ __all__ = [
     "DetectionSettings",
     "FbankConfig",
     "MelConfig",
+    "MfccConfig",
     "__version__",
 ]
