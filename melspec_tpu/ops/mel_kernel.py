@@ -25,13 +25,7 @@ blocks are dense and tile-aligned; only log-mel bytes are written back.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Tuple
-
-# TEMPORARY perf-ablation default for the quant epilogue (tools/quant_ab.py
-# passes variants explicitly as a static arg; the env var only sets the
-# default): "", "oldmath", "noreduce", "i32store", "lanes128", "norng"
-_QABL_DEFAULT = os.environ.get("MELSPEC_QUANT_ABLATE", "")
 
 import numpy as np
 import jax
@@ -894,9 +888,9 @@ def _sig_flat_geometry(hop_size: int, k_pad: int, offset: int,
 
     if hop_size < 8 or b % 8 or t % LANES or offset < 0:
         return None
-    # ablation knob (tools/flat_rows_ab.py): MXU rows per tile; 512
-    # measured-best for the plain kernel (see docs/ROADMAP.md)
-    target_rows = int(os.environ.get("MELSPEC_FLAT_ROWS", target_rows))
+    # target_rows (MXU rows per tile) is an explicit argument only —
+    # 512 measured-best for the plain kernel (see docs/ROADMAP.md);
+    # tools/flat_rows_ab.py passes ablation sizes via flat_rows=.
     # frames start at p*hop + offset (matching _sig_window_frames' roll
     # convention); fetches start at the 128-aligned floor and the m0
     # remainder becomes a constant extra lane shift in the assembly
@@ -929,7 +923,8 @@ def _sig_flat_geometry(hop_size: int, k_pad: int, offset: int,
 def sig_effective_frames_tile(fft_size: int, hop_size: int, offset: int,
                               b: int, t: int, phases: int,
                               rows_tile: int,
-                              epilogue: bool = True) -> int:
+                              epilogue: bool = True,
+                              flat_rows: int = 512) -> int:
     """Frames per clip per kernel tile for the given call shape — the
     stride at which the fused-VAD epilogue's counts go stale (its 3x3
     Sobel patch crosses a tile boundary) and the host fix-up must
@@ -938,7 +933,7 @@ def sig_effective_frames_tile(fft_size: int, hop_size: int, offset: int,
     by ``phases * rows_tile``."""
     k_pad = -(-fft_size // LANES) * LANES
     flat = _sig_flat_geometry(hop_size, k_pad, offset, b, t,
-                              epilogue=epilogue)
+                              target_rows=flat_rows, epilogue=epilogue)
     return flat[0] if flat is not None else phases * rows_tile
 
 
@@ -1515,7 +1510,8 @@ def _sig_host_prep(samples: jnp.ndarray, tiles: int, row_w: int,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
                      "mel_precision", "n_mels_out", "out_mode", "guard",
                      "row_w", "phases", "rows_tile", "vad", "pack",
-                     "pack_off", "npack", "quant", "qabl", "input_mode"),
+                     "pack_off", "npack", "quant", "qabl", "input_mode",
+                     "flat_rows"),
 )
 def _pallas_sig_mel(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
@@ -1540,6 +1536,7 @@ def _pallas_sig_mel(
     quant: bool = False,
     qabl: str = "",
     input_mode: str = "auto",
+    flat_rows: int = 512,
 ) -> jnp.ndarray:
     """Whisper log-mel from the raw signal, framing fused into the kernel.
     Returns ``[B, n_frames, n_mels_out or n_mels_pad]`` in natural frame
@@ -1565,6 +1562,7 @@ def _pallas_sig_mel(
     flat = None
     if input_mode != "rows" and not (quant and qabl not in ("", "usemax")):
         flat = _sig_flat_geometry(row_w // phases, k_pad, offset, b, t,
+                                  target_rows=flat_rows,
                                   epilogue=(vad is not None or quant))
     if input_mode == "flat" and flat is None:
         raise ValueError(
@@ -1717,6 +1715,7 @@ def whisper_mel_sig(
     cutoff: int = 2,
     mel_precision="bf2",
     input_mode: str = "auto",
+    flat_rows: int = 512,
 ) -> jnp.ndarray:
     """Whisper log-mel via the signal-input fused kernel (bf3 numerics +
     in-kernel framing). Works for any config ``sig_geometry`` accepts
@@ -1775,7 +1774,7 @@ def whisper_mel_sig(
         n_frames=n_frames, offset=offset, mel_precision=mel_precision,
         n_mels_out=n_mels, row_w=row_w, phases=phases,
         rows_tile=rows_tile, pack=fft_size, npack=npack,
-        input_mode=input_mode,
+        input_mode=input_mode, flat_rows=flat_rows,
     )
     return out[0] if squeeze else out
 
@@ -1791,7 +1790,7 @@ def whisper_mel_quantized(
     ks: int = 3,
     cutoff: int = 2,
     mel_precision="bf2",
-    qabl: str | None = None,
+    qabl: str = "",
 ):
     """Whisper log-mel emitted DIRECTLY as per-frame 8-bit wire records:
     ``(q [B, T, n_mels] uint8, lo [B, T] f32, hi [B, T] f32)``.
@@ -1806,7 +1805,6 @@ def whisper_mel_quantized(
     host fetch) shrink from ``4 * n_mels`` bytes/frame to
     ``n_mels + 8``. Same geometry/accuracy contract as
     ``whisper_mel_sig``; 1-D input returns unbatched arrays."""
-    qabl = _QABL_DEFAULT if qabl is None else qabl
     x = jnp.asarray(samples, jnp.float32)
     squeeze = x.ndim == 1
     if squeeze:

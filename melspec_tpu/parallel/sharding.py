@@ -289,10 +289,13 @@ def sharded_frontend_step(
     # copy.27-30, [64,998,80] {1,2,0} <- {2,1,0}) — pure waste, since
     # the kernels already store natural order and every consumer
     # (host fetch, wire-record packing, reductions) is layout-agnostic.
-    from jax._src.layout import Format, Layout
+    try:
+        from jax.experimental.layout import Format, Layout
 
-    rowmajor3 = Format(Layout(major_to_minor=(0, 1, 2)),
-                       NamedSharding(mesh, spec))
+        rowmajor3 = Format(Layout(major_to_minor=(0, 1, 2)),
+                           NamedSharding(mesh, spec))
+    except ImportError:  # layout API moved: skip the pin, keep sharding
+        rowmajor3 = NamedSharding(mesh, spec)
     out_formats = {
         "mel": rowmajor3,
         "nemo": rowmajor3,

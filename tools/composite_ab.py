@@ -1,15 +1,15 @@
 """Round-4 ablation matrix for the composite frontend step (VERDICT r3
 item 4, target >= 175k x RT at 64x10s = device <= 3.66 ms):
 
-- flat2048: MELSPEC_FLAT_ROWS=2048 doubles the epilogue path's tile
-  (pos_tile 128 -> 256 frames/clip) — amortizes per-tile prologue
-  against VMEM pressure. Set the env var BEFORE running this script;
-  this tool only reports which tile geometry is active.
+- flat2048 (HISTORICAL, round 4): a 2048-row epilogue tile
+  (pos_tile 128 -> 256 frames/clip) measured a wash vs the default —
+  see docs/ROADMAP.md. The env knob that selected it is retired; tile
+  sizes are now the kernels' explicit ``flat_rows`` argument
+  (tools/flat_rows_ab.py sweeps it for the plain kernel).
 - xla_vad: pair kernel WITHOUT the fused VAD epilogue (free to use the
   512-row tile) + classify_columns on the mel in XLA.
 - composite: the shipped step, for the same-session baseline.
 """
-import os
 import sys
 
 sys.path.insert(0, ".")
@@ -36,8 +36,6 @@ def main():
     jax.block_until_ready(xs)
     audio_s = batch * t / SR
 
-    print("MELSPEC_FLAT_ROWS =", os.environ.get("MELSPEC_FLAT_ROWS",
-                                                 "(default)"), flush=True)
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("batch",))
     step = sharded_frontend_step(mesh, DetectionSettings())
     n_valid = jnp.full((batch,), t, jnp.int32)

@@ -1,11 +1,10 @@
-"""Flat-mode tile-size ablation: MXU rows per tile (MELSPEC_FLAT_ROWS)
-for the plain whisper sig kernel at 64x10s, device time. One size per
-process (the jit caches on traced-time geometry):
+"""Flat-mode tile-size ablation: MXU rows per tile (the kernels'
+``flat_rows`` static argument) for the plain whisper sig kernel at
+64x10s, device time. ``flat_rows`` is a real jit cache key, so one
+process can sweep every size:
 
-    for r in 256 512 1024 2048; do
-        MELSPEC_FLAT_ROWS=$r python tools/flat_rows_ab.py; done
+    python tools/flat_rows_ab.py 256 512 1024 2048
 """
-import os
 import sys
 
 sys.path.insert(0, ".")
@@ -26,13 +25,15 @@ def main():
     jax.block_until_ready(xs)
     audio_s = batch * t / SR
 
-    rows = os.environ.get("MELSPEC_FLAT_ROWS", "512(default)")
-    res = devtime(
-        {"sig_flat": lambda x: whisper_mel_sig(x, input_mode="flat")},
-        xs, match="jit_")
-    ms = res["sig_flat"]
-    print(f"rows={rows}: {ms:.3f} ms -> {audio_s/(ms/1e3):,.0f}x RT device",
-          flush=True)
+    sizes = [int(a) for a in sys.argv[1:]] or [256, 512, 1024, 2048]
+    for rows in sizes:
+        res = devtime(
+            {"sig_flat": lambda x: whisper_mel_sig(
+                x, input_mode="flat", flat_rows=rows)},
+            xs, match="jit_")
+        ms = res["sig_flat"]
+        print(f"rows={rows}: {ms:.3f} ms -> "
+              f"{audio_s/(ms/1e3):,.0f}x RT device", flush=True)
 
 
 if __name__ == "__main__":
