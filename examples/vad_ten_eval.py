@@ -38,17 +38,22 @@ def main() -> None:
     ap.add_argument("--fft-size", type=int, default=400)
     ap.add_argument("--hop-size", type=int, default=160)
     ap.add_argument("--n-mels", type=int, default=80)
-    ap.add_argument("--min-energy", type=float, default=0.98)
-    ap.add_argument("--min-y", type=int, default=11)
-    ap.add_argument("--min-x", type=int, default=5)
-    ap.add_argument("--min-mel", type=int, default=2)
+    ap.add_argument("--preset", choices=["balanced", "high-f1"],
+                    default="balanced",
+                    help="published operating point seeding the detector/"
+                         "post-process knobs (reference doc/vad/README.md:"
+                         "73-76); explicit flags below override it")
+    ap.add_argument("--min-energy", type=float, default=None)
+    ap.add_argument("--min-y", type=int, default=None)
+    ap.add_argument("--min-x", type=int, default=None)
+    ap.add_argument("--min-mel", type=int, default=None)
     ap.add_argument("--time-mode", choices=["start", "center", "end"],
                     default="center")
     ap.add_argument("--min-leading-active-columns", type=int, default=1)
     ap.add_argument("--min-active-columns", type=int, default=1)
     ap.add_argument("--min-confidence", type=float, default=0.0)
-    ap.add_argument("--min-speech-ms", type=int, default=150)
-    ap.add_argument("--merge-gap-ms", type=int, default=150)
+    ap.add_argument("--min-speech-ms", type=int, default=None)
+    ap.add_argument("--merge-gap-ms", type=int, default=None)
     ap.add_argument("--max-files", type=int, default=None)
     ap.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu, tpu)")
@@ -62,9 +67,18 @@ def main() -> None:
                     help="print predicted speech timestamp segments per file")
     args = ap.parse_args()
 
+    from melspec_tpu.utils.vad_eval import preset as vad_preset
+
+    p_opts, p_settings = vad_preset(args.preset)
+
+    def pick(flag, preset_val):
+        return preset_val if flag is None else flag
+
     settings = DetectionSettings(
-        min_energy=args.min_energy, min_y=args.min_y,
-        min_x=args.min_x, min_mel=args.min_mel,
+        min_energy=pick(args.min_energy, p_settings.min_energy),
+        min_y=pick(args.min_y, p_settings.min_y),
+        min_x=pick(args.min_x, p_settings.min_x),
+        min_mel=pick(args.min_mel, p_settings.min_mel),
     )
     opts = EvalOptions(
         fft_size=args.fft_size, hop_size=args.hop_size, n_mels=args.n_mels,
@@ -72,19 +86,21 @@ def main() -> None:
         min_leading_active_columns=args.min_leading_active_columns,
         min_active_columns=args.min_active_columns,
         min_confidence=args.min_confidence,
-        min_speech_ms=args.min_speech_ms, merge_gap_ms=args.merge_gap_ms,
+        min_speech_ms=pick(args.min_speech_ms, p_opts.min_speech_ms),
+        merge_gap_ms=pick(args.merge_gap_ms, p_opts.merge_gap_ms),
     )
 
     print(f"testset={args.testset}")
     print(
-        f"settings fft_size={args.fft_size} hop_size={args.hop_size} "
-        f"n_mels={args.n_mels} min_energy={args.min_energy} "
-        f"min_y={args.min_y} min_x={args.min_x} min_mel={args.min_mel} "
-        f"time_mode={args.time_mode}"
+        f"preset={args.preset} fft_size={opts.fft_size} "
+        f"hop_size={opts.hop_size} n_mels={opts.n_mels} "
+        f"min_energy={settings.min_energy} min_y={settings.min_y} "
+        f"min_x={settings.min_x} min_mel={settings.min_mel} "
+        f"time_mode={opts.time_mode}"
     )
     print(
-        f"postprocess min_speech_ms={args.min_speech_ms} "
-        f"merge_gap_ms={args.merge_gap_ms}"
+        f"postprocess min_speech_ms={opts.min_speech_ms} "
+        f"merge_gap_ms={opts.merge_gap_ms}"
     )
     print()
 

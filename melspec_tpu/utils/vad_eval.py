@@ -27,6 +27,32 @@ from melspec_tpu.io.wav import read_wav_mono
 from melspec_tpu.ops.spectrogram import compute_mel_spectrogram
 
 
+def preset(name: str) -> Tuple["EvalOptions", DetectionSettings]:
+    """The reference's two published TEN-VAD operating points
+    (``doc/vad/README.md:73-76``), as ``(EvalOptions, DetectionSettings)``:
+
+    - ``"balanced"`` (the default preset): min_energy=0.98 min_y=11
+      min_x=5 min_mel=2 min_speech=150ms merge_gap=150ms -> macro
+      P 0.8751 / R 0.8785 / F1 0.8566 / FPR 0.3946.
+    - ``"high-f1"`` (recall-leaning sweep winner): min_energy=0.96
+      min_y=8 min_x=5 min_mel=4 min_speech=200ms merge_gap=150ms ->
+      macro P 0.8165 / R 0.9635 / F1 0.8769 / FPR 0.6459. Use when
+      missed speech costs more than extra non-speech audio.
+
+    Both sets of macro digits are test-pinned (tests/test_vad_eval.py)
+    on the vendored 30-file testset.
+    """
+    if name == "balanced":
+        return EvalOptions(), DetectionSettings()
+    if name == "high-f1":
+        return (
+            EvalOptions(min_speech_ms=200, merge_gap_ms=150),
+            DetectionSettings(min_energy=0.96, min_y=8, min_x=5,
+                              min_mel=4),
+        )
+    raise ValueError(f"unknown VAD preset {name!r}: balanced | high-f1")
+
+
 @dataclasses.dataclass
 class EvalOptions:
     fft_size: int = 400
