@@ -920,6 +920,30 @@ def _sig_flat_geometry(hop_size: int, k_pad: int, offset: int,
     return pos_tile, n_classes, stride, fetch_w
 
 
+def _pad_for_flat(x, hop_size: int, k_pad: int, offset: int,
+                  epilogue: bool, flat_rows: int = 512):
+    """Zero-pad ``[B, T]`` into FLAT-framing eligibility (``B % 8 == 0``,
+    ``T % 128 == 0`` — see ``_sig_flat_geometry``) when the padded call
+    would ride the flat path; otherwise return the input untouched.
+
+    Callers slice outputs back to the real batch: padded clips are all
+    zeros, and padded tail samples either sit beyond every real frame's
+    window or read as the same zeros the kernel's clamped tail DMA would
+    have synthesized. This closes the eligibility cliff where e.g. a
+    B=5 caller silently fell back to the (slower) rows mode — the pad is
+    one bounded XLA copy, cheaper than the rows path's whole-input
+    macro-row relayout it replaces."""
+    b, t = x.shape
+    pb, pt = -b % 8, -t % LANES
+    if not (pb or pt):
+        return x
+    if _sig_flat_geometry(hop_size, k_pad, offset, b + pb, t + pt,
+                          target_rows=flat_rows,
+                          epilogue=epilogue) is None:
+        return x
+    return jnp.pad(x, ((0, pb), (0, pt)))
+
+
 def sig_effective_frames_tile(fft_size: int, hop_size: int, offset: int,
                               b: int, t: int, phases: int,
                               rows_tile: int,
@@ -1769,13 +1793,17 @@ def whisper_mel_sig(
     # to be bounded by an HBM budget — the only device tensors are the
     # input and the exact output. The reference's 64 MiB device-batch cap
     # (src/cuda.rs:150-155) guarded the same class of intermediate.
+    b_real = x.shape[0]
+    if input_mode != "rows":
+        x = _pad_for_flat(x, hop_size, -(-fft_size // LANES) * LANES,
+                          offset, epilogue=False, flat_rows=flat_rows)
     out = _pallas_sig_mel(
         x, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
         n_frames=n_frames, offset=offset, mel_precision=mel_precision,
         n_mels_out=n_mels, row_w=row_w, phases=phases,
         rows_tile=rows_tile, pack=fft_size, npack=npack,
         input_mode=input_mode, flat_rows=flat_rows,
-    )
+    )[:b_real]
     return out[0] if squeeze else out
 
 
@@ -1833,6 +1861,10 @@ def whisper_mel_quantized(
     )
     if mel_precision == "bf2":
         mt = mt_bf2
+    b_real = x.shape[0]
+    if qabl in ("", "usemax"):  # ablation variants stay rows-only
+        x = _pad_for_flat(x, hop_size, -(-fft_size // LANES) * LANES,
+                          offset, epilogue=True)
     out = _pallas_sig_mel(
         x, m_big, mt, interpret=interpret, ks=ks, pair_i=pair_i,
         n_frames=n_frames, offset=offset, mel_precision=mel_precision,
@@ -1841,14 +1873,15 @@ def whisper_mel_quantized(
         qabl=qabl,
     )
     if qabl == "norng":  # perf-ablation only: no range output exists
-        q = out[0]
+        q = out[0][:b_real]
         z = jnp.zeros(q.shape[:-1], jnp.float32)
         return (q[0], z[0], z[0]) if squeeze else (q, z, z)
     q, rng = out
+    q = q[:b_real]
     if qabl in ("oldmath", "narrowrng", "fullrng"):
-        lo, hi = rng[..., 0], rng[..., 1]
+        lo, hi = rng[:b_real, ..., 0], rng[:b_real, ..., 1]
     else:
-        lo, hi = rng[:, 0, :], rng[:, 1, :]
+        lo, hi = rng[:b_real, 0, :], rng[:b_real, 1, :]
     return (q[0], lo[0], hi[0]) if squeeze else (q, lo, hi)
 
 
@@ -1942,6 +1975,9 @@ def whisper_mel_vad_sig(
     m_big, pair_i, mt, mt_bf2, _, _, _, npack = _sig_device_matrices(
         fft_size, n_mels, float(sampling_rate), 3, 3, 2
     )
+    b_real = x.shape[0]
+    x = _pad_for_flat(x, hop_size, -(-fft_size // LANES) * LANES,
+                      offset, epilogue=True)
     frames_tile = sig_effective_frames_tile(
         fft_size, hop_size, offset, x.shape[0], x.shape[-1], phases,
         rows_tile,
@@ -1960,6 +1996,7 @@ def whisper_mel_vad_sig(
         rows_tile=rows_tile, settings=settings, bidx=bidx,
         pack=fft_size, npack=npack,
     )
+    mel, raw = mel[:b_real], raw[:b_real]
     return (mel[0], raw[0]) if squeeze else (mel, raw)
 
 

@@ -357,6 +357,9 @@ class WhisperKaldiFused:
     def _run(self, samples, vad):
         from melspec_tpu.ops import framing
 
+        from melspec_tpu.ops.mel_kernel import (LANES, _pad_for_flat,
+                                                sig_effective_frames_tile)
+
         x = jnp.asarray(samples, jnp.float32)
         if x.ndim == 1:
             x = x[None]
@@ -364,14 +367,17 @@ class WhisperKaldiFused:
         n_frames = framing.num_frames_batch(x.shape[-1], mc.fft_size,
                                             mc.hop_size)
         row_w, phases, rows_tile = self._geom
+        b_real = x.shape[0]
+        x = _pad_for_flat(x, mc.hop_size,
+                          -(-mc.fft_size // LANES) * LANES, 0,
+                          epilogue=(vad is not None))
         outs = _pallas_sig_multi(
             x, *self._mbs, *self._mts, interpret=self._interp(), ks=3,
             pair_i=self._pair_i, n_frames=n_frames, row_w=row_w,
             phases=phases, rows_tile=rows_tile, heads=self._heads,
             head_blocks=self._head_blocks, vad=vad, pack=mc.fft_size,
         )
-        from melspec_tpu.ops.mel_kernel import sig_effective_frames_tile
-
+        outs = tuple(o[:b_real] for o in outs)
         eff_tile = sig_effective_frames_tile(
             mc.fft_size, mc.hop_size, 0, x.shape[0], x.shape[-1],
             phases, rows_tile,

@@ -299,8 +299,8 @@ def test_quantized_kernel_matches_xla_quant():
     from melspec_tpu.ops.quant import quantize_frames_jnp
 
     rng = np.random.default_rng(11)
-    # b=2 takes the rows path; b=8 with T % 128 == 0 auto-selects FLAT
-    # input with the quant epilogue's 128-frame tile — both must match
+    # b=2 auto-pads to b=8 and rides FLAT input (round-5 eligibility
+    # pad); b=8 with T % 128 == 0 is natively flat — both must match
     # the XLA quantizer bit-for-bit
     for b in (2, 8):
         x = (rng.normal(size=(b, 16000)) * 0.1).astype(np.float32)
@@ -416,3 +416,55 @@ def test_flat_vs_rows_input_modes_bit_equal():
                                           input_mode="flat",
                                           interpret=True))
         np.testing.assert_array_equal(rows, flat)
+
+
+def test_autopad_into_flat_eligibility():
+    """Round-5 eligibility pad: a ``B % 8 != 0`` / ``T % 128 != 0``
+    caller must ride the FLAT input path via zero-padding instead of
+    silently falling back to rows mode (round 4's cliff:
+    ``_sig_flat_geometry`` returning ``None``). Padded clips are zeros
+    and get sliced off; padded tail samples read as the same zeros the
+    clamped tail DMA would have synthesized — so the auto (padded-flat)
+    output must equal the explicit rows-mode output BIT-FOR-BIT, and the
+    quantized / fused-VAD epilogue variants must keep their established
+    differentials at the ragged batch shape."""
+    from melspec_tpu.ops.mel_kernel import (_pad_for_flat,
+                                            _sig_flat_geometry,
+                                            whisper_mel_quantized,
+                                            whisper_mel_sig,
+                                            whisper_mel_vad_sig)
+    from melspec_tpu.ops.quant import quantize_frames_jnp
+    from melspec_tpu.ops.vad import DetectionSettings, classify_columns
+
+    rng = np.random.default_rng(23)
+    x = (rng.normal(size=(5, 15900)) * 0.2).astype(np.float32)
+
+    # the pad helper itself: (5, 15900) -> (8, 16000), flat-eligible,
+    # real samples untouched, pad region all zeros
+    xp = np.asarray(_pad_for_flat(jnp.asarray(x), 160, 512, 0,
+                                  epilogue=False))
+    assert xp.shape == (8, 16000)
+    assert _sig_flat_geometry(160, 512, 0, 8, 16000) is not None
+    np.testing.assert_array_equal(xp[:5, :15900], x)
+    assert not xp[5:].any() and not xp[:, 15900:].any()
+
+    rows = np.asarray(whisper_mel_sig(x, input_mode="rows",
+                                      interpret=True))
+    auto = np.asarray(whisper_mel_sig(x, interpret=True))
+    assert auto.shape == rows.shape and auto.shape[0] == 5
+    np.testing.assert_array_equal(rows, auto)
+
+    q, lo, hi = whisper_mel_quantized(x, interpret=True)
+    q_ref, lo_ref, hi_ref = quantize_frames_jnp(jnp.asarray(rows))
+    assert q.shape == (5,) + rows.shape[1:]
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo_ref))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_ref))
+
+    settings = DetectionSettings()
+    mel, raw = whisper_mel_vad_sig(x, settings, interpret=True)
+    assert mel.shape[0] == raw.shape[0] == 5
+    np.testing.assert_array_equal(np.asarray(mel), rows)
+    want = classify_columns(jnp.swapaxes(jnp.asarray(rows), -1, -2),
+                            settings)
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(want))

@@ -79,3 +79,31 @@ def test_fused_flat_path_batch8_matches_single_heads(jfk_samples):
                                 settings)
     np.testing.assert_array_equal(np.asarray(raw), np.asarray(want_raw))
     assert fbank.shape == mel.shape
+
+
+def test_fused_ragged_batch_autopads_into_flat(jfk_samples):
+    """Round-5 eligibility pad on the multihead route: b=5 / T ragged
+    must zero-pad into the FLAT path (not silently ride rows mode) and
+    slice every head's output back to the real batch, equal to the
+    well-aligned call on the same real clips."""
+    t = 15900  # T % 128 != 0, b % 8 != 0
+    base = np.asarray(jfk_samples)[:t]
+    x = np.stack([np.roll(base, 997 * i) for i in range(5)]).astype(
+        np.float32)
+
+    fused = WhisperKaldiFused(interpret=True)
+    settings = DetectionSettings()
+    mel, fbank, raw = fused.compute_with_vad(jnp.asarray(x), settings)
+    assert mel.shape[0] == fbank.shape[0] == raw.shape[0] == 5
+
+    want_mel = whisper_mel_sig(x, 400, 160, 80, 16000.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mel), np.asarray(want_mel))
+    mel2, fbank2 = fused.compute(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(mel2), np.asarray(mel))
+    # the VAD-epilogue kernel variant tiles frames differently, which
+    # perturbs the fbank head's f32 dot at ~1e-6 (pre-existing between
+    # the two routes, independent of the pad); the established fbank
+    # differential bar is 2e-4 (test_fused_matches_single_head_kernels)
+    assert np.abs(np.asarray(fbank2) - np.asarray(fbank)).max() < 1e-5
+    want_fbank = Fbank(FbankConfig(apply_cmn=True), fft_impl="sig").compute(x)
+    assert np.abs(np.asarray(fbank) - np.asarray(want_fbank)).max() < 2e-4
