@@ -344,7 +344,10 @@ class StreamServer:
         """One serving tick: drain ready slots, bulk-push, reply."""
         hop, hops = self.ingest_hop, self.hops
         need = hop * hops
-        chunks = np.zeros((self.n_streams, hops, hop), dtype=np.float32)
+        # flat [S, hops*hop] chunk layout — the frontend's fast path
+        # (a 3D device input pays a retiling copy before the signal
+        # concat; push_many accepts both)
+        chunks = np.zeros((self.n_streams, need), dtype=np.float32)
         active = np.zeros(self.n_streams, dtype=bool)
         ticked: list[tuple[int, _Slot, int]] = []  # (slot idx, slot, hops)
         rings: list[SampleRing | None] = [None] * self.n_streams
@@ -393,8 +396,8 @@ class StreamServer:
                         # drain remaining full hops; the < hop leftover is
                         # never processed (reference src/rb.rs:108-110)
                         k = min(hops, avail // hop)
-                        got = slot.ring.pop(k * hop).reshape(k, hop)
-                        chunks[i, :k] = got
+                        got = slot.ring.pop(k * hop)
+                        chunks[i, : k * hop] = got
                         active[i] = True
                         ticked.append((i, slot, k))
                     else:
@@ -415,8 +418,7 @@ class StreamServer:
                 # all full-tick slots drain in ONE native call (avail was
                 # checked under this lock and only the recv thread adds,
                 # so the exact pops cannot fail)
-                ok = pop_many(rings, need,
-                              chunks.reshape(self.n_streams, need))
+                ok = pop_many(rings, need, chunks)
                 for i, r in enumerate(rings):
                     if r is None or ok[i]:
                         continue

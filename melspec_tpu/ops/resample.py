@@ -179,6 +179,149 @@ def _phase_matrix_cast(up: int, down: int, beta: float,
     return g, r_lo
 
 
+def kernel_block_m(up: int, down: int) -> int:
+    """Lane-block count the Pallas resample kernel uses for this
+    (gcd-reduced) ratio: the smallest ``m`` whose window stride
+    ``m*down`` is a 128-lane multiple (so slab DMA offsets and the
+    in-VMEM ``[rows, stride]`` window reshape stay aligned) and whose
+    ``m*up`` output channels fill the MXU's output lanes."""
+    m = 128 // math.gcd(down, 128)
+    while m * up < 128:
+        m *= 2
+    return m
+
+
+def resample_kernel_geometry(up: int, down: int, q: int,
+                             beta: float = 5.0):
+    """Geometry for :func:`pallas_resample`, or ``None`` when this
+    (ratio, window count) cannot ride the kernel: returns
+    ``(m, stride, kb, nblk, ch, q_tile)``.
+
+    Eligibility: the blocked window count ``q/m`` must be whole, and the
+    concatenated block matrix must stay a sane VMEM resident (rejects
+    e.g. 44.1 k's 441-sample hop, whose 128-aligned blocking would need
+    a [56448, 40960] matrix — that ratio keeps the strided-conv path)."""
+    m = kernel_block_m(up, down)
+    if q % m:
+        return None
+    g_np, _ = _phase_matrix(up, down, beta, m)
+    kb = g_np.shape[0]
+    stride = m * down
+    nblk = -(-kb // stride)
+    ch = m * up
+    if stride * nblk * ch * 4 > (2 << 20):  # gcat must live in VMEM
+        return None
+    big_q = q // m
+    q_tile = 1
+    cap = min(128, big_q, (3 << 20) // (64 * stride))
+    for d in range(cap, 0, -1):
+        if big_q % d == 0:
+            q_tile = d
+            break
+    return m, stride, kb, nblk, ch, q_tile
+
+
+def pallas_resample(sig: jnp.ndarray, up: int, down: int, q: int,
+                    beta: float = 5.0,
+                    precision=None,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Polyphase resampling of ``sig [S, T]`` as ONE Pallas kernel:
+    double-buffered contiguous slab DMA -> in-VMEM window reshape -> one
+    MXU dot against the column-concatenated block matrices -> shifted
+    block add, ``[S, q*up]`` out.
+
+    Exists because every XLA formulation of the strided window pays a
+    full-signal relayout: the strided conv measured 3.6 ms device at the
+    256-stream serving tick, and the op-level trace of the best matmul
+    rewrite (1.65-2.5 ms) shows ~1.7 ms of pure ``copy``/``slice`` —
+    XLA must retile ``[S, T]`` to a ``[S, Q, stride]`` minor-dim layout
+    before any dot (tools/resample_probe3.py). The kernel reads the raw
+    signal once, assembles windows in VMEM for free, and writes exactly
+    the output: ~0.35 ms of HBM traffic + the dot.
+
+    Requirements (caller falls back to the conv path otherwise):
+    ``S % 8 == 0``, a :func:`resample_kernel_geometry` hit, and
+    ``T >= (q/m + nblk - 1) * stride``. Window ``w`` covers
+    ``sig[:, w*down : w*down + kb]`` — the same grid as the conv path,
+    so outputs are interchangeable (same tap dots; f32 accumulation
+    order differs only by the zero-padded gcat rows, which add exact
+    zeros)."""
+    geom = resample_kernel_geometry(up, down, q, beta)
+    if geom is None:
+        raise ValueError("no kernel geometry — use the conv path")
+    m, stride, kb, nblk, ch, q_tile = geom
+    s_all, t_src = sig.shape
+    if s_all % 8:
+        raise ValueError("pallas_resample needs S % 8 == 0")
+    big_q = q // m
+    n_s, n_t = s_all // 8, big_q // q_tile
+    slab_w = (q_tile + nblk - 1) * stride
+    if t_src < (big_q + nblk - 1) * stride:
+        raise ValueError("signal shorter than the kernel's slab grid")
+
+    g_np, _ = _phase_matrix(up, down, beta, m)
+    gcat = np.zeros((stride, nblk * ch), np.float64)
+    for b in range(nblk):
+        rows = min(stride, kb - b * stride)
+        gcat[:rows, b * ch : (b + 1) * ch] = g_np[b * stride :
+                                                  b * stride + rows]
+    gcat = jnp.asarray(gcat, jnp.float32)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a_rows = q_tile + nblk - 1
+
+    def kernel(sig_ref, gcat_ref, out_ref, slab, sems):
+        s = pl.program_id(0)
+        t = pl.program_id(1)
+        n_tt = pl.num_programs(1)
+        slot = (s * n_tt + t) % 2
+
+        def dma(ss, tt, sl):
+            return pltpu.make_async_copy(
+                sig_ref.at[pl.ds(ss * 8, 8),
+                           pl.ds(tt * (q_tile * stride), slab_w)],
+                slab.at[sl], sems.at[sl],
+            )
+
+        @pl.when((s == 0) & (t == 0))
+        def _():
+            dma(0, 0, 0).start()
+
+        nxt = s * n_tt + t + 1
+
+        @pl.when(nxt < pl.num_programs(0) * n_tt)
+        def _():
+            dma(nxt // n_tt, nxt % n_tt, (slot + 1) % 2).start()
+
+        dma(s, t, slot).wait()
+        x3 = slab[slot].reshape(8 * a_rows, stride)
+        z = jax.lax.dot_general(
+            x3, gcat_ref[:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ).reshape(8, a_rows, nblk * ch)
+        y = z[:, :q_tile, :ch]
+        for b in range(1, nblk):
+            y = y + z[:, b : b + q_tile, b * ch : (b + 1) * ch]
+        out_ref[:] = y.reshape(8, q_tile * ch)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_s, n_t),
+        out_shape=jax.ShapeDtypeStruct((s_all, big_q * ch), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, q_tile * ch), lambda s, t: (s, t)),
+        scratch_shapes=[pltpu.VMEM((2, 8, slab_w), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(sig, gcat)
+    return out  # [S, q*up]
+
+
 def resample_output_len(n_in: int, up: int, down: int) -> int:
     """``ceil(n_in * up / down)`` after gcd reduction (scipy's rule)."""
     g = math.gcd(up, down)

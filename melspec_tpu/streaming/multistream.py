@@ -152,6 +152,20 @@ class MultiStreamMel:
                   active: jnp.ndarray):
         return self.step(state, chunks, active)
 
+    def _flat_chunks(self, chunks: jnp.ndarray):
+        """Normalize bulk chunks to ``(flat [S, H*hop], H)``. Flat is
+        the serving fast path: a ``[S, H, hop]`` DEVICE array has a
+        minor-dim tiling the ``[S, T]`` signal concat cannot reuse, so
+        XLA retiles (copies) the whole tick input — measured 0.7 ms of
+        the 256x500-hop source-rate tick (tools/resample_probe4.py).
+        Flat in, that copy never exists; 3D still accepted everywhere
+        for the reference-shaped API."""
+        hop = self.config.hop_size
+        if chunks.ndim == 3:
+            s, h = chunks.shape[:2]
+            return chunks.reshape(s, h * hop), h
+        return chunks, chunks.shape[-1] // hop
+
     @functools.partial(jax.jit, static_argnums=0)
     def _push_many_both_jit(self, state: MultiStreamState,
                             chunks: jnp.ndarray, active: jnp.ndarray):
@@ -184,7 +198,8 @@ class MultiStreamMel:
 
             hop = self.config.hop_size
             fft = self.config.fft_size
-            s, h = chunks.shape[:2]
+            chunks, h = self._flat_chunks(chunks)
+            s = chunks.shape[0]
             # right-pad T to a 128-multiple inside the SAME concat (no
             # extra copy): makes the bulk flat-input-eligible
             # (mel_kernel._sig_flat_geometry needs T % 128 == 0), which
@@ -193,8 +208,7 @@ class MultiStreamMel:
             # nothing; the hop_buf slice below ends at h*hop + fft <= T.
             t_raw = fft + h * hop
             pad = (-t_raw) % 128
-            parts = [state.hop_buf,
-                     chunks.reshape(s, h * hop).astype(self.dtype)]
+            parts = [state.hop_buf, chunks.astype(self.dtype)]
             if pad:
                 parts.append(jnp.zeros((s, pad), self.dtype))
             signal = jnp.concatenate(parts, axis=1)
@@ -233,10 +247,9 @@ class MultiStreamMel:
 
         hop = self.config.hop_size
         fft = self.config.fft_size
-        s, h = chunks.shape[:2]
+        chunks, h = self._flat_chunks(chunks)
         signal = jnp.concatenate(
-            [state.hop_buf, chunks.reshape(s, h * hop).astype(self.dtype)],
-            axis=1,
+            [state.hop_buf, chunks.astype(self.dtype)], axis=1,
         )
         frames = _framing.frame_signal(signal, fft, hop, h, offset=hop)
         log_mel = log_mel_from_power(self._power(frames),
@@ -258,6 +271,11 @@ class MultiStreamMel:
                         active: jnp.ndarray):
         """Per-hop lax.scan reference path (differential testing + the
         bench baseline the bulk path is measured against)."""
+        if chunks.ndim == 2:  # flat bulk layout -> per-hop steps
+            flat, h = self._flat_chunks(chunks)
+            chunks = flat.reshape(chunks.shape[0], h,
+                                  self.config.hop_size)
+
         def body(carry, chunk):
             carry, mels, valid = self.step(carry, chunk, active)
             return carry, (mels, valid)
@@ -270,15 +288,24 @@ class MultiStreamMel:
     def push_many(self, state: MultiStreamState, chunks, active=None,
                   scan: bool = False
                   ) -> Tuple[MultiStreamState, np.ndarray, np.ndarray]:
-        """Push ``[S, H, hop]`` chunks (H hops per stream) in one dispatch;
-        returns ``(state, mels [S, H, n_mels], valid [S, H])``. ``active``
-        is per-stream: inactive streams keep their state and emit only
-        invalid frames."""
+        """Push ``H`` hops per stream in one dispatch — ``[S, H, hop]``
+        or the flat fast-path layout ``[S, H*hop]`` (see
+        ``_flat_chunks``); returns ``(state, mels [S, H, n_mels],
+        valid [S, H])``. ``active`` is per-stream: inactive streams keep
+        their state and emit only invalid frames."""
         chunks = jnp.asarray(chunks, self.dtype)
-        if chunks.ndim != 3 or chunks.shape[0] != self.n_streams \
-                or chunks.shape[2] != self.config.hop_size:
-            raise ValueError("chunks must be [n_streams, n_hops, hop_size]")
-        if chunks.shape[1] == 0:  # empty push is a no-op on both paths
+        hop = self.config.hop_size
+        ok = (chunks.shape[0] == self.n_streams) and (
+            (chunks.ndim == 3 and chunks.shape[2] == hop)
+            or (chunks.ndim == 2 and chunks.shape[1] % hop == 0)
+        )
+        if not ok:
+            raise ValueError(
+                "chunks must be [n_streams, n_hops, hop_size] or flat "
+                "[n_streams, n_hops*hop_size]")
+        n_hops = (chunks.shape[1] if chunks.ndim == 3
+                  else chunks.shape[1] // hop)
+        if n_hops == 0:  # empty push is a no-op on both paths
             return (state,
                     np.zeros((self.n_streams, 0, self.config.n_mels),
                              np.float32),

@@ -66,13 +66,27 @@ class MultiStreamResampler:
     """
 
     def __init__(self, up: int, down: int, n_streams: int = 16,
-                 align: int = 1, beta: float = 5.0):
+                 align: int = 1, beta: float = 5.0, impl: str = "auto"):
         g = math.gcd(up, down)
         up, down = up // g, down // g
         if up == down:
             raise ValueError("identity ratio: no resampler needed")
         if align < 1:
             raise ValueError("align must be >= 1")
+        if impl not in ("auto", "conv", "frames", "kernel"):
+            raise ValueError(
+                "impl must be 'auto', 'conv', 'frames' or 'kernel'")
+        # "kernel": the Pallas slab-DMA resampler (ops.resample.
+        # pallas_resample) — every XLA formulation of the strided window
+        # (conv, framed matmul, block matmul) pays a full-signal
+        # relayout copy before the dot (~1.7 ms of the conv's 3.6 ms
+        # device at the 256x500-hop tick; tools/resample_probe3.py),
+        # which the kernel's in-VMEM window assembly avoids entirely.
+        # "frames" (framed matmul) and "conv" (strided conv) remain as
+        # the measured XLA alternatives and the fallback. "auto"
+        # resolves at step time: kernel when the geometry qualifies and
+        # an MXU backend is live, else conv.
+        self.impl = impl
         self.up, self.down = up, down
         self.n_streams = n_streams
         self.beta = float(beta)
@@ -84,6 +98,21 @@ class MultiStreamResampler:
         step = align // math.gcd(up, align)  # n_spur granularity for
         # n_spur*up ≡ 0 (mod align)
         min_spur = max(0, -(-(self._k - down - pad_left) // down))
+        if impl in ("auto", "kernel"):
+            # the Pallas kernel's slab grid reads (nblk-1)*stride
+            # samples past the last chunk boundary; carry enough tail
+            # that the slab never overruns the concat. Growing n_spur by
+            # whole `step`s preserves every grid/alignment invariant
+            # (it only lengthens the documented spurious warm-up).
+            from melspec_tpu.ops.resample import (kernel_block_m,
+                                                  resample_kernel_geometry)
+
+            m = kernel_block_m(up, down)
+            geom = resample_kernel_geometry(up, down, m, beta)
+            if geom is not None:
+                _, stride, kb, nblk, _, _ = geom
+                need = (nblk - 1) * stride
+                min_spur = max(min_spur, -(-(need - pad_left) // down))
         n_spur = -(-min_spur // step) * step
         self._len = pad_left + n_spur * down
         self.spurious_out = n_spur * up
@@ -130,22 +159,66 @@ class MultiStreamResampler:
         m = self._block_m(q)
         g_np, _ = _phase_matrix(self.up, self.down, self.beta, m)
         kb = g_np.shape[0]                  # (m-1)*down + K
+        stride = m * self.down
         sig = jnp.concatenate([state.buf, chunks.astype(jnp.float32)],
                               axis=-1)
-        # conv positions j cover windows [j*m, (j+1)*m); last window ends
-        # at (q-1)*down + K == needed, and needed <= L + n because the
-        # state length guarantees L >= K - down
-        needed = (q // m - 1) * (m * self.down) + kb
-        lhs = sig[:, None, :needed]                        # [S, 1, T]
-        rhs = jnp.asarray(g_np.T[:, None, :], jnp.float32)  # [up*m, 1, K']
-        y = jax.lax.conv_general_dilated(
-            lhs, rhs, window_strides=(m * self.down,), padding=[(0, 0)],
-            dimension_numbers=("NCW", "OIW", "NCW"),
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                  # [S, up*m, q/m]
-        # channel b*up + p of position j is output sample (j*m+b)*up + p:
-        # transpose+reshape restores consecutive output order
-        y = jnp.swapaxes(y, -1, -2).reshape(sig.shape[0], q * self.up)
+        impl = self.impl
+        if impl in ("auto", "kernel"):
+            from melspec_tpu.ops.resample import resample_kernel_geometry
+
+            backend_ok = jax.default_backend() in ("tpu", "gpu")
+            eligible = (
+                sig.shape[0] % 8 == 0
+                and resample_kernel_geometry(self.up, self.down, q,
+                                             self.beta) is not None
+            )
+            if impl == "kernel" and not eligible:
+                raise ValueError(
+                    "impl='kernel': no Pallas geometry for this "
+                    "(ratio, chunk, n_streams) — use 'auto' to fall "
+                    "back to the conv path")
+            if impl == "kernel" or (eligible and backend_ok):
+                from melspec_tpu.ops.resample import pallas_resample
+
+                y = pallas_resample(sig, self.up, self.down, q,
+                                    self.beta,
+                                    interpret=not backend_ok)
+                new_buf = jnp.where(active[:, None], sig[:, n:],
+                                    state.buf)
+                return MultiResampleState(new_buf), y
+            impl = "conv"
+        if impl == "frames":
+            from melspec_tpu.ops import framing
+
+            qm = q // m
+            kb_pad = -(-kb // 128) * 128
+            needed = (qm - 1) * stride + kb_pad
+            pad = max(0, needed - sig.shape[-1])
+            sigp = jnp.pad(sig, ((0, 0), (0, pad))) if pad else sig
+            frames = framing.frame_signal(sigp, kb_pad, stride, qm)
+            rhs = jnp.asarray(
+                np.pad(g_np, ((0, kb_pad - kb), (0, 0))), jnp.float32
+            )                                              # [kb_pad, up*m]
+            # padded tap rows are exact zeros — the extra window samples
+            # (real future signal or the right zero pad) multiply them
+            y = jnp.matmul(frames, rhs,
+                           precision=jax.lax.Precision.HIGHEST)
+            y = y.reshape(sig.shape[0], q * self.up)
+        else:
+            # conv positions j cover windows [j*m, (j+1)*m); last window
+            # ends at (q-1)*down + K == needed, and needed <= L + n
+            # because the state length guarantees L >= K - down
+            needed = (q // m - 1) * stride + kb
+            lhs = sig[:, None, :needed]                    # [S, 1, T]
+            rhs = jnp.asarray(g_np.T[:, None, :], jnp.float32)
+            y = jax.lax.conv_general_dilated(
+                lhs, rhs, window_strides=(stride,), padding=[(0, 0)],
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                precision=jax.lax.Precision.HIGHEST,
+            )                                              # [S, up*m, q/m]
+            # channel b*up + p of position j is output sample
+            # (j*m+b)*up + p: transpose+reshape restores output order
+            y = jnp.swapaxes(y, -1, -2).reshape(sig.shape[0], q * self.up)
         new_buf = jnp.where(active[:, None], sig[:, n:], state.buf)
         return MultiResampleState(new_buf), y
 

@@ -231,11 +231,19 @@ class MultiStreamFrontend:
 
     def push_many(self, state: FrontendState, chunks, active=None):
         chunks = jnp.asarray(chunks, self.mel.dtype)
-        if chunks.ndim != 3 or chunks.shape[0] != self.n_streams \
-                or chunks.shape[2] != self.config.hop_size:
-            raise ValueError("chunks must be [n_streams, n_hops, hop_size]")
+        hop = self.config.hop_size
+        ok = (chunks.shape[0] == self.n_streams) and (
+            (chunks.ndim == 3 and chunks.shape[2] == hop)
+            or (chunks.ndim == 2 and chunks.shape[1] % hop == 0)
+        )
+        if not ok:
+            raise ValueError(
+                "chunks must be [n_streams, n_hops, hop_size] or flat "
+                "[n_streams, n_hops*hop_size]")
         n_mels = self.config.n_mels
-        if chunks.shape[1] == 0:
+        n_hops = (chunks.shape[1] if chunks.ndim == 3
+                  else chunks.shape[1] // hop)
+        if n_hops == 0:
             z = np.zeros((self.n_streams, 0), np.float32)
             return (state, np.zeros((self.n_streams, 0, n_mels), np.uint8),
                     z, z, z.astype(bool), z.astype(bool))
@@ -294,7 +302,8 @@ class SourceRateFrontend:
                  n_streams: int = 16, input_rate: int = 48000,
                  settings: DetectionSettings = DetectionSettings(),
                  dtype=jnp.float32, fft_impl: str = "rdft",
-                 record_norm: str = "whisper", beta: float = 5.0):
+                 record_norm: str = "whisper", beta: float = 5.0,
+                 resample_impl: str = "auto"):
         from melspec_tpu.ops.resample import validate_ratio
         from melspec_tpu.streaming.resample import MultiStreamResampler
 
@@ -314,7 +323,7 @@ class SourceRateFrontend:
         self.front = MultiStreamFrontend(config, n_streams, settings,
                                          dtype, fft_impl, record_norm)
         self.rs = MultiStreamResampler(up, down, n_streams, align=hop,
-                                       beta=beta)
+                                       beta=beta, impl=resample_impl)
         assert self.rs.spurious_out % hop == 0
         self.config = config
         self.n_streams = n_streams
@@ -338,23 +347,31 @@ class SourceRateFrontend:
     @functools.partial(jax.jit, static_argnums=0)
     def _tick_jit(self, state: SourceRateState, chunks: jnp.ndarray,
                   active: jnp.ndarray):
-        s, h, _ = chunks.shape
-        rstate, y = self.rs.step(state.rs,
-                                 chunks.reshape(s, h * self.hop_src),
-                                 active)
-        chunks16 = y.reshape(s, h, self.config.hop_size)
+        # flat end-to-end: the resampler consumes the flat source signal
+        # and its flat output feeds the mel stage's signal concat
+        # directly — no [S, H, hop] layout ever exists on device (each
+        # 3D<->flat retiling measured ~0.7 ms of the 256x500-hop tick,
+        # tools/resample_probe4.py)
+        if chunks.ndim == 3:
+            chunks = chunks.reshape(chunks.shape[0], -1)
+        rstate, y = self.rs.step(state.rs, chunks, active)
         fstate, q, lo, hi, va, valid = self.front._tick_jit(
-            state.fe, chunks16, active
+            state.fe, y, active
         )
         return SourceRateState(rstate, fstate), q, lo, hi, va, valid
 
     def push_many(self, state: SourceRateState, chunks, active=None):
         chunks = jnp.asarray(chunks, jnp.float32)
-        if chunks.ndim != 3 or chunks.shape[0] != self.n_streams \
-                or chunks.shape[2] != self.hop_src:
+        ok = (chunks.shape[0] == self.n_streams) and (
+            (chunks.ndim == 3 and chunks.shape[2] == self.hop_src)
+            or (chunks.ndim == 2 and chunks.shape[1] % self.hop_src == 0)
+        )
+        if not ok:
             raise ValueError(
-                f"chunks must be [n_streams, n_hops, {self.hop_src}]")
-        h = chunks.shape[1]
+                f"chunks must be [n_streams, n_hops, {self.hop_src}] or "
+                f"flat [n_streams, n_hops*{self.hop_src}]")
+        h = (chunks.shape[1] if chunks.ndim == 3
+             else chunks.shape[1] // self.hop_src)
         n_mels = self.config.n_mels
         if h == 0:
             z = np.zeros((self.n_streams, 0), np.float32)

@@ -187,3 +187,32 @@ def test_sig_instance_rejects_per_hop_paths():
     state, mels, valid = multi.push_many(
         state, np.zeros((2, 3, 160), np.float32))
     assert mels.shape == (2, 3, 80)
+
+
+def test_flat_chunk_layout_matches_3d(jfk_samples):
+    """The flat fast-path bulk layout ([S, H*hop] — the device never
+    holds a [S, H, hop] tensor, killing the tick's retiling copy,
+    tools/resample_probe4.py) must be bit-identical to the 3D API on
+    the rdft bulk path, the scan path, and the composed serving tick."""
+    from melspec_tpu.config import DetectionSettings, MelConfig
+    from melspec_tpu.streaming.serving import MultiStreamFrontend
+
+    cfg = MelConfig(400, 160, 80, 16000.0)
+    s, h = 3, 12
+    x = np.tile(np.asarray(jfk_samples)[: h * 160].reshape(1, -1),
+                (s, 1)).astype(np.float32)
+    x3 = x.reshape(s, h, 160)
+
+    multi = MultiStreamMel(cfg, s)
+    for scan in (False, True):
+        st0 = multi.init()
+        _, mels_a, valid_a = multi.push_many(st0, x3, scan=scan)
+        _, mels_b, valid_b = multi.push_many(st0, x, scan=scan)
+        np.testing.assert_array_equal(mels_a, mels_b)
+        np.testing.assert_array_equal(valid_a, valid_b)
+
+    front = MultiStreamFrontend(cfg, s, DetectionSettings())
+    out_a = front.push_many(front.init(), x3)
+    out_b = front.push_many(front.init(), x)
+    for a, b in zip(out_a[1:], out_b[1:]):
+        np.testing.assert_array_equal(a, b)

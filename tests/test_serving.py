@@ -240,9 +240,11 @@ def test_multistream_resampler_prefix_parity_and_reset():
     from melspec_tpu.streaming.resample import MultiStreamResampler
 
     rng = np.random.default_rng(11)
-    for up, down in [(1, 3), (160, 441), (2, 1)]:
+    for (up, down), impl in [((1, 3), "auto"), ((160, 441), "auto"),
+                             ((2, 1), "auto"), ((1, 3), "frames"),
+                             ((2, 1), "frames"), ((160, 441), "frames")]:
         s = 3
-        mr = MultiStreamResampler(up, down, s, align=160)
+        mr = MultiStreamResampler(up, down, s, align=160, impl=impl)
         assert mr.spurious_out % 160 == 0 and mr.spurious_out > 0
         state = mr.init()
         streams = [(rng.normal(size=down * 720) * 0.3).astype(np.float32)
@@ -278,6 +280,42 @@ def test_multistream_resampler_prefix_parity_and_reset():
         mr.push(mr.init(), np.zeros((2, 100), np.float32))
     with pytest.raises(ValueError, match="n_streams"):
         mr.push(mr.init(), np.zeros((3, 99), np.float32))
+
+
+def test_multistream_resampler_pallas_kernel_parity():
+    """impl='kernel' (the Pallas slab-DMA resampler, interpret mode in
+    CI) == the host StreamingResampler after each instance's own
+    spurious prefix, across down-, up- and non-bumped-warm-up ratios;
+    ineligible shapes raise instead of silently degrading."""
+    from melspec_tpu.ops.resample import StreamingResampler
+    from melspec_tpu.streaming.resample import MultiStreamResampler
+
+    rng = np.random.default_rng(5)
+    for up, down in [(1, 3), (2, 1), (1, 2)]:
+        s = 8  # kernel needs S % 8 == 0
+        mr = MultiStreamResampler(up, down, s, align=160, impl="kernel")
+        n = down * 128 * 4  # q = 512: a 128-multiple window count
+        stream = (rng.normal(size=(s, 2 * n)) * 0.3).astype(np.float32)
+        state = mr.init()
+        outs = []
+        for t in range(2):
+            state, y = mr.push(state, stream[:, t * n : (t + 1) * n])
+            outs.append(y)
+        got = np.concatenate(outs, axis=-1)[:, mr.spurious_out :]
+        for i in range(s):
+            ref = StreamingResampler(up, down).push(stream[i])
+            m = min(got.shape[1], len(ref))
+            assert m > 0
+            np.testing.assert_allclose(got[i, :m], ref[:m], atol=2e-6)
+
+    # 44.1 k: the 441-sample stride has no sane kernel geometry
+    mr = MultiStreamResampler(160, 441, 8, align=160, impl="kernel")
+    with pytest.raises(ValueError, match="no Pallas geometry"):
+        mr.push(mr.init(), np.zeros((8, 441 * 128), np.float32))
+    # ragged q (not a 128-multiple of windows) is ineligible too
+    mr = MultiStreamResampler(1, 3, 8, align=160, impl="kernel")
+    with pytest.raises(ValueError, match="no Pallas geometry"):
+        mr.push(mr.init(), np.zeros((8, 3 * 100), np.float32))
 
 
 def test_source_rate_frontend_matches_host_resampled_pipeline():
