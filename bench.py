@@ -146,6 +146,8 @@ _SANITY_BOUNDS = {
     "multistream_bulk_sig_256sx500h": ["pallas_sig_256x10s"],
     # the composite step CONTAINS the whisper sig kernel (multi-head)
     "frontend_step_64x10s": ["pallas_sig_64x10s"],
+    # 128 mels strictly widens the 80-mel kernel's projection
+    "pallas_sig128_64x10s": ["pallas_sig_64x10s"],
     "serving_tick_full_256sx500h": ["multistream_bulk_256sx500h",
                                     "multistream_bulk_sig_256sx500h"],
     "serving_tick_src48_256sx500h": ["serving_tick_full_256sx500h"],
@@ -463,6 +465,32 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"frontend_step failed: {e!r}"[:300], file=sys.stderr)
 
+            # whisper large-v3's 128-mel named config (WHISPER_LARGE_V3)
+            # on the headline sig kernel: 128 mels is exactly one output
+            # lane tile, so this width should hold the headline class
+            if time.perf_counter() - started > BUDGET_S:
+                print("bench budget exhausted; skipping 128-mel row",
+                      file=sys.stderr)
+                raise _BudgetDone
+            try:
+                from melspec_tpu.config import WHISPER_LARGE_V3 as _V3
+                from melspec_tpu.ops.mel_kernel import whisper_mel_sig \
+                    as _sig128
+
+                f128 = lambda x: _sig128(  # noqa: E731
+                    x, _V3.fft_size, _V3.hop_size, _V3.n_mels,
+                    _V3.sampling_rate)
+                wall = _bench(f128, xs, iters=8)
+                wall, rtfx = _sanity_recheck("pallas_sig128_64x10s",
+                                             f128, xs, wall, audio_s,
+                                             results)
+                results["pallas_sig128_64x10s"] = round(rtfx, 1)
+                print(f"pallas_sig128 64x10s: {wall*1e3:.2f} ms -> "
+                      f"{rtfx:,.0f}x RT", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"pallas_sig128 failed: {e!r}"[:300],
+                      file=sys.stderr)
+
             # multistream serving at production scale (256 streams x 500
             # hops = 1,280 s of audio per dispatch — small configs are
             # dispatch-floor-bound through the tunnel and say nothing):
@@ -489,7 +517,11 @@ def main() -> None:
                                         n_s)
             fstate = front.init()
             active = jnp.ones(n_s, dtype=bool)
-            ms_xs = [jax.random.normal(k, (n_s, n_h, 160), jnp.float32) * 0.1
+            # flat [S, H*hop] chunk layout: the serving fast path (a
+            # 3D [S, H, hop] device input forces a retiling copy before
+            # the signal concat — tools/resample_probe4.py)
+            ms_xs = [jax.random.normal(k, (n_s, n_h * 160),
+                                       jnp.float32) * 0.1
                      for k in jax.random.split(key, 3)]
             jax.block_until_ready(ms_xs)
             ms_audio = n_s * n_h * 160 / SR
@@ -571,7 +603,7 @@ def main() -> None:
             sfront = SourceRateFrontend(MelConfig(400, 160, 80, 16000.0),
                                         n_s, input_rate=48000)
             sfstate = sfront.init()
-            src_xs = [jax.random.normal(k, (n_s, n_h, sfront.hop_src),
+            src_xs = [jax.random.normal(k, (n_s, n_h * sfront.hop_src),
                                         jnp.float32) * 0.1
                       for k in jax.random.split(jax.random.PRNGKey(9), 2)]
             jax.block_until_ready(src_xs)

@@ -27,6 +27,7 @@ from melspec_tpu.config import (
     DetectionSettings,
     FbankConfig,
     MelConfig,
+    WHISPER_LARGE_V3,
     MfccConfig,
 )
 
@@ -35,6 +36,7 @@ __all__ = [
     "DetectionSettings",
     "FbankConfig",
     "MelConfig",
+    "WHISPER_LARGE_V3",
     "MfccConfig",
     "__version__",
 ]

@@ -33,6 +33,16 @@ class MelConfig:
             raise ValueError("sampling_rate must be > 0")
 
 
+# Named frontend configs. WHISPER_LARGE_V3: current Whisper deployments
+# (large-v3, large-v3-turbo) moved the frontend from 80 to 128 mel bins
+# on the same 400/160 grid; every kernel in this repo is parameterized
+# in n_mels and 128 is exactly one output lane tile, so the headline
+# path carries no extra padding at this width (golden:
+# testdata/synthetic_whisper128_golden.npy; bench row
+# pallas_sig128_64x10s).
+WHISPER_LARGE_V3 = MelConfig(400, 160, 128, 16000.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class BatchLogMelConfig:
     """NeMo/Parakeet-style batch log-mel frontend config.

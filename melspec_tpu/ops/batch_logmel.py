@@ -243,3 +243,33 @@ def mel_tensor(frames: np.ndarray, n_mels: int):
     audio = frames[: n_mels * num_frames].reshape(1, n_mels, num_frames)
     lengths = np.asarray([num_frames], dtype=np.int64)
     return audio, lengths
+
+
+def run_asr_session(model, frames, n_mels: int,
+                    audio_key: str = "audio_signal",
+                    length_key: str = "length"):
+    """Execute an ONNX Runtime ASR session on packaged mel features — the
+    executable half of the reference's ``ort-tensor`` feature (its
+    ``mel_tensor`` output feeds ``ort``'s session inputs,
+    ``src/mel.rs:420-433``): ``session.run(None, {audio_key: mel[1,
+    n_mels, T] f32, length_key: [T] i64})``.
+
+    ``model`` is either an already-constructed session (anything with a
+    ``.run(output_names, feeds)`` method — an ``ort.InferenceSession``,
+    or a test double) or a filesystem path to a ``.onnx`` model, in which
+    case ``onnxruntime`` is imported lazily; environments without it get
+    an ``ImportError`` that says exactly what to install, and nothing
+    else in the package depends on the import succeeding."""
+    audio, lengths = mel_tensor(frames, n_mels)
+    feeds = {audio_key: audio, length_key: lengths}
+    if hasattr(model, "run"):
+        return model.run(None, feeds)
+    try:
+        import onnxruntime as ort
+    except ImportError as e:  # pragma: no cover - exercised via fake dep
+        raise ImportError(
+            "run_asr_session(path) needs the optional 'onnxruntime' "
+            "package (pip install onnxruntime); alternatively pass an "
+            "already-constructed session object"
+        ) from e
+    return ort.InferenceSession(str(model)).run(None, feeds)

@@ -10,6 +10,7 @@ from melspec_tpu.config import (
     DetectionSettings,
     FbankConfig,
     MelConfig,
+    WHISPER_LARGE_V3,
     MfccConfig,
     VadFrameTiming,
     VoiceActivityTimestamps,
@@ -26,7 +27,8 @@ from melspec_tpu.io.tga import (
 )
 from melspec_tpu.io.wav import (load_audio, read_wav, read_wav_f32le,
                                 read_wav_mono)
-from melspec_tpu.ops.batch_logmel import BatchLogMel, mel_tensor
+from melspec_tpu.ops.batch_logmel import (BatchLogMel, mel_tensor,
+                                           run_asr_session)
 from melspec_tpu.ops.fbank import Fbank
 from melspec_tpu.ops.mfcc import Mfcc
 from melspec_tpu.ops.filterbank import (
@@ -100,6 +102,7 @@ __all__ = [
     "MfccConfig",
     "FbankConfig",
     "MelConfig",
+    "WHISPER_LARGE_V3",
     "MelProjection",
     "MultiStreamFrontend",
     "MultiStreamMel",
@@ -140,6 +143,7 @@ __all__ = [
     "mel_filterbank",
     "mel_frequencies",
     "mel_tensor",
+    "run_asr_session",
     "mel_to_hz",
     "mels_to_hz",
     "n_frames_for_duration",

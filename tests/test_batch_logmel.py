@@ -173,3 +173,61 @@ def test_sig_impl_geometry_validation():
     np.testing.assert_allclose(a, b, atol=2e-4)
     with pytest.raises(ValueError):
         BatchLogMel(BatchLogMelConfig(), dtype=jnp.float64, fft_impl="sig")
+
+
+def test_run_asr_session_duck_typed_and_import_guard():
+    """The executable ORT wiring (VERDICT r4 item 6): run_asr_session
+    drives any .run()-bearing session with the exact reference feeds
+    (``src/mel.rs:420-433``: audio_signal [1, n_mels, T] f32 + length
+    [1] i64); a model PATH without onnxruntime installed raises the
+    guided ImportError instead of crashing at the call site."""
+    from melspec_tpu.ops.batch_logmel import run_asr_session
+
+    seen = {}
+
+    class FakeSession:
+        def run(self, output_names, feeds):
+            seen.update(feeds)
+            assert output_names is None
+            return [feeds["audio_signal"].sum()]
+
+    frames = np.arange(240, dtype=np.float32)
+    out = run_asr_session(FakeSession(), frames, 80)
+    assert seen["audio_signal"].shape == (1, 80, 3)
+    assert seen["audio_signal"].dtype == np.float32
+    assert seen["length"].tolist() == [3]
+    assert seen["length"].dtype == np.int64
+    np.testing.assert_allclose(out[0], frames.sum())
+
+    try:
+        import onnxruntime  # noqa: F401
+        has_ort = True
+    except ImportError:
+        has_ort = False
+    if not has_ort:
+        with pytest.raises(ImportError, match="onnxruntime"):
+            run_asr_session("/tmp/nonexistent_model.onnx", frames, 80)
+
+
+def test_run_asr_session_real_ort_if_present(tmp_path):
+    """Real InferenceSession round-trip — skips without the optional
+    deps; executable the moment onnxruntime+onnx/torch exist."""
+    ort = pytest.importorskip("onnxruntime")
+    pytest.importorskip("onnx")
+    import torch
+
+    from melspec_tpu.ops.batch_logmel import run_asr_session
+
+    class M(torch.nn.Module):
+        def forward(self, audio_signal, length):
+            return audio_signal.mean(dim=1), length
+
+    path = tmp_path / "m.onnx"
+    torch.onnx.export(
+        M(), (torch.zeros(1, 80, 3), torch.zeros(1, dtype=torch.int64)),
+        str(path), input_names=["audio_signal", "length"],
+        dynamic_axes={"audio_signal": {2: "t"}})
+    frames = np.arange(240, dtype=np.float32)
+    outs = run_asr_session(str(path), frames, 80)
+    want = frames.reshape(3, 80).T.reshape(1, 80, 3).mean(axis=1)
+    np.testing.assert_allclose(outs[0], want, rtol=1e-6)

@@ -231,3 +231,46 @@ def test_quantized_emission_parity_compiled(jfk_samples):
     assert steps.max() <= 1
     np.testing.assert_allclose(lo, lo_ref, atol=1e-6)
     np.testing.assert_allclose(hi, hi_ref, atol=1e-6)
+
+
+def test_mfcc_external_anchor_compiled(jfk_samples, testdata):
+    """MFCC over the fused sig fbank kernel, Mosaic-compiled, must hold
+    the external kaldi_native_fbank anchor the CPU suite enforces
+    (tests/test_mfcc.py::test_mfcc_external_anchor_via_kaldi_native_golden
+    — the lifted DCT-II applied to the vendored golden in f64, CMN
+    commuting with the linear cepstral map)."""
+    from melspec_tpu.config import FbankConfig, MfccConfig
+    from melspec_tpu.ops.mfcc import (Mfcc, cepstral_lifter_coeffs,
+                                      dct_matrix)
+
+    with np.load(testdata / "kaldi_native_fbank_jfk.npz") as npz:
+        gfb = npz["features"].T.astype(np.float64)
+    cfg = MfccConfig(fbank=FbankConfig(apply_cmn=False))
+    got = np.asarray(Mfcc(cfg, fft_impl="sig").compute(jfk_samples))
+    m = dct_matrix(13, 80) * cepstral_lifter_coeffs(13, 22.0)[:, None]
+    want = gfb @ m.T
+    d = np.abs(got - want)
+    assert d.max() < 0.2 and d.mean() < 0.03
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99999
+
+
+def test_resample_pallas_kernel_parity_compiled(jfk_samples):
+    """The Pallas slab-DMA resampler (MultiStreamResampler
+    impl='kernel'), Mosaic-compiled, vs the f64 host polyphase reference
+    after the spurious warm-up prefix — the serving tick's 48 k and 8 k
+    ingest ratios."""
+    from melspec_tpu.ops.resample import StreamingResampler
+    from melspec_tpu.streaming.resample import MultiStreamResampler
+
+    for up, down in ((1, 3), (2, 1)):
+        n = down * 128 * 25  # q = 3200 windows
+        x = np.tile(np.asarray(jfk_samples[:n], np.float32), (8, 1))
+        mr = MultiStreamResampler(up, down, 8, align=160, impl="kernel")
+        _, y = mr.push(mr.init(), x)
+        got = y[0, mr.spurious_out:]
+        host = StreamingResampler(up, down, dtype=np.float64)
+        ref = host.push(x[0].astype(np.float64))
+        m = min(len(got), len(ref))
+        assert m > 1000
+        scale = np.abs(ref).max()
+        assert np.abs(got[:m] - ref[:m]).max() <= 1e-5 * scale, (up, down)

@@ -70,6 +70,13 @@ def main() -> None:
     mel = compute_streaming_mel(sig, 400, 160, 80, 16000.0, dtype=jnp.float64)
     np.save(OUT / "synthetic_whisper_mel_golden.npy", mel.astype(np.float32))
 
+    # whisper large-v3's 128-mel frontend (same 400/160 grid; n_mels is
+    # the only delta) — the named config melspec_tpu.config.WHISPER_LARGE_V3
+    mel128 = compute_streaming_mel(sig, 400, 160, 128, 16000.0,
+                                   dtype=jnp.float64)
+    np.save(OUT / "synthetic_whisper128_golden.npy",
+            mel128.astype(np.float32))
+
     fbank = np.asarray(Fbank(FbankConfig(), dtype=jnp.float64).compute(sig))
     np.save(OUT / "synthetic_fbank_golden.npy", fbank.astype(np.float32))
 
@@ -83,6 +90,7 @@ def main() -> None:
     np.savez(
         OUT / "filterbanks_golden.npz",
         whisper_80_400=mel_filterbank(16000.0, 400, 80).astype(np.float32),
+        whisper_128_400=mel_filterbank(16000.0, 400, 128).astype(np.float32),
         slaney_80_512=mel_filterbank(16000.0, 512, 80).astype(np.float32),
         kaldi_80_512=kaldi_filterbank(16000.0, 512, 80, 20.0).astype(np.float32),
     )
