@@ -140,6 +140,11 @@ class _BudgetDone(Exception):
 _SANITY_BOUNDS = {
     "vad_fields_64x10s": ["pallas_sig_64x10s"],
     "quantized_sig_64x10s": ["pallas_sig_64x10s"],
+    # head variants of the same signal-input kernel class: a 5x jump
+    # over the whisper row is a memoized replay, not speed (observed
+    # nemo sig at 2.6M x RT in one r5 session)
+    "nemo_logmel_sig_64x10s": ["pallas_sig_64x10s"],
+    "kaldi_fbank_sig_64x10s": ["pallas_sig_64x10s"],
     "multistream_bulk_256sx500h": ["xla_f32_256x10s"],
     "multistream_scan_256sx500h": ["xla_f32_256x10s"],
     "multistream_bulk_bf3_256sx500h": ["xla_bf3_256x10s"],

@@ -642,6 +642,13 @@ def _sig_frontend_matrices(fft_size: int, n_bins: int, window: np.ndarray,
         pre_t = np.asarray(preproc, np.float64).T
         cwf = pre_t @ cwf
         swf = pre_t @ swf
+        # a RECTANGULAR preproc ([taps, taps_src]) widens the frame to
+        # taps_src raw samples — e.g. NeMo's cross-frame preemphasis
+        # y[t] = x[t] - 0.97*x[t-1] makes a 512-tap centered frame a
+        # 513-tap function of the raw signal. The spectral rows now
+        # index RAW window positions.
+        taps = cwf.shape[0]
+        k_pad = max(k_pad, -(-taps // LANES) * LANES)
     filt = np.asarray(filters, np.float64)[:, :n_bins].T  # [n_bins, n_mels]
     if npack:
         csw = np.zeros((k_pad, n_cols_pad))

@@ -60,7 +60,8 @@ HeadSpec = Tuple[int, int, int, str, float, str]
 
 
 def _sig_multi_tile_kernel(sig_ref, tailpad_ref, *refs,
-                           ks: int, pair_i, k_pad: int, pack: int,
+                           ks: int, pair_i, k_pad: int,
+                           packs: Tuple[Tuple[int, int], ...],
                            offset: int,
                            tail_rows: int, row_w: int, phases: int,
                            rows_tile: int, heads: Tuple[HeadSpec, ...],
@@ -107,10 +108,16 @@ def _sig_multi_tile_kernel(sig_ref, tailpad_ref, *refs,
 
     for h, (n_cols, nbp, n_mels_out, out_mode, guard,
             mel_prec) in enumerate(heads):
-        key = (head_blocks[h], mb_refs[h].shape[0])
+        # heads may frame DIFFERENT tap windows of the shared k_pad-wide
+        # frame tile: (pack, pack_off) picks head h's raw-sample span —
+        # e.g. the NeMo head's 513-tap preemphasis-folded window at
+        # offset 0 alongside whisper/kaldi's 400-tap windows at 257
+        pack_h, off_h = packs[h]
+        key = (head_blocks[h], mb_refs[h].shape[0], pack_h, off_h)
         if key not in xcats:
-            xcats[key] = _sig_xcat_from(x_slices, pair_i, pack,
+            xcats[key] = _sig_xcat_from(x_slices, pair_i, pack_h,
                                         mb_refs[h].shape[0],
+                                        pack_off=off_h,
                                         blocks=head_blocks[h])
         blk = jnp.dot(xcats[key], mb_refs[h][:],
                       preferred_element_type=jnp.float32)[:, :n_cols]
@@ -139,7 +146,7 @@ def _sig_multi_tile_kernel(sig_ref, tailpad_ref, *refs,
     jax.jit,
     static_argnames=("interpret", "ks", "pair_i", "n_frames", "offset",
                      "row_w", "phases", "rows_tile", "heads",
-                     "head_blocks", "vad", "pack"),
+                     "head_blocks", "vad", "pack", "flat_rows"),
 )
 def _pallas_sig_multi(
     samples: jnp.ndarray,  # [B, T] float32 raw signal
@@ -156,6 +163,7 @@ def _pallas_sig_multi(
     head_blocks: Tuple[tuple | None, ...] | None = None,
     vad: tuple | None = None,
     pack: int,
+    flat_rows: int = 512,
 ):
     """Run the multi-head kernel. Returns one ``[B, n_frames, n_mels]``
     array per head (plus the ``[B, n_frames]`` int32 VAD counts when
@@ -163,7 +171,15 @@ def _pallas_sig_multi(
 
     ``head_blocks[h]`` optionally restricts head ``h``'s K contraction to
     a subset of the slice-pair blocks (its spectral matrix must carry
-    exactly those blocks' rows) — see ``_sig_xcat_from``."""
+    exactly those blocks' rows) — see ``_sig_xcat_from``.
+
+    ``pack`` is either one tap count shared by every head (the
+    two-head pair kernel: all heads frame the same [0, pack) window) or
+    a per-head ``((pack, pack_off), ...)`` tuple — each head contracts
+    raw window positions ``[pack_off, pack_off + pack)`` of the shared
+    frame tile, which is how a centered/preemphasis-folded head (NeMo's
+    513-tap window at offset 0) rides the same DMA + slice cascade as
+    batch-framed heads (whisper/kaldi's 400 taps at offset 257)."""
     b, t = samples.shape
     n_heads = len(heads)
     mbs, mts = mbs_and_mts[:n_heads], mbs_and_mts[n_heads:]
@@ -172,9 +188,17 @@ def _pallas_sig_multi(
     for h, spec in enumerate(heads):
         if spec[0] != mbs[h].shape[1]:
             raise ValueError("head column width must match its matrix")
-    k_pad = -(-pack // LANES) * LANES
-    flat = _sig_flat_geometry(row_w // phases, k_pad, offset, b, t,
-                              epilogue=(vad is not None))
+    packs = (((pack, 0),) * n_heads if isinstance(pack, int)
+             else tuple(pack))
+    k_span = max(p + o for p, o in packs)
+    k_pad = -(-k_span // LANES) * LANES
+    # flat_rows=0: force rows mode. The fused-VAD epilogue pins the flat
+    # tile to 128 frames/clip (1024 MXU rows); three wide heads' xcats
+    # at that tile overflow scoped VMEM (measured 17.15M vs the 16M
+    # limit), while rows mode tiles at phases*rows_tile.
+    flat = None if flat_rows == 0 else _sig_flat_geometry(
+        row_w // phases, k_pad, offset, b, t,
+        target_rows=flat_rows, epilogue=(vad is not None))
     if flat is not None:
         frames_tile = flat[0]
         tiles = -(-n_frames // frames_tile)
@@ -187,7 +211,7 @@ def _pallas_sig_multi(
 
     kernel = functools.partial(
         _sig_multi_tile_kernel, ks=ks, pair_i=pair_i, k_pad=k_pad,
-        pack=pack,
+        packs=packs,
         offset=offset, tail_rows=tail_rows, row_w=row_w, phases=phases,
         rows_tile=rows_tile, heads=heads, head_blocks=head_blocks,
         vad=vad, flat=flat,
@@ -416,3 +440,151 @@ class WhisperKaldiFused:
         if self.fbank_config.apply_cmn:
             fbank = fbank - jnp.mean(fbank, axis=-2, keepdims=True)
         return mel, fbank, raw
+
+
+class WhisperKaldiNemoFused(WhisperKaldiFused):
+    """Three frontends — whisper mel, Kaldi fbank, NeMo log-mel — over
+    ONE shared spectral pass (VERDICT r4 item 5's experiment: the NeMo
+    head rides the pair kernel's signal DMA + bf16 slice cascade while
+    keeping its own wider matrices).
+
+    The NeMo head's frame differs from the batch grid in two LINEAR
+    ways, both folded into its spectral matrices over the RAW window:
+    the center pad (its 512-tap frame starts ``n_fft//2`` samples
+    earlier) and the cross-frame pre-emphasis
+    ``y[t] = x[t] - p*x[t-1]`` (a banded ``[512, 513]`` rectangular
+    preproc — one extra raw tap; ``docs/ROADMAP.md`` item 2's "k_pad
+    512->640" absorption cost, accepted here because the head SHARES
+    the DMA/assembly/cascade instead of paying its own). The shared
+    frame tile widens to ``k_span = 657`` raw samples (signal
+    left-padded by 257 zeros, which also reproduces NeMo's center/
+    pre-emphasis edge semantics exactly); whisper/kaldi contract window
+    positions ``[257, 657)``, NeMo ``[56, 457)`` — the per-head
+    ``(pack, pack_off)`` plumbing of ``_pallas_sig_multi``.
+
+    Frame counts differ by design: the kernel emits NeMo's centered
+    count (``T//hop + 1``) for every head and whisper/kaldi outputs are
+    sliced back to the batch count.
+
+    ``compute(samples)`` -> ``(mel, fbank, nemo_feats)`` where
+    ``nemo_feats`` is feature-major ``[B, bins, F']`` with the config's
+    normalize/pad_to applied — the same contract as
+    ``BatchLogMel.compute``. ``compute_with_vad`` additionally returns
+    the raw Sobel activity like the parent.
+    """
+
+    def __init__(self, mel_config=None, fbank_config=None,
+                 nemo_config=None, interpret: bool | None = None):
+        from melspec_tpu.config import BatchLogMelConfig
+        from melspec_tpu.ops.batch_logmel import BatchLogMel
+        from melspec_tpu.ops.mel_kernel import (_sig_frontend_matrices,
+                                                bf2_stack)
+
+        super().__init__(mel_config, fbank_config, interpret=interpret)
+        nc = nemo_config or BatchLogMelConfig()
+        mc = self.mel_config
+        if (int(nc.sample_rate) != int(mc.sampling_rate)
+                or nc.hop_length != mc.hop_size or not nc.center):
+            raise ValueError(
+                "NeMo head needs the shared hop grid and center=True")
+        self.nemo_config = nc
+        self.nemo = BatchLogMel(nc)  # epilogue (norm/pad_to) + filters
+        n_fft, win, p = nc.n_fft, nc.win_length, float(nc.preemphasis)
+        # banded rectangular pre-emphasis fold over the raw window:
+        # frame tap t = x_raw[pos t+1] - p * x_raw[pos t]
+        pre_t = np.zeros((n_fft + 1, n_fft))
+        pre_t[np.arange(1, n_fft + 1), np.arange(n_fft)] = 1.0
+        pre_t[np.arange(n_fft), np.arange(n_fft)] += -p
+        flank = (n_fft - win) // 2
+        m_n, pair_n, mt_n, nbp_n, _, _, npack_n = _sig_frontend_matrices(
+            n_fft, self.nemo.fft_bins, self.nemo._window_np,
+            self.nemo.filters, ks=3, km=3, cutoff=2,
+            pack=win + 1, pack_off=flank, preproc=pre_t.T,
+        )
+        assert pair_n == self._pair_i
+        self._mbs = self._mbs + (m_n,)
+        self._mts = self._mts + (bf2_stack(mt_n),)
+        self._head_blocks = self._head_blocks + (None,)
+        self._heads = self._heads + (
+            (m_n.shape[1], nbp_n, nc.n_mels, "ln_guard",
+             float(nc.log_zero_guard), "bf2"),
+        )
+        self._nemo_pad = n_fft // 2 + 1  # 257 at the defaults
+        # per-head raw-window spans: whisper/kaldi frame at +pad,
+        # NeMo's folded rows at the window flank
+        self._packs = ((mc.fft_size, self._nemo_pad),
+                       (mc.fft_size, self._nemo_pad),
+                       (win + 1, flank))
+
+    def _run(self, samples, vad):
+        from melspec_tpu.ops import framing
+        from melspec_tpu.ops.mel_kernel import (LANES, _pad_for_flat,
+                                                sig_effective_frames_tile)
+
+        x = jnp.asarray(samples, jnp.float32)
+        if x.ndim == 1:
+            x = x[None]
+        mc = self.mel_config
+        t_real = x.shape[-1]
+        n_frames = framing.num_frames_centered(t_real, mc.hop_size)
+        self._n_frames_batch = framing.num_frames_batch(
+            t_real, mc.fft_size, mc.hop_size)
+        k_span = max(p + o for p, o in self._packs)
+        k_pad = -(-k_span // LANES) * LANES
+        x = jnp.pad(x, ((0, 0), (self._nemo_pad, 0)))
+        row_w, phases, rows_tile = self._geom
+        b_real = x.shape[0]
+        if vad is None:
+            x = _pad_for_flat(x, mc.hop_size, k_pad, 0, epilogue=False,
+                              flat_rows=256)
+        outs = _pallas_sig_multi(
+            x, *self._mbs, *self._mts, interpret=self._interp(), ks=3,
+            pair_i=self._pair_i, n_frames=n_frames, row_w=row_w,
+            phases=phases, rows_tile=rows_tile, heads=self._heads,
+            head_blocks=self._head_blocks, vad=vad, pack=self._packs,
+            flat_rows=256 if vad is None else 0,
+        )
+        outs = tuple(o[:b_real] for o in outs)
+        # VAD path runs rows mode (see flat_rows=0 above)
+        eff_tile = phases * rows_tile
+        return outs, n_frames, eff_tile
+
+    def _finish(self, mel, fbank, nemo_raw):
+        f_w = self._n_frames_batch
+        mel, fbank = mel[:, :f_w], fbank[:, :f_w]
+        if self.fbank_config.apply_cmn:
+            fbank = fbank - jnp.mean(fbank, axis=-2, keepdims=True)
+        feats = jnp.swapaxes(nemo_raw, -1, -2)  # [B, bins, F']
+        feats = self.nemo._norm_and_pad(feats, nemo_raw.shape[-2])
+        return mel, fbank, feats
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def compute(self, samples):
+        (mel, fbank, nemo_raw), _, _ = self._run(samples, None)
+        return self._finish(mel, fbank, nemo_raw)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def compute_with_vad(self, samples, settings):
+        from melspec_tpu.ops.vad import classify_columns
+
+        thr = float(settings.min_energy) ** 2
+        start_y = min(int(settings.min_mel), self.mel_config.n_mels - 2)
+        (mel, fbank, nemo_raw, counts), n_frames, frames_tile = self._run(
+            samples, (thr, start_y, int(settings.min_y))
+        )
+        f_w = self._n_frames_batch
+        raw = counts[:, 0, : f_w - 2] >= int(settings.min_y)
+        tiles = -(-n_frames // frames_tile)
+        bidx = tuple(
+            xcol
+            for k in range(1, tiles)
+            for xcol in (k * frames_tile - 2, k * frames_tile - 1)
+            if xcol < f_w - 2
+        )
+        if bidx:
+            tri = jnp.stack([mel[:, x : x + 3, :] for x in bidx], axis=1)
+            fix = classify_columns(jnp.swapaxes(tri, -1, -2),
+                                   settings)[..., 0]
+            raw = raw.at[:, jnp.asarray(bidx)].set(fix)
+        mel, fbank, feats = self._finish(mel, fbank, nemo_raw)
+        return mel, fbank, feats, raw

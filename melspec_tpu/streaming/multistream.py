@@ -248,19 +248,41 @@ class MultiStreamMel:
         hop = self.config.hop_size
         fft = self.config.fft_size
         chunks, h = self._flat_chunks(chunks)
-        signal = jnp.concatenate(
-            [state.hop_buf, chunks.astype(self.dtype)], axis=1,
-        )
-        frames = _framing.frame_signal(signal, fft, hop, h, offset=hop)
-        log_mel = log_mel_from_power(self._power(frames),
-                                     self.filters_t, self.dtype)
+        chunks = chunks.astype(self.dtype)
+        # only the first ceil(fft/hop)-1 frames' windows reach into the
+        # carried hop_buf; every later frame lies entirely inside this
+        # push's chunks. Splitting the framing there keeps the signal
+        # concat to a [S, fft + n_head*hop] sliver instead of
+        # materializing concat(hop_buf, chunks) — ~245 MB of pure copy
+        # behind the tick input / resampler output at 256x500 hops
+        # (copy.14 / pad_maximum_fusion, tools/resample_probe4.py). The
+        # window values and per-frame dots are identical, so this is a
+        # layout change, not a numerics change (bulk-vs-scan stays at
+        # 1e-12).
+        n_head = -(-fft // hop) - 1
+        if h > n_head > 0:
+            head_sig = jnp.concatenate(
+                [state.hop_buf, chunks[:, : n_head * hop]], axis=1)
+            fr_head = _framing.frame_signal(head_sig, fft, hop, n_head,
+                                            offset=hop)
+            off = (n_head + 1) * hop - fft  # >= 0 by choice of n_head
+            fr_tail = _framing.frame_signal(chunks, fft, hop,
+                                            h - n_head, offset=off)
+            power = jnp.concatenate(
+                [self._power(fr_head), self._power(fr_tail)], axis=-2)
+            new_tail = chunks[:, h * hop - fft :]
+        else:
+            signal = jnp.concatenate([state.hop_buf, chunks], axis=1)
+            frames = _framing.frame_signal(signal, fft, hop, h,
+                                           offset=hop)
+            power = self._power(frames)
+            new_tail = signal[:, h * hop : h * hop + fft]
+        log_mel = log_mel_from_power(power, self.filters_t, self.dtype)
         mels = whisper_norm(log_mel, axis=-1)
         hops = (jnp.arange(1, h + 1) * hop).astype(state.idx.dtype)
         valid = active[:, None] & ((state.idx[:, None] + hops[None, :])
                                    >= fft)
-        new_buf = jnp.where(active[:, None],
-                            signal[:, h * hop : h * hop + fft],
-                            state.hop_buf)
+        new_buf = jnp.where(active[:, None], new_tail, state.hop_buf)
         new_idx = jnp.where(
             active, jnp.minimum(state.idx + h * hop, fft), state.idx
         )

