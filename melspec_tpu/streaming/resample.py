@@ -66,7 +66,8 @@ class MultiStreamResampler:
     """
 
     def __init__(self, up: int, down: int, n_streams: int = 16,
-                 align: int = 1, beta: float = 5.0, impl: str = "auto"):
+                 align: int = 1, beta: float = 5.0, impl: str = "auto",
+                 precision: str = "highest"):
         g = math.gcd(up, down)
         up, down = up // g, down // g
         if up == down:
@@ -76,6 +77,17 @@ class MultiStreamResampler:
         if impl not in ("auto", "conv", "frames", "kernel"):
             raise ValueError(
                 "impl must be 'auto', 'conv', 'frames' or 'kernel'")
+        if precision not in ("highest", "bf3"):
+            raise ValueError("precision must be 'highest' or 'bf3'")
+        # "bf3": 3-pass bf16-slice dots instead of HIGHEST's 6 passes —
+        # measured 1.091 -> 0.664 ms device (1.64x) on the kernel path
+        # at the 256x500-hop 48 k tick (tools/resample_bf3_ab.py), at
+        # 7.1e-6 relative error vs HIGHEST (over the resampler's own
+        # 2e-6 parity bar, far inside a mel consumer's 1e-5 class — the
+        # same trade the mel kernels' default bf3 numerics make). The
+        # XLA conv/frames fallbacks map it to lax.Precision.HIGH, the
+        # compiler's name for the identical bf16_3x scheme.
+        self.precision = precision
         # "kernel": the Pallas slab-DMA resampler (ops.resample.
         # pallas_resample) — every XLA formulation of the strided window
         # (conv, framed matmul, block matmul) pays a full-signal
@@ -182,6 +194,9 @@ class MultiStreamResampler:
 
                 y = pallas_resample(sig, self.up, self.down, q,
                                     self.beta,
+                                    precision=("bf3"
+                                               if self.precision == "bf3"
+                                               else None),
                                     interpret=not backend_ok)
                 new_buf = jnp.where(active[:, None], sig[:, n:],
                                     state.buf)
@@ -202,7 +217,9 @@ class MultiStreamResampler:
             # padded tap rows are exact zeros — the extra window samples
             # (real future signal or the right zero pad) multiply them
             y = jnp.matmul(frames, rhs,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=(jax.lax.Precision.HIGH
+                                      if self.precision == "bf3"
+                                      else jax.lax.Precision.HIGHEST))
             y = y.reshape(sig.shape[0], q * self.up)
         else:
             # conv positions j cover windows [j*m, (j+1)*m); last window
@@ -214,7 +231,9 @@ class MultiStreamResampler:
             y = jax.lax.conv_general_dilated(
                 lhs, rhs, window_strides=(stride,), padding=[(0, 0)],
                 dimension_numbers=("NCW", "OIW", "NCW"),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=(jax.lax.Precision.HIGH
+                           if self.precision == "bf3"
+                           else jax.lax.Precision.HIGHEST),
             )                                              # [S, up*m, q/m]
             # channel b*up + p of position j is output sample
             # (j*m+b)*up + p: transpose+reshape restores output order

@@ -303,7 +303,15 @@ class SourceRateFrontend:
                  settings: DetectionSettings = DetectionSettings(),
                  dtype=jnp.float32, fft_impl: str = "rdft",
                  record_norm: str = "whisper", beta: float = 5.0,
-                 resample_impl: str = "auto"):
+                 resample_impl: str = "auto",
+                 resample_precision: str = "bf3"):
+        # resample_precision defaults to "bf3" HERE (the resampler
+        # itself defaults to "highest"): the tick's consumer is the
+        # log-mel record, whose error budget is 1e-5-class before the
+        # u8 quant step — the 7.1e-6 ingest delta is invisible there,
+        # and the 3-pass dot saves 0.43 ms device per 256x500-hop tick
+        # (tools/resample_bf3_ab.py). Pass "highest" for bit-parity
+        # with host-side resample_poly ingest.
         from melspec_tpu.ops.resample import validate_ratio
         from melspec_tpu.streaming.resample import MultiStreamResampler
 
@@ -323,7 +331,8 @@ class SourceRateFrontend:
         self.front = MultiStreamFrontend(config, n_streams, settings,
                                          dtype, fft_impl, record_norm)
         self.rs = MultiStreamResampler(up, down, n_streams, align=hop,
-                                       beta=beta, impl=resample_impl)
+                                       beta=beta, impl=resample_impl,
+                                       precision=resample_precision)
         assert self.rs.spurious_out % hop == 0
         self.config = config
         self.n_streams = n_streams

@@ -318,6 +318,35 @@ def test_multistream_resampler_pallas_kernel_parity():
         mr.push(mr.init(), np.zeros((8, 3 * 100), np.float32))
 
 
+def test_multistream_resampler_bf3_precision_parity():
+    """precision='bf3' (3-pass bf16-slice dots, the SourceRateFrontend
+    default) stays within the mel pipeline's 1e-5 class of the f64 host
+    reference on BOTH the kernel path (interpret in CI) and the XLA
+    conv fallback; bad precision strings are rejected at construction."""
+    from melspec_tpu.ops.resample import StreamingResampler
+    from melspec_tpu.streaming.resample import MultiStreamResampler
+
+    rng = np.random.default_rng(11)
+    for impl in ("kernel", "conv"):
+        for up, down in [(1, 3), (2, 1)]:
+            mr = MultiStreamResampler(up, down, 8, align=160, impl=impl,
+                                      precision="bf3")
+            n = down * 128 * 4
+            stream = (rng.normal(size=(8, n)) * 0.3).astype(np.float32)
+            _, y = mr.push(mr.init(), stream)
+            got = np.asarray(y)[:, mr.spurious_out:]
+            host = StreamingResampler(up, down, dtype=np.float64)
+            ref = host.push(stream[0].astype(np.float64))
+            m = min(got.shape[1], len(ref))
+            assert m > 100
+            scale = max(np.abs(ref).max(), 1e-30)
+            assert np.abs(got[0, :m] - ref[:m]).max() <= 1e-5 * scale, (
+                impl, up, down)
+
+    with pytest.raises(ValueError, match="precision"):
+        MultiStreamResampler(1, 3, 8, precision="fast")
+
+
 def test_source_rate_frontend_matches_host_resampled_pipeline():
     """The composed source-rate tick (resample->mel->VAD->quant, one
     dispatch) produces, at every VALID frame, the same record a plain

@@ -262,15 +262,18 @@ def test_resample_pallas_kernel_parity_compiled(jfk_samples):
     from melspec_tpu.ops.resample import StreamingResampler
     from melspec_tpu.streaming.resample import MultiStreamResampler
 
-    for up, down in ((1, 3), (2, 1)):
-        n = down * 128 * 25  # q = 3200 windows
-        x = np.tile(np.asarray(jfk_samples[:n], np.float32), (8, 1))
-        mr = MultiStreamResampler(up, down, 8, align=160, impl="kernel")
-        _, y = mr.push(mr.init(), x)
-        got = y[0, mr.spurious_out:]
-        host = StreamingResampler(up, down, dtype=np.float64)
-        ref = host.push(x[0].astype(np.float64))
-        m = min(len(got), len(ref))
-        assert m > 1000
-        scale = np.abs(ref).max()
-        assert np.abs(got[:m] - ref[:m]).max() <= 1e-5 * scale, (up, down)
+    for precision in ("highest", "bf3"):
+        for up, down in ((1, 3), (2, 1)):
+            n = down * 128 * 25  # q = 3200 windows
+            x = np.tile(np.asarray(jfk_samples[:n], np.float32), (8, 1))
+            mr = MultiStreamResampler(up, down, 8, align=160,
+                                      impl="kernel", precision=precision)
+            _, y = mr.push(mr.init(), x)
+            got = y[0, mr.spurious_out:]
+            host = StreamingResampler(up, down, dtype=np.float64)
+            ref = host.push(x[0].astype(np.float64))
+            m = min(len(got), len(ref))
+            assert m > 1000
+            scale = np.abs(ref).max()
+            assert np.abs(got[:m] - ref[:m]).max() <= 1e-5 * scale, (
+                precision, up, down)
