@@ -264,31 +264,8 @@ def pallas_resample(sig: jnp.ndarray, up: int, down: int, q: int,
     if t_src < (big_q + nblk - 1) * stride:
         raise ValueError("signal shorter than the kernel's slab grid")
 
-    g_np, _ = _phase_matrix(up, down, beta, m)
-    gcat64 = np.zeros((stride, nblk * ch), np.float64)
-    for b in range(nblk):
-        rows = min(stride, kb - b * stride)
-        gcat64[:rows, b * ch : (b + 1) * ch] = g_np[b * stride :
-                                                    b * stride + rows]
-    if precision is None:
-        precision = jax.lax.Precision.HIGHEST
-    bf3 = precision == "bf3"
-    if bf3:
-        # manual 3-slice bf16 dot (Mosaic rejects Precision.HIGH): the
-        # K-concat [x0 | x0 | x1] @ [g0; g1; g0] accumulates the
-        # (0,0),(0,1),(1,0) slice products in the MXU's f32 accumulator
-        # — 3 bf16 passes instead of HIGHEST's 6, the dropped (1,1)
-        # term is O(2^-32) relative (the mel kernels' established bf2/
-        # bf3 scheme, ops/mel_kernel._sig_project)
-        g0 = gcat64.astype(np.dtype("bfloat16"))
-        g1 = (gcat64 - g0.astype(np.float64)).astype(np.dtype("bfloat16"))
-        gcat = jnp.asarray(
-            np.concatenate([np.asarray(g0, np.float32),
-                            np.asarray(g1, np.float32),
-                            np.asarray(g0, np.float32)], axis=0),
-            jnp.bfloat16)
-    else:
-        gcat = jnp.asarray(gcat64, jnp.float32)
+    gcat, bf3, precision = _kernel_gcat(up, down, beta, m, stride, kb,
+                                        nblk, ch, precision)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -319,24 +296,8 @@ def pallas_resample(sig: jnp.ndarray, up: int, down: int, q: int,
             dma(nxt // n_tt, nxt % n_tt, (slot + 1) % 2).start()
 
         dma(s, t, slot).wait()
-        x3 = slab[slot].reshape(8 * a_rows, stride)
-        if bf3:
-            x0 = x3.astype(jnp.bfloat16)
-            x1 = (x3 - x0.astype(jnp.float32)).astype(jnp.bfloat16)
-            xcat = jnp.concatenate([x0, x0, x1], axis=1)
-            z = jax.lax.dot_general(
-                xcat, gcat_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(8, a_rows, nblk * ch)
-        else:
-            z = jax.lax.dot_general(
-                x3, gcat_ref[:], (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32,
-            ).reshape(8, a_rows, nblk * ch)
-        y = z[:, :q_tile, :ch]
-        for b in range(1, nblk):
-            y = y + z[:, b : b + q_tile, b * ch : (b + 1) * ch]
-        out_ref[:] = y.reshape(8, q_tile * ch)
+        out_ref[:] = _slab_project(slab[slot], gcat_ref, bf3, precision,
+                                   a_rows, stride, q_tile, nblk, ch)
 
     out = pl.pallas_call(
         kernel,
@@ -349,6 +310,231 @@ def pallas_resample(sig: jnp.ndarray, up: int, down: int, q: int,
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(sig, gcat)
+    return out  # [S, q*up]
+
+
+def _kernel_gcat(up, down, beta, m, stride, kb, nblk, ch, precision):
+    """The column-concatenated block matrix the slab kernels dot
+    against, in the numerics the caller asked for: ``(gcat, bf3,
+    precision)``."""
+    g_np, _ = _phase_matrix(up, down, beta, m)
+    gcat64 = np.zeros((stride, nblk * ch), np.float64)
+    for b in range(nblk):
+        rows = min(stride, kb - b * stride)
+        gcat64[:rows, b * ch : (b + 1) * ch] = g_np[b * stride :
+                                                    b * stride + rows]
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    bf3 = precision == "bf3"
+    if bf3:
+        # manual 3-slice bf16 dot (Mosaic rejects Precision.HIGH): the
+        # K-concat [x0 | x0 | x1] @ [g0; g1; g0] accumulates the
+        # (0,0),(0,1),(1,0) slice products in the MXU's f32 accumulator
+        # — 3 bf16 passes instead of HIGHEST's 6, the dropped (1,1)
+        # term is O(2^-32) relative (the mel kernels' established bf2/
+        # bf3 scheme, ops/mel_kernel._sig_project)
+        g0 = gcat64.astype(np.dtype("bfloat16"))
+        g1 = (gcat64 - g0.astype(np.float64)).astype(np.dtype("bfloat16"))
+        gcat = jnp.asarray(
+            np.concatenate([np.asarray(g0, np.float32),
+                            np.asarray(g1, np.float32),
+                            np.asarray(g0, np.float32)], axis=0),
+            jnp.bfloat16)
+    else:
+        gcat = jnp.asarray(gcat64, jnp.float32)
+    return gcat, bf3, precision
+
+
+def _slab_project(block, gcat_ref, bf3, precision, a_rows, stride,
+                  q_tile, nblk, ch):
+    """In-VMEM window reshape -> one MXU dot -> shifted block add over
+    one ``[8, slab_w]`` slab (shared by both slab kernels; identical
+    float ops regardless of which ref the slab was DMA'd from)."""
+    x3 = block.reshape(8 * a_rows, stride)
+    if bf3:
+        x0 = x3.astype(jnp.bfloat16)
+        x1 = (x3 - x0.astype(jnp.float32)).astype(jnp.bfloat16)
+        xcat = jnp.concatenate([x0, x0, x1], axis=1)
+        z = jax.lax.dot_general(
+            xcat, gcat_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(8, a_rows, nblk * ch)
+    else:
+        z = jax.lax.dot_general(
+            x3, gcat_ref[:], (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        ).reshape(8, a_rows, nblk * ch)
+    y = z[:, :q_tile, :ch]
+    for b in range(1, nblk):
+        y = y + z[:, b : b + q_tile, b * ch : (b + 1) * ch]
+    return y.reshape(8, q_tile * ch)
+
+
+def pair_eligible(buf_len: int, n: int, up: int, down: int, q: int,
+                  beta: float = 5.0) -> bool:
+    """Whether :func:`pallas_resample_pair` accepts this shape (all
+    static quantities — the check is free under jit). Mirrors the
+    kernel's own guards plus the streaming step's ``n >= L`` tail-carry
+    requirement; callers fall back to the concat form when False."""
+    geom = resample_kernel_geometry(up, down, q, beta)
+    if geom is None:
+        return False
+    m, stride, _, nblk, _, q_tile = geom
+    big_q = q // m
+    n_t = big_q // q_tile
+    d = (-buf_len) % 128
+    w_pad = (q_tile + nblk - 1) * stride + (128 if d else 0)
+    if n < buf_len or buf_len + n < (big_q + nblk - 1) * stride:
+        return False
+    if n_t > 1 and (q_tile * stride < buf_len + d
+                    or (n_t - 1) * q_tile * stride - buf_len - d + w_pad
+                    > n):
+        return False
+    return True
+
+
+def pallas_resample_pair(buf: jnp.ndarray, chunks: jnp.ndarray, up: int,
+                         down: int, q: int, beta: float = 5.0,
+                         precision=None,
+                         interpret: bool = False) -> jnp.ndarray:
+    """:func:`pallas_resample` over the VIRTUAL signal
+    ``concat(buf, chunks)`` without ever materializing the concat.
+
+    The streaming step's ``concat(state.buf [S, L], chunks [S, n])`` is
+    pure HBM copy behind the kernel — ~492 MB (write + re-read ≈ 1 GB of
+    traffic) at the 256-stream x 500-hop 48 k serving tick, all to
+    prepend an L≈500-sample carried tail. Here only tile t=0's slab
+    straddles the buf/chunks boundary, so that one ``[S, slab_w]`` slab
+    (~50 MB at the tick shape) is assembled on the XLA side and every
+    other tile DMAs straight out of ``chunks`` at offset
+    ``t*q_tile*stride - L``. Slab contents — and therefore outputs — are
+    BIT-identical to ``pallas_resample(concat(buf, chunks))``
+    (test_serving.py pins this).
+
+    Requires ``n >= L`` and, when the tile grid has more than one
+    column, ``q_tile*stride >= L + 128`` plus ~128 samples of chunk
+    slack past the grid end (so no t>0 slab re-enters ``buf`` and the
+    aligned over-read below stays inside ``chunks``); callers fall back
+    to the concat form otherwise (:func:`pair_eligible`).
+
+    Alignment: Mosaic requires dynamic HBM slice offsets to be
+    128-divisible on the lane axis, and the t>0 window start
+    ``t*q_tile*stride - L`` generally is not (L is fixed by the filter
+    grid + hop alignment; for 48 k->16 k its residue class mod 32 can
+    never reach 0). But ``q_tile*stride`` IS a 128-multiple, so the
+    misalignment ``d = (-L) % 128`` is one compile-time constant shared
+    by every tile: each DMA reads from the aligned offset
+    ``t*q_tile*stride - L - d`` with 128 extra lanes, and the kernel
+    skips ``d`` lanes with a STATIC slice (a lane rotation, no
+    divisibility proof needed). The first slab gets ``d`` dummy zeros
+    prepended host-side so all tiles share the same in-slab offset."""
+    geom = resample_kernel_geometry(up, down, q, beta)
+    if geom is None:
+        raise ValueError("no kernel geometry — use the conv path")
+    m, stride, kb, nblk, ch, q_tile = geom
+    s_all, buf_len = buf.shape
+    if chunks.shape[0] != s_all:
+        raise ValueError("buf and chunks must share the stream axis")
+    if s_all % 8:
+        raise ValueError("pallas_resample needs S % 8 == 0")
+    n = chunks.shape[1]
+    big_q = q // m
+    n_s, n_t = s_all // 8, big_q // q_tile
+    slab_w = (q_tile + nblk - 1) * stride
+    d = (-buf_len) % 128
+    w_pad = slab_w + (128 if d else 0)
+    if buf_len + n < (big_q + nblk - 1) * stride:
+        raise ValueError("signal shorter than the kernel's slab grid")
+    if n_t > 1 and (q_tile * stride < buf_len + d
+                    or (n_t - 1) * q_tile * stride - buf_len - d + w_pad
+                    > n):
+        raise ValueError(
+            "tile grid re-enters the carried buffer or over-reads the "
+            "chunk tail — use pallas_resample over the concat")
+
+    gcat, bf3, precision = _kernel_gcat(up, down, beta, m, stride, kb,
+                                        nblk, ch, precision)
+    head = min(max(w_pad - d - buf_len, 0), n)
+    first = jnp.concatenate(
+        [jnp.zeros((s_all, d), jnp.float32), buf.astype(jnp.float32),
+         chunks[:, :head].astype(jnp.float32)],
+        axis=1)[:, :w_pad]
+    if first.shape[1] < w_pad:  # short chunk: the trailing lanes sit
+        # past the slab grid's last window (guaranteed by the grid-length
+        # check above), so zero fill is never read by the dot
+        first = jnp.pad(first, ((0, 0), (0, w_pad - first.shape[1])))
+    chunks = chunks.astype(jnp.float32)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a_rows = q_tile + nblk - 1
+
+    def kernel(first_ref, chk_ref, gcat_ref, out_ref, slab, sems):
+        s = pl.program_id(0)
+        t = pl.program_id(1)
+        n_tt = pl.num_programs(1)
+        slot = (s * n_tt + t) % 2
+
+        def start_dma(ss, tt, sl):
+            # tile 0 straddles the buf/chunks boundary and reads the
+            # host-assembled first slab; every later tile reads chunks
+            # directly from the 128-ALIGNED offset t*q_tile*stride-L-d
+            # (eligibility above guarantees it is inside chunks, and a
+            # multi-tile grid implies n >= w_pad so the slice shape is
+            # valid at trace time — the branch is statically absent when
+            # the grid has one column). Both branches move the same
+            # 8 x w_pad block into slab[sl], so one canonical descriptor
+            # below can wait for either.
+            @pl.when(tt == 0)
+            def _():
+                pltpu.make_async_copy(
+                    first_ref.at[pl.ds(ss * 8, 8), pl.ds(0, w_pad)],
+                    slab.at[sl], sems.at[sl]).start()
+
+            if n_t > 1:
+                @pl.when(tt > 0)
+                def _():
+                    # offset expressed as (lanes/128)*128 so Mosaic's
+                    # divisibility prover sees the 128-multiple
+                    # syntactically (tt*qs - (L+d) is one mod-derived
+                    # i32 it cannot analyze)
+                    off = (tt * (q_tile * stride // 128)
+                           - (buf_len + d) // 128) * 128
+                    pltpu.make_async_copy(
+                        chk_ref.at[pl.ds(ss * 8, 8), pl.ds(off, w_pad)],
+                        slab.at[sl], sems.at[sl]).start()
+
+        @pl.when((s == 0) & (t == 0))
+        def _():
+            start_dma(s, t, 0)
+
+        nxt = s * n_tt + t + 1
+
+        @pl.when(nxt < pl.num_programs(0) * n_tt)
+        def _():
+            start_dma(nxt // n_tt, nxt % n_tt, (slot + 1) % 2)
+
+        pltpu.make_async_copy(
+            first_ref.at[pl.ds(s * 8, 8), pl.ds(0, w_pad)],
+            slab.at[slot], sems.at[slot]).wait()
+        # skip the d junk lanes with a STATIC slice (lane rotation)
+        block = slab[slot][:, d : d + slab_w] if d else slab[slot]
+        out_ref[:] = _slab_project(block, gcat_ref, bf3, precision,
+                                   a_rows, stride, q_tile, nblk, ch)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_s, n_t),
+        out_shape=jax.ShapeDtypeStruct((s_all, big_q * ch), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, q_tile * ch), lambda s, t: (s, t)),
+        scratch_shapes=[pltpu.VMEM((2, 8, w_pad), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(first, chunks, gcat)
     return out  # [S, q*up]
 
 

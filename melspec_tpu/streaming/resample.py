@@ -172,26 +172,43 @@ class MultiStreamResampler:
         g_np, _ = _phase_matrix(self.up, self.down, self.beta, m)
         kb = g_np.shape[0]                  # (m-1)*down + K
         stride = m * self.down
-        sig = jnp.concatenate([state.buf, chunks.astype(jnp.float32)],
-                              axis=-1)
+        ch32 = chunks.astype(jnp.float32)
         impl = self.impl
         if impl in ("auto", "kernel"):
             from melspec_tpu.ops.resample import resample_kernel_geometry
 
+            geom = resample_kernel_geometry(self.up, self.down, q,
+                                            self.beta)
             backend_ok = jax.default_backend() in ("tpu", "gpu")
-            eligible = (
-                sig.shape[0] % 8 == 0
-                and resample_kernel_geometry(self.up, self.down, q,
-                                             self.beta) is not None
-            )
+            eligible = ch32.shape[0] % 8 == 0 and geom is not None
             if impl == "kernel" and not eligible:
                 raise ValueError(
                     "impl='kernel': no Pallas geometry for this "
                     "(ratio, chunk, n_streams) — use 'auto' to fall "
                     "back to the conv path")
             if impl == "kernel" or (eligible and backend_ok):
-                from melspec_tpu.ops.resample import pallas_resample
+                from melspec_tpu.ops.resample import (pair_eligible,
+                                                      pallas_resample,
+                                                      pallas_resample_pair)
 
+                if pair_eligible(self._len, n, self.up, self.down, q,
+                                 self.beta):
+                    # two-input slab kernel: the carried tail never gets
+                    # concatenated onto the chunk signal, killing the
+                    # full-signal HBM copy the concat materializes (~492
+                    # MB behind the kernel at the 256x500-hop 48 k tick;
+                    # bit-identical outputs, test_serving.py)
+                    y = pallas_resample_pair(
+                        state.buf, ch32, self.up, self.down, q,
+                        self.beta,
+                        precision=("bf3" if self.precision == "bf3"
+                                   else None),
+                        interpret=not backend_ok)
+                    new_buf = jnp.where(active[:, None],
+                                        ch32[:, n - self._len:],
+                                        state.buf)
+                    return MultiResampleState(new_buf), y
+                sig = jnp.concatenate([state.buf, ch32], axis=-1)
                 y = pallas_resample(sig, self.up, self.down, q,
                                     self.beta,
                                     precision=("bf3"
@@ -202,6 +219,7 @@ class MultiStreamResampler:
                                     state.buf)
                 return MultiResampleState(new_buf), y
             impl = "conv"
+        sig = jnp.concatenate([state.buf, ch32], axis=-1)
         if impl == "frames":
             from melspec_tpu.ops import framing
 

@@ -318,6 +318,47 @@ def test_multistream_resampler_pallas_kernel_parity():
         mr.push(mr.init(), np.zeros((8, 3 * 100), np.float32))
 
 
+def test_multistream_resampler_pair_kernel_bit_parity():
+    """The two-input slab kernel (``pallas_resample_pair``: carried buf
+    and chunks DMA'd separately, no materialized signal concat) is
+    BIT-identical to ``pallas_resample`` over the explicit concat — the
+    slabs hold the same floats, so the dots must too. Covers a
+    multi-tile grid (t>0 slabs DMA straight from chunks at offset
+    ``t*q_tile*stride - L``), single-tile boundary-straddle shapes, and
+    both numerics; and confirms the streaming step actually rides the
+    pair path (no concat fallback) at these shapes."""
+    from melspec_tpu.ops.resample import (pair_eligible, pallas_resample,
+                                          pallas_resample_pair)
+    from melspec_tpu.streaming.resample import MultiStreamResampler
+
+    rng = np.random.default_rng(17)
+    cases = [(1, 3, 128 * 256, None),   # n_t = 2: offset DMA from chunks
+             (1, 3, 512, None),         # n_t = 1: straddle slab only
+             (2, 1, 512, "bf3"),
+             (1, 2, 512, None)]
+    for up, down, q, prec in cases:
+        mr = MultiStreamResampler(up, down, 8, align=160, impl="kernel",
+                                  precision=prec or "highest")
+        L = mr._len
+        n = q * down
+        assert pair_eligible(L, n, up, down, q, mr.beta)
+        buf = jnp.asarray((rng.normal(size=(8, L)) * 0.3), jnp.float32)
+        chunks = jnp.asarray((rng.normal(size=(8, n)) * 0.3), jnp.float32)
+        a = pallas_resample_pair(buf, chunks, up, down, q,
+                                 precision=prec, interpret=True)
+        b = pallas_resample(jnp.concatenate([buf, chunks], axis=1),
+                            up, down, q, precision=prec, interpret=True)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (up, down, q)
+        # the streaming step returns exactly the pair kernel's output
+        # and carries exactly the chunk tail
+        state = mr.init()._replace(buf=buf)
+        new_state, y = mr._step_jit(state, chunks,
+                                    jnp.ones(8, dtype=bool))
+        assert np.array_equal(np.asarray(y), np.asarray(a))
+        assert np.array_equal(np.asarray(new_state.buf),
+                              np.asarray(chunks[:, n - L:]))
+
+
 def test_multistream_resampler_bf3_precision_parity():
     """precision='bf3' (3-pass bf16-slice dots, the SourceRateFrontend
     default) stays within the mel pipeline's 1e-5 class of the f64 host
